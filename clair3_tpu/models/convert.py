@@ -1,0 +1,126 @@
+"""Convert reference PyTorch checkpoints (``pileup.pt`` / ``full_alignment.pt``,
+plain ``torch.save(state_dict)`` files, see reference clair3/CallVariants.py:54-63)
+into clair3_tpu flax variable trees, so trained reference models run unchanged.
+
+Layout mapping:
+* torch ``nn.LSTM`` per direction: ``weight_ih_l0 [4H, C]`` -> ``wi [C, 4H]``
+  (transposed), ``weight_hh_l0 [4H, H]`` -> ``wh [H, 4H]``, and the two bias
+  vectors fold into one ``b = bias_ih + bias_hh``.  Gate order (i, f, g, o)
+  is preserved.  ``_reverse`` suffixed tensors map to the ``bwd`` direction.
+* torch ``nn.Conv2d`` ``[O, I, kh, kw]`` -> flax ``[kh, kw, I, O]``.
+* torch ``nn.Linear`` ``[out, in]`` -> flax kernel ``[in, out]``.
+* torch ``nn.BatchNorm2d`` weight/bias -> scale/bias params; running
+  mean/var -> ``batch_stats``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    try:  # torch tensor
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    # strip DDP "module." prefixes
+    return {k[len("module."):] if k.startswith("module.") else k: _np(v) for k, v in ckpt.items()}
+
+
+def _lstm_dir(sd: Dict[str, np.ndarray], prefix: str, suffix: str) -> Dict[str, np.ndarray]:
+    wi = sd[f"{prefix}.weight_ih_l0{suffix}"].T.copy()
+    wh = sd[f"{prefix}.weight_hh_l0{suffix}"].T.copy()
+    b = sd[f"{prefix}.bias_ih_l0{suffix}"] + sd[f"{prefix}.bias_hh_l0{suffix}"]
+    return {"wi": wi, "wh": wh, "b": b}
+
+
+def _dense(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {"kernel": sd[f"{prefix}.weight"].T.copy(), "bias": sd[f"{prefix}.bias"]}
+
+
+def _conv(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    out = {"kernel": sd[f"{prefix}.weight"].transpose(2, 3, 1, 0).copy()}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _bn(sd: Dict[str, np.ndarray], prefix: str) -> Tuple[Dict, Dict]:
+    params = {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+    stats = {"mean": sd[f"{prefix}.running_mean"], "var": sd[f"{prefix}.running_var"]}
+    return params, stats
+
+
+def pileup_variables_from_torch(sd: Dict[str, np.ndarray]) -> Dict:
+    """Build flax variables for PileupNet from a Clair3_P state_dict."""
+    params: Dict = {
+        "LSTM1": {"fwd": _lstm_dir(sd, "LSTM1", ""), "bwd": _lstm_dir(sd, "LSTM1", "_reverse")},
+        "LSTM2": {"fwd": _lstm_dir(sd, "LSTM2", ""), "bwd": _lstm_dir(sd, "LSTM2", "_reverse")},
+        "L4": _dense(sd, "L4"),
+        "L5_1": _dense(sd, "L5_1"),
+        "L5_2": _dense(sd, "L5_2"),
+        "Y_gt21_logits": _dense(sd, "Y_gt21_logits"),
+        "Y_genotype_logits": _dense(sd, "Y_genotype_logits"),
+    }
+    add_indel_length = "L5_3.weight" in sd
+    if add_indel_length:
+        params["L5_3"] = _dense(sd, "L5_3")
+        params["L5_4"] = _dense(sd, "L5_4")
+        params["Y_indel_length_logits_1"] = _dense(sd, "Y_indel_length_logits_1")
+        params["Y_indel_length_logits_2"] = _dense(sd, "Y_indel_length_logits_2")
+    return {"params": params}
+
+
+def _conv_bn_relu(sd, torch_prefix: str) -> Tuple[Dict, Dict]:
+    conv = _conv(sd, f"{torch_prefix}.conv")
+    bn_p, bn_s = _bn(sd, f"{torch_prefix}.bn")
+    return {"conv": conv, "bn": bn_p}, {"bn": bn_s}
+
+
+def _res_block(sd, torch_prefix: str) -> Tuple[Dict, Dict]:
+    # reference wraps each block in nn.Sequential -> ".0." index
+    p = f"{torch_prefix}.0"
+    conv1 = _conv(sd, f"{p}.conv1")
+    conv2 = _conv(sd, f"{p}.conv2")
+    bn1_p, bn1_s = _bn(sd, f"{p}.bn1")
+    bn2_p, bn2_s = _bn(sd, f"{p}.bn2")
+    return (
+        {"conv1": conv1, "bn1": bn1_p, "conv2": conv2, "bn2": bn2_p},
+        {"bn1": bn1_s, "bn2": bn2_s},
+    )
+
+
+def full_alignment_variables_from_torch(sd: Dict[str, np.ndarray]) -> Dict:
+    """Build flax variables for FullAlignmentNet from a Clair3_F state_dict."""
+    params: Dict = {}
+    stats: Dict = {}
+    for name in ("conv1", "conv3", "conv5"):
+        params[name], stats[name] = _conv_bn_relu(sd, name)
+    for name in ("res_block1", "res_block2", "res_block3"):
+        params[name], stats[name] = _res_block(sd, name)
+    for name in ("L4", "L5_1", "L5_2", "Y_gt21_logits", "Y_genotype_logits"):
+        params[name] = _dense(sd, name)
+    if "L5_3.weight" in sd:
+        for name in ("L5_3", "L5_4", "Y_indel_length_logits_1", "Y_indel_length_logits_2"):
+            params[name] = _dense(sd, name)
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_checkpoint(path: str, kind: str) -> Dict:
+    """kind: 'pileup' | 'full_alignment'."""
+    sd = load_torch_state_dict(path)
+    if kind == "pileup":
+        return pileup_variables_from_torch(sd)
+    if kind == "full_alignment":
+        return full_alignment_variables_from_torch(sd)
+    raise ValueError(f"unknown checkpoint kind {kind!r}")
