@@ -1,0 +1,118 @@
+"""BGZF (blocked gzip) reading and writing, dependency-free.
+
+BGZF is the container format of BAM and bgzipped VCF: a series of gzip
+members, each carrying a BC extra subfield recording the compressed block
+size, terminated by a fixed 28-byte EOF block.  Python's zlib handles the
+deflate payloads; we build the member framing ourselves so outputs are valid
+for htslib-based tools (samtools/tabix) even though none are present in this
+image.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import BinaryIO, Iterator, Union
+
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+_MAX_BLOCK = 65280  # uncompressed bytes per block (same bound bgzip uses)
+
+
+def compress_block(data: bytes, level: int = 6) -> bytes:
+    """Compress up to 64 KiB of data into a single BGZF block."""
+    c = zlib.compressobj(level, zlib.DEFLATED, -15)
+    payload = c.compress(data) + c.flush()
+    bsize = len(payload) + 26  # 12B header + 6B BC subfield + payload + 8B footer
+    header = (
+        b"\x1f\x8b\x08\x04" + b"\x00" * 4 + b"\x00\xff"
+        + struct.pack("<H", 6)            # XLEN
+        + b"BC" + struct.pack("<H", 2)    # subfield id + length
+        + struct.pack("<H", bsize - 1)    # BSIZE - 1
+    )
+    footer = struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF, len(data) & 0xFFFFFFFF)
+    return header + payload + footer
+
+
+class BgzfWriter:
+    """Streaming BGZF writer."""
+
+    def __init__(self, path_or_fh: Union[str, BinaryIO], level: int = 6):
+        self._own = isinstance(path_or_fh, str)
+        self._fh: BinaryIO = open(path_or_fh, "wb") if self._own else path_or_fh
+        self._buf = bytearray()
+        self._level = level
+
+    def write(self, data: bytes) -> None:
+        self._buf.extend(data)
+        while len(self._buf) >= _MAX_BLOCK:
+            chunk = bytes(self._buf[:_MAX_BLOCK])
+            del self._buf[:_MAX_BLOCK]
+            self._fh.write(compress_block(chunk, self._level))
+
+    def flush_block(self) -> None:
+        if self._buf:
+            self._fh.write(compress_block(bytes(self._buf), self._level))
+            self._buf.clear()
+
+    def close(self) -> None:
+        self.flush_block()
+        self._fh.write(BGZF_EOF)
+        if self._own:
+            self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def iter_blocks(fh: BinaryIO) -> Iterator[bytes]:
+    """Yield decompressed BGZF blocks from a file handle."""
+    while True:
+        header = fh.read(12)
+        if len(header) < 12:
+            return
+        if header[:4] != b"\x1f\x8b\x08\x04":
+            raise ValueError("not a BGZF stream (bad gzip/FEXTRA magic)")
+        (xlen,) = struct.unpack("<H", header[10:12])
+        extra = fh.read(xlen)
+        bsize = None
+        off = 0
+        while off + 4 <= len(extra):
+            si1, si2, slen = extra[off], extra[off + 1], struct.unpack("<H", extra[off + 2:off + 4])[0]
+            if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                bsize = struct.unpack("<H", extra[off + 4:off + 6])[0] + 1
+            off += 4 + slen
+        if bsize is None:
+            raise ValueError("BGZF block missing BC subfield")
+        payload = fh.read(bsize - 12 - xlen - 8)
+        footer = fh.read(8)
+        (_, isize) = struct.unpack("<II", footer)
+        data = zlib.decompress(payload, -15)
+        if len(data) != isize:
+            raise ValueError("BGZF block ISIZE mismatch")
+        if data:
+            yield data
+
+
+def decompress(path: str) -> bytes:
+    """Read a whole BGZF (or plain gzip-concatenated) file."""
+    with open(path, "rb") as fh:
+        magic = fh.read(4)
+        fh.seek(0)
+        if magic[:2] != b"\x1f\x8b":
+            return fh.read()
+        if magic == b"\x1f\x8b\x08\x04":
+            return b"".join(iter_blocks(fh))
+        import gzip
+
+        return gzip.decompress(fh.read())
+
+
+def is_gzipped(path: str) -> bool:
+    with open(path, "rb") as fh:
+        return fh.read(2) == b"\x1f\x8b"
