@@ -1,0 +1,7 @@
+from clair3_tpu.decode.decoder import (  # noqa: F401
+    DecodeConfig,
+    batch_decode,
+    decode_candidate,
+    quality_score_from,
+    compute_pl,
+)
