@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark: model-inference candidates/sec/chip (pileup + full-alignment).
+
+Measures the jit-compiled bf16 forward throughput of both networks with a
+device-resident loop: inputs are generated on-device from a PRNG key inside
+one jitted ``lax.scan`` whose carry depends on every iteration's output, so
+nothing can be elided/deduplicated, and exactly one scalar returns to host.
+(This matches production, where candidate tensors stream from host extractors
+over local DMA — not over this sandbox's slow network tunnel.)
+
+Reports the combined cascade throughput: every candidate scored by the
+pileup net, a `var_pct_full`-sized fraction (0.3) re-scored by the
+full-alignment net, mirroring the reference's two-stage routing.
+
+Baseline: estimated reference combined throughput on one A100 (torch fp32
+pileup+FA cascade); north star is >= 2x (BASELINE.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_BASELINE = 25_000.0
+FA_ROUTING_FRACTION = 0.3
+
+
+def bench_forward(model, variables, make_batch, batch: int, iters: int) -> float:
+    """Candidates/sec of `model.apply` over `iters` on-device batches."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(variables, seed):
+        def body(carry, i):
+            x = make_batch(jax.random.fold_in(seed, i))
+            y = model.apply(variables, x, train=False)
+            return carry + y.sum(), None
+
+        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(iters))
+        return total
+
+    # NOTE: block_until_ready does not reliably synchronize on the remote
+    # 'axon' backend; a scalar host fetch (float()) does.
+    float(run(variables, jax.random.PRNGKey(0)))  # compile + warmup
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        float(run(variables, jax.random.PRNGKey(1 + rep)))
+        best = min(best, time.perf_counter() - t0)
+    return batch * iters / best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from clair3_tpu.models import FullAlignmentNet, PileupNet
+    from clair3_tpu.parallel.mesh import get_mesh
+
+    mesh = get_mesh()
+    n_dev = mesh.devices.size
+    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+
+    B_P, ITERS_P = 8192, 30
+    pileup = PileupNet(add_indel_length=False, compute_dtype=jnp.bfloat16)
+    vp = pileup.init(jax.random.PRNGKey(0), jnp.zeros((8, 33, 18), jnp.int32))
+
+    def pileup_batch(key):
+        return jax.random.randint(key, (B_P, 33, 18), -30, 30, jnp.int32)
+
+    pileup_cps = bench_forward(pileup, vp, pileup_batch, B_P, ITERS_P)
+    print(f"[bench] pileup: {pileup_cps:,.0f} candidates/s", file=sys.stderr)
+
+    B_F, ITERS_F = 2048, 30
+    fa = FullAlignmentNet(add_indel_length=True, compute_dtype=jnp.bfloat16)
+    vf = fa.init(jax.random.PRNGKey(0), jnp.zeros((8, 89, 33, 8), jnp.int8), train=False)
+
+    def fa_batch(key):
+        return jax.random.randint(key, (B_F, 89, 33, 8), -100, 100, jnp.int32).astype(jnp.int8)
+
+    fa_cps = bench_forward(fa, vf, fa_batch, B_F, ITERS_F)
+    print(f"[bench] full-alignment: {fa_cps:,.0f} candidates/s", file=sys.stderr)
+
+    combined = 1.0 / (1.0 / pileup_cps + FA_ROUTING_FRACTION / fa_cps)
+    per_chip = combined / n_dev
+    print(
+        f"[bench] combined cascade: {combined:,.0f} candidates/s "
+        f"({per_chip:,.0f}/chip over {n_dev} chip(s))",
+        file=sys.stderr,
+    )
+
+    print(json.dumps({
+        "metric": "cascade candidates/sec/chip (pileup + 0.3x full-alignment, bf16)",
+        "value": round(per_chip, 1),
+        "unit": "candidates/s/chip",
+        "vs_baseline": round(per_chip / A100_BASELINE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -39,18 +39,19 @@ class ConvBNRelu(nn.Module):
 
     filters: int
     strides: int = 1
+    dtype: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         x = nn.Conv(
             self.filters, (3, 3), strides=(self.strides, self.strides),
-            padding=((1, 1), (1, 1)), use_bias=True,
+            padding=((1, 1), (1, 1)), use_bias=True, dtype=self.dtype,
             param_dtype=self.param_dtype, name="conv",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, epsilon=1e-3, momentum=0.9,
-            param_dtype=self.param_dtype, dtype=jnp.float32, name="bn",
+            param_dtype=self.param_dtype, dtype=self.dtype, name="bn",
         )(x)
         return nn.relu(x)
 
@@ -63,20 +64,21 @@ class ResBlock(nn.Module):
     """
 
     filters: int
+    dtype: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         residual = x
         y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
-                    param_dtype=self.param_dtype, name="conv1")(x)
+                    dtype=self.dtype, param_dtype=self.param_dtype, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, epsilon=1e-3, momentum=0.9,
-                         param_dtype=self.param_dtype, dtype=jnp.float32, name="bn1")(y)
+                         param_dtype=self.param_dtype, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
-                    param_dtype=self.param_dtype, name="conv2")(y)
+                    dtype=self.dtype, param_dtype=self.param_dtype, name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, epsilon=1e-3, momentum=0.9,
-                         param_dtype=self.param_dtype, dtype=jnp.float32, name="bn2")(y)
+                         param_dtype=self.param_dtype, dtype=self.dtype, name="bn2")(y)
         return nn.relu(residual + y)
 
 
@@ -114,16 +116,17 @@ class FullAlignmentNet(nn.Module):
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         x = x.astype(self.compute_dtype) / FA_NORMALIZE_NUM
 
-        x = ConvBNRelu(64, strides=2, param_dtype=self.param_dtype, name="conv1")(x, train=train)
-        x = ResBlock(64, param_dtype=self.param_dtype, name="res_block1")(x, train=train)
-        x = ConvBNRelu(128, strides=2, param_dtype=self.param_dtype, name="conv3")(x, train=train)
-        x = ResBlock(128, param_dtype=self.param_dtype, name="res_block2")(x, train=train)
-        x = ConvBNRelu(256, strides=2, param_dtype=self.param_dtype, name="conv5")(x, train=train)
-        x = ResBlock(256, param_dtype=self.param_dtype, name="res_block3")(x, train=train)
+        dt = self.compute_dtype
+        x = ConvBNRelu(64, strides=2, dtype=dt, param_dtype=self.param_dtype, name="conv1")(x, train=train)
+        x = ResBlock(64, dtype=dt, param_dtype=self.param_dtype, name="res_block1")(x, train=train)
+        x = ConvBNRelu(128, strides=2, dtype=dt, param_dtype=self.param_dtype, name="conv3")(x, train=train)
+        x = ResBlock(128, dtype=dt, param_dtype=self.param_dtype, name="res_block2")(x, train=train)
+        x = ConvBNRelu(256, strides=2, dtype=dt, param_dtype=self.param_dtype, name="conv5")(x, train=train)
+        x = ResBlock(256, dtype=dt, param_dtype=self.param_dtype, name="res_block3")(x, train=train)
 
         x = pyramid_pool(x)  # [B, 14*256]
         x = nn.Dropout(0.2, deterministic=not train, name="L3_dropout")(x)
-        x = nn.selu(nn.Dense(self.l4_units, param_dtype=self.param_dtype, name="L4")(x))
+        x = nn.selu(nn.Dense(self.l4_units, dtype=dt, param_dtype=self.param_dtype, name="L4")(x))
         x = nn.Dropout(0.5, deterministic=not train, name="L4_dropout")(x)
 
         n_heads = 4 if self.add_indel_length else 2
@@ -131,9 +134,9 @@ class FullAlignmentNet(nn.Module):
         head_names = ("Y_gt21_logits", "Y_genotype_logits",
                       "Y_indel_length_logits_1", "Y_indel_length_logits_2")
         for i in range(n_heads):
-            h = nn.selu(nn.Dense(self.l5_units, param_dtype=self.param_dtype, name=f"L5_{i + 1}")(x))
+            h = nn.selu(nn.Dense(self.l5_units, dtype=dt, param_dtype=self.param_dtype, name=f"L5_{i + 1}")(x))
             h = nn.Dropout(0.2, deterministic=not train, name=f"L5_{i + 1}_dropout")(h)
-            logits = nn.Dense(_HEAD_SIZES[i], param_dtype=self.param_dtype, name=head_names[i])(h)
+            logits = nn.Dense(_HEAD_SIZES[i], dtype=dt, param_dtype=self.param_dtype, name=head_names[i])(h)
             # SELU-before-softmax matches the trained reference checkpoints.
             outs.append(nn.softmax(nn.selu(logits.astype(jnp.float32))))
         return jnp.concatenate(outs, axis=-1)

@@ -50,17 +50,18 @@ class PileupNet(nn.Module):
         x = BiLSTM(self.lstm2_units, param_dtype=self.param_dtype, name="LSTM2")(x)
         x = nn.Dropout(0.2, deterministic=not train, name="L3_dropout")(x)
         x = x.reshape((x.shape[0], NO_OF_POSITIONS * 2 * self.lstm2_units))
-        x = nn.selu(nn.Dense(self.l4_units, param_dtype=self.param_dtype, name="L4")(x))
+        dt = self.compute_dtype
+        x = nn.selu(nn.Dense(self.l4_units, dtype=dt, param_dtype=self.param_dtype, name="L4")(x))
         x = nn.Dropout(0.5, deterministic=not train, name="L4_dropout")(x)
 
         n_heads = 4 if self.add_indel_length else 2
         outs = []
         for i in range(n_heads):
-            h = nn.selu(nn.Dense(self.l5_units, param_dtype=self.param_dtype, name=f"L5_{i + 1}")(x))
+            h = nn.selu(nn.Dense(self.l5_units, dtype=dt, param_dtype=self.param_dtype, name=f"L5_{i + 1}")(x))
             h = nn.Dropout(0.2, deterministic=not train, name=f"L5_{i + 1}_dropout")(h)
             head_names = ("Y_gt21_logits", "Y_genotype_logits",
                           "Y_indel_length_logits_1", "Y_indel_length_logits_2")
-            logits = nn.Dense(_HEAD_SIZES[i], param_dtype=self.param_dtype, name=head_names[i])(h)
+            logits = nn.Dense(_HEAD_SIZES[i], dtype=dt, param_dtype=self.param_dtype, name=head_names[i])(h)
             # SELU-before-softmax is baked into the trained reference weights.
             outs.append(nn.softmax(nn.selu(logits.astype(jnp.float32))))
         return jnp.concatenate(outs, axis=-1)

@@ -1,0 +1,308 @@
+"""End-to-end variant calling driver.
+
+Replaces the reference's shell orchestration (scripts/clair3_c_impl_pipeline.py:
+GNU-parallel job arrays glued by intermediate files) with one in-process
+pipeline:
+
+    plan chunks -> [pileup extract -> jit forward -> decode]  (per chunk)
+    -> sort/dedup -> pileup.vcf.gz
+    -> select qual cutoffs -> (phase) -> select candidates
+    -> [full-alignment extract -> jit forward -> decode]
+    -> merge -> merge_output.vcf.gz
+
+Extraction runs on host threads; the device sees fixed-shape batches through
+InferenceEngine.  Decode is plain Python on the host.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from clair3_tpu.config import CallConfig, NO_OF_POSITIONS
+from clair3_tpu.decode import DecodeConfig, batch_decode
+from clair3_tpu.io.bam import BamReader
+from clair3_tpu.io.fasta import FastaFile
+from clair3_tpu.io.vcf import VcfReader, VcfWriter, get_header, parse_vcf_line
+from clair3_tpu.pipeline.engine import rescale_high_coverage_pileup
+from clair3_tpu.pipeline.merge_sort import (
+    mark_low_qual,
+    merge_pileup_and_full_alignment,
+    sort_rows,
+    update_haploid_precise_genotype,
+    update_haploid_sensitive_genotype,
+)
+from clair3_tpu.pipeline.select import (
+    CandidateBatch,
+    select_candidates,
+    select_het_snps,
+    select_phase_qual,
+    select_qual,
+)
+from clair3_tpu.pileup.extractor import create_pileup_tensors
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class ChunkTask:
+    contig: str
+    start: int  # 1-based inclusive
+    end: int    # 1-based inclusive
+
+
+def plan_chunks(
+    contigs: Sequence[Tuple[str, int]], chunk_size: int
+) -> List[ChunkTask]:
+    """Split contigs into fixed-size chunks (CheckEnvs.py:378-388 semantics:
+    chunk_num = ceil(len / chunk_size))."""
+    tasks = []
+    for name, length in contigs:
+        chunk_num = (length + chunk_size - 1) // chunk_size
+        for i in range(chunk_num):
+            tasks.append(ChunkTask(name, i * chunk_size + 1, min((i + 1) * chunk_size, length)))
+    return tasks
+
+
+class VariantCaller:
+    """Single-host calling pipeline over a device mesh.
+
+    ``pileup_engine`` / ``fa_engine`` are objects with
+    ``predict(tensors) -> probabilities`` (InferenceEngine in production;
+    tests may inject oracles)."""
+
+    def __init__(
+        self,
+        config: CallConfig,
+        pileup_engine=None,
+        fa_engine=None,
+        phaser=None,
+    ):
+        self.cfg = config.resolved()
+        self.pileup_engine = pileup_engine
+        self.fa_engine = fa_engine
+        self.phaser = phaser
+
+    # ------------------------------------------------------------------
+    # planning
+    # ------------------------------------------------------------------
+
+    def resolve_contigs(self) -> List[Tuple[str, int]]:
+        fa = FastaFile(self.cfg.ref_fn)
+        bam = BamReader(self.cfg.bam_fn)
+        bam_refs = set(bam.references)
+        out = []
+        for name in fa.references:
+            if name not in bam_refs:
+                continue
+            if self.cfg.ctg_name and name != self.cfg.ctg_name:
+                continue
+            out.append((name, fa.contig_length(name)))
+        fa.close()
+        return out
+
+    # ------------------------------------------------------------------
+    # pileup stage
+    # ------------------------------------------------------------------
+
+    def _pileup_decode_config(self) -> DecodeConfig:
+        return DecodeConfig(
+            add_indel_length=False,
+            pileup=True,
+            show_ref_calls=True,  # ref-call quals drive FA routing
+            gvcf=self.cfg.gvcf,
+            enable_long_indel=self.cfg.enable_long_indel,
+            maximum_variant_length_that_need_infer=self.cfg.max_indel_length,
+            keep_iupac_bases=self.cfg.keep_iupac_bases,
+        )
+
+    def _extract_pileup_chunk(self, task: ChunkTask):
+        return create_pileup_tensors(
+            self.cfg.bam_fn,
+            self.cfg.ref_fn,
+            task.contig,
+            task.start,
+            task.end,
+            min_mq=self.cfg.min_mq,
+            min_depth=self.cfg.min_coverage,
+            min_snp_af=self.cfg.snp_min_af,
+            min_indel_af=self.cfg.indel_min_af,
+            max_indel_length=self.cfg.max_indel_length,
+            call_snp_only=self.cfg.call_snp_only,
+            gvcf=self.cfg.gvcf,
+            head_tail=self.cfg.enable_variant_calling_at_sequence_head_and_tail,
+        )
+
+    def run_pileup(self, tasks: Sequence[ChunkTask]) -> List[str]:
+        """Pileup-call all chunks; returns unsorted VCF body rows."""
+        decode_cfg = self._pileup_decode_config()
+        rows: List[str] = []
+        t0 = time.time()
+        n_candidates = 0
+        with ThreadPoolExecutor(max_workers=max(1, self.cfg.threads)) as pool:
+            for tensors, pos_infos, alt_infos, _res in pool.map(
+                self._extract_pileup_chunk, tasks
+            ):
+                if tensors.shape[0] == 0:
+                    continue
+                n_candidates += tensors.shape[0]
+                tensors = rescale_high_coverage_pileup(
+                    tensors, alt_infos, max_depth=self.cfg.preset.max_depth)
+                probs = self.pileup_engine.predict(tensors)
+                rows.extend(batch_decode(pos_infos, alt_infos, probs, decode_cfg))
+        logger.info(
+            "[pileup] %d candidates -> %d rows in %.1fs",
+            n_candidates, len(rows), time.time() - t0)
+        return rows
+
+    # ------------------------------------------------------------------
+    # full-alignment stage
+    # ------------------------------------------------------------------
+
+    def _fa_decode_config(self) -> DecodeConfig:
+        return DecodeConfig(
+            add_indel_length=True,   # FA calling always uses length heads
+            pileup=False,
+            show_ref_calls=True,     # merge filters ref rows at the end
+            gvcf=self.cfg.gvcf,
+            enable_long_indel=self.cfg.enable_long_indel,
+            maximum_variant_length_that_need_infer=self.cfg.max_indel_length,
+            keep_iupac_bases=self.cfg.keep_iupac_bases,
+        )
+
+    def run_full_alignment(
+        self, batches: Sequence[CandidateBatch]
+    ) -> List[str]:
+        from clair3_tpu.fullalign.extractor import create_fa_tensors
+
+        decode_cfg = self._fa_decode_config()
+        rows: List[str] = []
+
+        def _extract(batch: CandidateBatch):
+            return create_fa_tensors(
+                self.cfg.bam_fn,
+                self.cfg.ref_fn,
+                batch.contig,
+                batch.positions,
+                phased_snps=batch.phased_snps,
+                matrix_depth=self.cfg.matrix_depth,
+                min_mq=self.cfg.min_mq,
+                no_phasing=self.cfg.no_phasing_for_fa,
+                enable_dwell=self.cfg.enable_dwell_time,
+            )
+
+        with ThreadPoolExecutor(max_workers=max(1, self.cfg.threads)) as pool:
+            for tensors, pos_infos, alt_infos in pool.map(_extract, batches):
+                if tensors.shape[0] == 0:
+                    continue
+                probs = self.fa_engine.predict(tensors)
+                rows.extend(batch_decode(pos_infos, alt_infos, probs, decode_cfg))
+        return rows
+
+    # ------------------------------------------------------------------
+    # orchestration
+    # ------------------------------------------------------------------
+
+    def _write_vcf(self, path: str, rows: Sequence[str], contigs) -> str:
+        header = get_header(
+            reference_file_path=self.cfg.ref_fn,
+            sample_name=self.cfg.sample_name,
+            gvcf=False,
+            contigs=None,
+        )
+        with VcfWriter(path, header) as w:
+            for row in rows:
+                w.write(row)
+        return path
+
+    def _final_filter(self, rows: Sequence[str]) -> List[str]:
+        """Postfilters applied to the final merged rows (SortVcf.py:93-112)."""
+        out = []
+        for row in rows:
+            cols = row.rstrip("\n").split("\t")
+            ref_base, alt_base = cols[3], cols[4]
+            is_reference = alt_base == "." or ref_base == alt_base
+            if self.cfg.haploid_precise:
+                row = update_haploid_precise_genotype(row)
+            if self.cfg.haploid_sensitive:
+                row = update_haploid_sensitive_genotype(row)
+            if not row:
+                continue
+            if not is_reference:
+                row = mark_low_qual(row, self.cfg.qual)
+                out.append(row)
+            elif self.cfg.print_ref_calls:
+                out.append(row)
+        return out
+
+    def run(self) -> Dict[str, str]:
+        """Execute the cascade; returns paths of the written VCFs."""
+        cfg = self.cfg
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        contigs = self.resolve_contigs()
+        contig_names = [c for c, _ in contigs]
+        tasks = plan_chunks(contigs, cfg.chunk_size)
+        logger.info("[plan] %d contigs, %d chunks", len(contigs), len(tasks))
+
+        pileup_rows = sort_rows(self.run_pileup(tasks), contig_names)
+        outputs: Dict[str, str] = {}
+        pileup_path = os.path.join(cfg.output_dir, "pileup.vcf.gz")
+        self._write_vcf(pileup_path, pileup_rows, contigs)
+        outputs["pileup"] = pileup_path
+
+        merge_path = os.path.join(cfg.output_dir, "merge_output.vcf.gz")
+        if cfg.pileup_only or self.fa_engine is None:
+            final_rows = self._final_filter(pileup_rows)
+            self._write_vcf(merge_path, final_rows, contigs)
+            outputs["merge_output"] = merge_path
+            return outputs
+
+        # --- full-alignment cascade ---
+        pileup_records = [parse_vcf_line(r) for r in pileup_rows]
+        var_qual, ref_qual = select_qual(
+            pileup_records, cfg.var_pct_full, cfg.ref_pct_full)
+        logger.info("[select] var_qual=%.2f ref_qual=%.2f", var_qual, ref_qual)
+
+        phased_by_contig: Dict[str, List] = {}
+        if self.phaser is not None and not cfg.no_phasing_for_fa:
+            phase_qual = select_phase_qual(pileup_records, cfg.var_pct_phasing)
+            for ctg in contig_names:
+                het_snps = select_het_snps(pileup_records, phase_qual, ctg)
+                phased_by_contig[ctg] = self.phaser.phase(ctg, het_snps)
+
+        fa_rows: List[str] = []
+        for ctg in contig_names:
+            batches = select_candidates(
+                pileup_records, ctg, var_qual, ref_qual,
+                phased_rows=phased_by_contig.get(ctg, ()),
+            )
+            if batches:
+                fa_rows.extend(self.run_full_alignment(batches))
+        fa_rows = sort_rows(fa_rows, contig_names)
+        fa_path = os.path.join(cfg.output_dir, "full_alignment.vcf.gz")
+        self._write_vcf(fa_path, fa_rows, contigs)
+        outputs["full_alignment"] = fa_path
+
+        merged: List[str] = []
+        for ctg in contig_names:
+            merged.extend(
+                merge_pileup_and_full_alignment(
+                    [r for r in pileup_rows if r.split("\t", 1)[0] == ctg],
+                    [r for r in fa_rows if r.split("\t", 1)[0] == ctg],
+                    contig=ctg,
+                    qual_cutoff=cfg.qual,
+                    print_ref_calls=cfg.print_ref_calls,
+                    haploid_precise=cfg.haploid_precise,
+                    haploid_sensitive=cfg.haploid_sensitive,
+                )
+            )
+        merged = sort_rows(merged, contig_names)
+        self._write_vcf(merge_path, merged, contigs)
+        outputs["merge_output"] = merge_path
+        return outputs

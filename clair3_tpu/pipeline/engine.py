@@ -1,0 +1,97 @@
+"""Batched, mesh-sharded inference engine.
+
+Replaces the reference's CallVariantsFromCffi / CallVariantsFromCffiGPU
+split (process fan-out + file-sharded multi-GPU scheduling + shared-memory
+decode) with a single jit-compiled forward pass:
+
+* candidate tensors stream in from the host extractors,
+* batches are padded to a small set of static bucket sizes (so XLA compiles
+  a handful of programs, not one per batch shape),
+* each batch is sharded over the mesh data axis and run under jit,
+* probabilities return to host for the CPU decode pool.
+
+The pileup high-coverage rescale (tensor // (depth/max_depth) when depth >
+1.5x max_depth, integer-truncated like the reference's in-place numpy
+assignment, CallVariantsFromCffi.py:278-285) happens here on the host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clair3_tpu.parallel.mesh import batch_sharding, get_mesh, replicated_sharding
+
+_DEFAULT_BUCKETS = (256, 1024, 4096)
+
+
+class InferenceEngine:
+    """Jit-compiled, data-sharded batch forward for one model."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        mesh=None,
+        buckets: Sequence[int] = _DEFAULT_BUCKETS,
+        compute_dtype=jnp.float32,
+    ):
+        self.model = model
+        self.mesh = mesh if mesh is not None else get_mesh()
+        n_dev = self.mesh.devices.size
+        # bucket sizes must divide evenly across the mesh
+        self.buckets = tuple(sorted(max(b, n_dev) - (max(b, n_dev) % n_dev) or n_dev
+                                    for b in buckets))
+        self._in_sharding = batch_sharding(self.mesh)
+        self._rep = replicated_sharding(self.mesh)
+        self.variables = jax.device_put(variables, self._rep)
+
+        @partial(jax.jit, out_shardings=self._in_sharding)
+        def _forward(variables, x):
+            return self.model.apply(variables, x, train=False)
+
+        self._forward = _forward
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        # round up to a multiple of the largest bucket
+        top = self.buckets[-1]
+        return ((n + top - 1) // top) * top
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        """Forward a host batch; returns probabilities [N, 24|90] float32."""
+        n = x.shape[0]
+        if n == 0:
+            return np.zeros((0, 90), np.float32)
+        outs: List[np.ndarray] = []
+        top = self.buckets[-1]
+        for lo in range(0, n, top):
+            chunk = x[lo: lo + top]
+            m = chunk.shape[0]
+            b = self._bucket_for(m)
+            if m < b:
+                pad = np.zeros((b - m,) + chunk.shape[1:], chunk.dtype)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            dev = jax.device_put(chunk, self._in_sharding)
+            y = self._forward(self.variables, dev)
+            outs.append(np.asarray(y)[:m])
+        return np.concatenate(outs, axis=0)
+
+
+def rescale_high_coverage_pileup(
+    tensors: np.ndarray, alt_infos: Sequence[str], max_depth: int = 144
+) -> np.ndarray:
+    """Integer-truncated rescale of extreme-coverage pileup tensors
+    (reference: CallVariantsFromCffi.py:278-285)."""
+    for i, alt_info in enumerate(alt_infos):
+        depth = int(str(alt_info).split("-", maxsplit=1)[0])
+        if depth > 0 and depth > max_depth * 1.5:
+            scale = depth / max_depth
+            tensors[i] = (tensors[i] / scale).astype(tensors.dtype)
+    return tensors

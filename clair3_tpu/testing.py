@@ -17,6 +17,9 @@ from clair3_tpu.io.fasta import write_fasta
 
 BASES = "ACGT"
 
+# full-alignment channel base codes (fullalign/extractor.py)
+_FA_BASE_FROM_VAL = {100: "A", 25: "C", 75: "G", 50: "T"}
+
 
 @dataclass(frozen=True)
 class SimVariant:
@@ -168,3 +171,144 @@ def write_test_case(
     bam_path = os.path.join(dir_path, "reads.bam")
     write_bam(bam_path, [contig], [ref_length], reads)
     return fasta_path, bam_path, ref, variants
+
+
+# ---------------------------------------------------------------------------
+# Oracle engines: ideal predictors that sniff the candidate tensors.
+# They stand in for trained models in end-to-end pipeline tests, exercising
+# extractor -> engine -> decoder -> merge plumbing with assertable outputs.
+# ---------------------------------------------------------------------------
+
+
+class PileupOracleEngine:
+    """Derives near-one-hot pileup head probabilities [N, 24] from the
+    center column of each [33, 18] tensor."""
+
+    def __init__(self, hom_threshold: float = 0.75, het_threshold: float = 0.25):
+        self.hom = hom_threshold
+        self.het = het_threshold
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        from clair3_tpu.task.labels import GT21, Genotype, gt21_enum_from_label
+
+        n = x.shape[0]
+        out = np.full((n, 24), 1e-4, np.float32)
+        for i in range(n):
+            center = x[i, 16].astype(np.int64)
+            fwd, rev = center[0:4], center[9:13]
+            totals = fwd + rev
+            ref_idx = int(np.argmin(totals))  # ref columns are negated
+            base_total = -int(totals[ref_idx])
+            alt_counts = {b: int(totals[b]) for b in range(4) if b != ref_idx}
+            ins_count = int(center[4] + center[13])
+            del_count = int(center[6] + center[15])
+            denom = max(base_total, 1)
+
+            best_alt = max(alt_counts, key=alt_counts.get)
+            options = {
+                "snp": alt_counts[best_alt] / denom,
+                "ins": ins_count / denom,
+                "del": del_count / denom,
+            }
+            kind = max(options, key=options.get)
+            af = options[kind]
+            ref_base = BASES[ref_idx]
+
+            if af < self.het:
+                gt21 = gt21_enum_from_label(ref_base + ref_base)
+                zyg = Genotype.homo_reference
+                conf = 0.55 + 0.44 * min(1.0, 1.0 - af)
+            else:
+                hom = af >= self.hom
+                zyg = Genotype.homo_variant if hom else Genotype.hetero_variant
+                # confidence scales with evidence so QUALs vary per candidate
+                # (the pileup->FA routing cutoffs are quantiles over QUAL)
+                conf = 0.55 + 0.44 * min(1.0, af if hom else 2 * min(af, 1 - af))
+                if kind == "snp":
+                    alt_base = BASES[best_alt]
+                    pair = alt_base + alt_base if hom else "".join(sorted(ref_base + alt_base))
+                    gt21 = gt21_enum_from_label(pair)
+                elif kind == "ins":
+                    gt21 = GT21.InsIns if hom else gt21_enum_from_label(ref_base + "Ins")
+                else:
+                    gt21 = GT21.DelDel if hom else gt21_enum_from_label(ref_base + "Del")
+
+            out[i, gt21] = conf
+            out[i, 21 + zyg] = conf
+            out[i, :21] /= out[i, :21].sum()
+            out[i, 21:24] /= out[i, 21:24].sum()
+        return out
+
+
+class FullAlignmentOracleEngine:
+    """Derives [N, 90] probabilities from the center column of each
+    [depth, 33, 8|9] full-alignment tensor."""
+
+    def __init__(self, hom_threshold: float = 0.75, het_threshold: float = 0.25):
+        self.hom = hom_threshold
+        self.het = het_threshold
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        from clair3_tpu.task.labels import (
+            GT21, Genotype, VariantLength, gt21_enum_from_label)
+
+        n = x.shape[0]
+        out = np.full((n, 90), 1e-4, np.float32)
+        center = 16
+        for i in range(n):
+            col_alt = x[i, :, center, 1].astype(np.int64)
+            col_ref = x[i, :, center, 0].astype(np.int64)
+            covered = col_ref != 0
+            n_cov = max(int(covered.sum()), 1)
+            snp_rows = covered & ~np.isin(col_alt, (0, -50, -100))
+            ins_rows = col_alt == -50
+            del_rows = col_alt == -100
+
+            options = {
+                "snp": int(snp_rows.sum()) / n_cov,
+                "ins": int(ins_rows.sum()) / n_cov,
+                "del": int(del_rows.sum()) / n_cov,
+            }
+            kind = max(options, key=options.get)
+            af = options[kind]
+
+            ref_vals = col_ref[covered]
+            ref_base = _FA_BASE_FROM_VAL.get(int(np.sign(ref_vals[0]) * abs(ref_vals[0])), "A") if len(ref_vals) else "A"
+
+            len1 = len2 = 0
+            if af < self.het:
+                gt21 = gt21_enum_from_label(ref_base + ref_base)
+                zyg = Genotype.homo_reference
+            else:
+                hom = af >= self.hom
+                zyg = Genotype.homo_variant if hom else Genotype.hetero_variant
+                if kind == "snp":
+                    vals, counts = np.unique(col_alt[snp_rows], return_counts=True)
+                    alt_base = _FA_BASE_FROM_VAL.get(int(vals[np.argmax(counts)]), "A")
+                    pair = alt_base + alt_base if hom else "".join(sorted(ref_base + alt_base))
+                    gt21 = gt21_enum_from_label(pair)
+                elif kind == "ins":
+                    gt21 = GT21.InsIns if hom else gt21_enum_from_label(ref_base + "Ins")
+                    # insertion length from the ch6 overlay of one ins row
+                    row = int(np.nonzero(ins_rows)[0][0])
+                    overlay = x[i, row, center:, 6]
+                    ins_len = int(np.argmax(overlay == 0)) if (overlay == 0).any() else len(overlay)
+                    len2 = min(ins_len, VariantLength.max)
+                    len1 = len2 if hom else 0
+                else:
+                    gt21 = GT21.DelDel if hom else gt21_enum_from_label(ref_base + "Del")
+                    row = int(np.nonzero(del_rows)[0][0])
+                    after = x[i, row, center + 1:, 0]
+                    del_len = int(np.argmax(after != 0)) if (after != 0).any() else len(after)
+                    len1 = -min(del_len, VariantLength.max)
+                    len2 = len1 if hom else 0
+                    if not hom:
+                        len1, len2 = sorted((len1, 0))
+
+            out[i, gt21] = 1.0
+            out[i, 21 + zyg] = 1.0
+            out[i, 24 + len1 + VariantLength.index_offset] = 1.0
+            out[i, 57 + len2 + VariantLength.index_offset] = 1.0
+            for s, e in ((0, 21), (21, 24), (24, 57), (57, 90)):
+                out[i, s:e] /= out[i, s:e].sum()
+        return out

@@ -1,0 +1,163 @@
+import numpy as np
+import pytest
+
+from clair3_tpu.config import CallConfig
+from clair3_tpu.io.vcf import VcfReader
+from clair3_tpu.pipeline.call import VariantCaller, plan_chunks
+from clair3_tpu.pipeline.merge_sort import merge_pileup_and_full_alignment, sort_rows
+from clair3_tpu.pipeline.select import (
+    select_candidates,
+    select_het_snps,
+    select_phase_qual,
+    select_qual,
+)
+from clair3_tpu.io.vcf import parse_vcf_line
+from clair3_tpu.testing import (
+    FullAlignmentOracleEngine,
+    PileupOracleEngine,
+    SimVariant,
+    random_reference,
+    write_test_case,
+)
+
+
+def _truth_variants(ref):
+    return [
+        SimVariant(500, ref[500], "C" if ref[500] != "C" else "G", (1, 1)),   # hom SNP
+        SimVariant(800, ref[800], "T" if ref[800] != "T" else "A", (0, 1)),   # het SNP
+        SimVariant(1100, ref[1100], ref[1100] + "AG", (1, 1)),               # hom ins
+        SimVariant(1400, ref[1400:1403], ref[1400], (0, 1)),                 # het del
+    ]
+
+
+@pytest.fixture(scope="module")
+def case(tmp_path_factory):
+    d = tmp_path_factory.mktemp("case")
+    ref = random_reference(2000, seed=11)
+    variants = _truth_variants(ref)
+    fasta, bam, _, _ = write_test_case(
+        str(d), ref_length=2000, variants=variants, coverage=30,
+        read_length=600, seed=11, error_rate=0.02)
+    return {"dir": str(d), "fasta": fasta, "bam": bam, "ref": ref,
+            "variants": variants}
+
+
+def _records(path):
+    return list(VcfReader(path))
+
+
+def test_plan_chunks():
+    tasks = plan_chunks([("chr1", 12_000_000), ("chr2", 3_000_000)], 5_000_000)
+    assert [(t.contig, t.start, t.end) for t in tasks] == [
+        ("chr1", 1, 5_000_000), ("chr1", 5_000_001, 10_000_000),
+        ("chr1", 10_000_001, 12_000_000), ("chr2", 1, 3_000_000),
+    ]
+
+
+def test_pileup_only_pipeline(case, tmp_path):
+    cfg = CallConfig(
+        platform="ont", bam_fn=case["bam"], ref_fn=case["fasta"],
+        output_dir=str(tmp_path / "out"), pileup_only=True, threads=2,
+    )
+    caller = VariantCaller(cfg, pileup_engine=PileupOracleEngine())
+    outputs = caller.run()
+    recs = _records(outputs["merge_output"])
+    by_pos = {r.pos: r for r in recs}
+
+    truth = case["variants"]
+    # hom SNP
+    assert by_pos[501].alt == truth[0].alt and by_pos[501].genotype == (1, 1)
+    # het SNP
+    assert by_pos[801].alt == truth[1].alt and by_pos[801].genotype == (0, 1)
+    # hom ins
+    assert by_pos[1101].alt == truth[2].alt and by_pos[1101].genotype == (1, 1)
+    # het del: REF = full deleted allele
+    assert by_pos[1401].ref == truth[3].ref and by_pos[1401].alt == truth[3].alt
+    assert by_pos[1401].genotype == (0, 1)
+    # no spurious extra calls
+    assert len(recs) <= 6
+    # pileup VCF exists, has RefCall rows suppressed in merge_output
+    pileup_recs = _records(outputs["pileup"])
+    assert len(pileup_recs) >= len(recs)
+
+
+def test_full_cascade_pipeline(case, tmp_path):
+    cfg = CallConfig(
+        platform="ont", bam_fn=case["bam"], ref_fn=case["fasta"],
+        output_dir=str(tmp_path / "out2"), threads=2,
+        no_phasing_for_fa=True,
+        # route everything through full-alignment
+        var_pct_full=1.0, ref_pct_full=1.0,
+    )
+    caller = VariantCaller(
+        cfg,
+        pileup_engine=PileupOracleEngine(),
+        fa_engine=FullAlignmentOracleEngine(),
+    )
+    outputs = caller.run()
+    assert set(outputs) == {"pileup", "full_alignment", "merge_output"}
+    recs = _records(outputs["merge_output"])
+    by_pos = {r.pos: r for r in recs}
+    truth = case["variants"]
+    assert by_pos[501].alt == truth[0].alt and by_pos[501].genotype == (1, 1)
+    assert by_pos[801].alt == truth[1].alt and by_pos[801].genotype == (0, 1)
+    assert by_pos[1101].alt == truth[2].alt and by_pos[1101].genotype == (1, 1)
+    assert by_pos[1401].ref == truth[3].ref and by_pos[1401].genotype == (0, 1)
+    # full-alignment results win: INFO tag F at recalled positions
+    fa_recs = _records(outputs["full_alignment"])
+    assert len(fa_recs) > 0, "cascade routed nothing to full-alignment"
+    fa_positions = {r.pos for r in fa_recs}
+    for rec in recs:
+        if rec.pos in fa_positions:
+            assert rec.info == "F"
+
+
+def test_select_qual_and_candidates():
+    rows = [
+        parse_vcf_line(f"chr1\t{100 + i}\t.\tA\t.\t{q:.2f}\tRefCall\tP\tGT:GQ:DP:AD:AF\t0/0:{int(q)}:30:30:0.0")
+        for i, q in enumerate([1.0, 5.0, 9.0, 30.0])
+    ] + [
+        parse_vcf_line(f"chr1\t{200 + i}\t.\tA\tT\t{q:.2f}\tPASS\tP\tGT:GQ:DP:AD:AF\t0/1:{int(q)}:30:15,15:0.5")
+        for i, q in enumerate([2.0, 8.0, 20.0, 25.0])
+    ]
+    var_qual, ref_qual = select_qual(rows, var_pct_full=0.5, ref_pct_full=0.5)
+    assert var_qual == 8.0
+    assert ref_qual == 5.0
+    batches = select_candidates(rows, "chr1", var_qual, ref_qual)
+    assert len(batches) == 1
+    # below-cutoff positions only: ref 100 (1.0 < 5.0), var 200 (2.0 < 8.0)
+    assert batches[0].positions == [100, 200]
+
+
+def test_select_phase_qual_and_het_snps():
+    rows = [
+        parse_vcf_line(f"chr1\t{i}\t.\tA\tT\t{q:.2f}\tPASS\tP\tGT:GQ\t0/1:{int(q)}")
+        for i, q in enumerate([4.0, 10.0, 16.0, 22.0], start=1)
+    ]
+    cutoff = select_phase_qual(rows, var_pct_phasing=0.75)
+    assert cutoff == 4.0
+    kept = select_het_snps(rows, cutoff, "chr1")
+    assert len(kept) == 4  # cutoff is inclusive (>=)
+
+
+def test_merge_prefers_full_alignment():
+    p = ["chr1\t10\t.\tA\tT\t20.00\tPASS\tP\tGT:GQ:DP:AD:AF\t0/1:20:30:15,15:0.5\n",
+         "chr1\t20\t.\tC\tG\t5.00\tPASS\tP\tGT:GQ:DP:AD:AF\t0/1:5:30:15,15:0.5\n"]
+    f = ["chr1\t20\t.\tC\t.\t25.00\tRefCall\tF\tGT:GQ:DP:AD:AF\t0/0:25:30:30:0.0\n"]
+    merged = merge_pileup_and_full_alignment(p, f, contig="chr1")
+    # FA said position 20 is reference -> dropped; pileup pos 10 kept
+    assert len(merged) == 1
+    assert merged[0].startswith("chr1\t10")
+
+
+def test_sort_rows_dedup_and_order():
+    rows = [
+        "chr2\t5\t.\tA\tT\t1\tPASS\tP\tGT\t0/1\n",
+        "chr1\t9\t.\tA\tT\t1\tPASS\tP\tGT\t0/1\n",
+        "chr1\t2\t.\tA\tT\t1\tPASS\tP\tGT\t0/1\n",
+        "chr1\t9\t.\tA\tG\t2\tPASS\tP\tGT\t0/1\n",  # dup position, last wins
+    ]
+    out = sort_rows(rows)
+    assert [r.split("\t")[0:2] for r in out] == [
+        ["chr1", "2"], ["chr1", "9"], ["chr2", "5"]]
+    assert "A\tG" in out[1]
