@@ -145,6 +145,72 @@ def cmd_call(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_tensor2bin(args: argparse.Namespace) -> int:
+    """Create a labeled HDF5 training bin from a BAM + truth VCF
+    (reference workflow: CreateTrainingTensorDirect + Tensor2Bin)."""
+    from clair3_tpu.io.fasta import FastaFile
+    from clair3_tpu.pileup.extractor import create_pileup_tensors
+    from clair3_tpu.train.data import build_labels, truth_variants_from_vcf, write_bin
+
+    fa = FastaFile(args.ref_fn)
+    ctg = args.ctg_name or fa.references[0]
+    end = args.ctg_end or fa.contig_length(ctg)
+    fa.close()
+
+    if args.pileup:
+        tensors, pos_infos, alt_infos, _ = create_pileup_tensors(
+            args.bam_fn, args.ref_fn, ctg, args.ctg_start, end,
+            min_snp_af=args.snp_min_af, min_indel_af=args.indel_min_af)
+    else:
+        from clair3_tpu.config import PLATFORMS
+        from clair3_tpu.train.data import TruthVariant  # noqa: F401
+        from clair3_tpu.fullalign.extractor import create_fa_tensors
+        from clair3_tpu.pileup.extractor import create_pileup_tensors as _cpt
+
+        _, pos_infos_p, _, _ = _cpt(
+            args.bam_fn, args.ref_fn, ctg, args.ctg_start, end,
+            min_snp_af=args.snp_min_af, min_indel_af=args.indel_min_af)
+        positions = [int(p.split(":")[-2]) for p in pos_infos_p]
+        tensors, pos_infos, alt_infos = create_fa_tensors(
+            args.bam_fn, args.ref_fn, ctg, positions,
+            matrix_depth=PLATFORMS[args.platform].matrix_depth,
+            no_phasing=True, enable_dwell=args.enable_dwell_time)
+
+    truths = truth_variants_from_vcf(args.truth_vcf_fn, ctg)
+    labels, keep = build_labels(
+        pos_infos, truths, maximum_non_variant_ratio=args.maximum_non_variant_ratio)
+    write_bin(args.bin_fn, tensors[keep], labels[keep],
+              [p for p, k in zip(pos_infos, keep) if k],
+              [a for a, k in zip(alt_infos, keep) if k])
+    print(f"[INFO] wrote {int(keep.sum())} samples to {args.bin_fn}")
+    return 0
+
+
+def cmd_train(args: argparse.Namespace) -> int:
+    from clair3_tpu.config import TrainConfig
+    from clair3_tpu.train.trainer import train_model
+
+    cfg = TrainConfig(
+        pileup=args.pileup,
+        add_indel_length=args.add_indel_length,
+        platform=args.platform,
+        learning_rate=args.learning_rate,
+        batch_size=args.batch_size,
+        max_epoch=args.max_epoch,
+        mini_epochs=args.mini_epochs,
+        seed=args.seed,
+    )
+    mesh = None
+    if args.data_parallel:
+        from clair3_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh()
+    result = train_model(args.bin_fn, args.output_dir, cfg, mesh=mesh)
+    print(f"[INFO] best_val_loss={result['best_val_loss']:.4f} "
+          f"model={result['model_path']}")
+    return 0
+
+
 def main(argv=None) -> int:
     logging.basicConfig(format="%(message)s", level=logging.INFO)
     parser = argparse.ArgumentParser(
@@ -155,6 +221,37 @@ def main(argv=None) -> int:
     call_p = sub.add_parser("call", help="Run the two-stage calling cascade")
     _add_call_args(call_p)
     call_p.set_defaults(func=cmd_call)
+
+    t2b = sub.add_parser("tensor2bin", help="Create labeled HDF5 training bins")
+    t2b.add_argument("--bam_fn", required=True)
+    t2b.add_argument("--ref_fn", required=True)
+    t2b.add_argument("--truth_vcf_fn", required=True)
+    t2b.add_argument("--bin_fn", required=True)
+    t2b.add_argument("--platform", default="ont", choices=("ont", "hifi", "ilmn"))
+    t2b.add_argument("--ctg_name", default=None)
+    t2b.add_argument("--ctg_start", type=int, default=1)
+    t2b.add_argument("--ctg_end", type=int, default=None)
+    t2b.add_argument("--pileup", action="store_true")
+    t2b.add_argument("--enable_dwell_time", action="store_true")
+    t2b.add_argument("--snp_min_af", type=float, default=0.08)
+    t2b.add_argument("--indel_min_af", type=float, default=0.15)
+    t2b.add_argument("--maximum_non_variant_ratio", type=float, default=None)
+    t2b.set_defaults(func=cmd_tensor2bin)
+
+    tr = sub.add_parser("train", help="Train a model from HDF5 bins")
+    tr.add_argument("--bin_fn", nargs="+", required=True)
+    tr.add_argument("--output_dir", required=True)
+    tr.add_argument("--platform", default="ont", choices=("ont", "hifi", "ilmn"))
+    tr.add_argument("--pileup", action="store_true")
+    tr.add_argument("--add_indel_length", action="store_true")
+    tr.add_argument("--learning_rate", type=float, default=1e-3)
+    tr.add_argument("--batch_size", type=int, default=2000)
+    tr.add_argument("--max_epoch", type=int, default=30)
+    tr.add_argument("--mini_epochs", type=int, default=1)
+    tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("--data_parallel", action="store_true",
+                    help="shard batches over all devices via a Mesh")
+    tr.set_defaults(func=cmd_train)
 
     args = parser.parse_args(argv)
     return args.func(args)
