@@ -138,7 +138,14 @@ def cmd_call(args: argparse.Namespace) -> int:
                 return 1
             fa_engine = _load_engine(fa_path, "full_alignment", args.platform)
 
-    caller = VariantCaller(cfg, pileup_engine=pileup_engine, fa_engine=fa_engine)
+    phaser = None
+    if fa_engine is not None and not cfg.no_phasing_for_fa:
+        from clair3_tpu.phase import ReadBackedPhaser
+
+        phaser = ReadBackedPhaser(cfg.bam_fn, min_mq=max(cfg.min_mq, 20))
+
+    caller = VariantCaller(cfg, pileup_engine=pileup_engine, fa_engine=fa_engine,
+                           phaser=phaser)
     outputs = caller.run()
     for name, path in outputs.items():
         print(f"[INFO] {name}: {path}")

@@ -1,0 +1,121 @@
+"""Read-backed het-SNP phasing.
+
+The reference shells out to whatshap or longphase for the intermediate
+phasing stage (clair3_c_impl_pipeline.py:405-442); neither exists in this
+image, so clair3_tpu carries its own phaser.  The algorithm is the
+long-read chain reduction both tools rely on:
+
+1. per read, extract the allele (ref=0 / alt=1) at every covered het SNP,
+2. for each read, vote on the relative phase of *consecutive* covered SNPs
+   (equal alleles -> same haplotype, different -> opposite),
+3. sweep left to right assigning haplotypes greedily from the accumulated
+   votes; SNPs with no read connection to the growing block open a new
+   phase set (PS = 1-based position of the set's first variant, the
+   whatshap convention the FA extractor consumes).
+
+Output rows carry ``GT:PS`` with ``0|1`` meaning hap1=ref (genotype code 1
+in the FA extractor) and ``1|0`` meaning hap1=alt (code 2).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from clair3_tpu.io.bam import BamRead, BamReader
+from clair3_tpu.io.vcf import VcfRecord
+
+MIN_PHASING_MQ = 20
+
+
+def read_alleles_at_snps(
+    read: BamRead, snp_positions: Sequence[int], snp_ref: Dict[int, str],
+    snp_alt: Dict[int, str],
+) -> List[Tuple[int, int]]:
+    """(position0, allele) for het SNPs covered by matched bases."""
+    out: List[Tuple[int, int]] = []
+    targets = [p for p in snp_positions if read.pos <= p < read.reference_end]
+    if not targets:
+        return out
+    tset = set(targets)
+    ref_pos = read.pos
+    query_pos = 0
+    for op, length in read.cigar:
+        if op in (0, 7, 8):
+            for p in range(max(ref_pos, targets[0]), ref_pos + length):
+                if p in tset:
+                    base = read.seq[query_pos + (p - ref_pos)]
+                    if base == snp_ref[p]:
+                        out.append((p, 0))
+                    elif base == snp_alt[p]:
+                        out.append((p, 1))
+            ref_pos += length
+            query_pos += length
+        elif op == 2 or op == 3:
+            ref_pos += length
+        elif op in (1, 4):
+            query_pos += length
+    return out
+
+
+class ReadBackedPhaser:
+    """Phases pileup het SNPs per contig directly from the BAM."""
+
+    def __init__(self, bam_fn: str, min_mq: int = MIN_PHASING_MQ):
+        self.bam_fn = bam_fn
+        self.min_mq = min_mq
+
+    def phase(self, ctg_name: str, het_snps: Sequence[VcfRecord]) -> List[VcfRecord]:
+        snps = sorted(
+            (r for r in het_snps if len(r.ref) == 1 and len(r.alt) == 1),
+            key=lambda r: r.pos,
+        )
+        if not snps:
+            return []
+        positions = [r.pos - 1 for r in snps]  # 0-based
+        index = {p: i for i, p in enumerate(positions)}
+        snp_ref = {r.pos - 1: r.ref for r in snps}
+        snp_alt = {r.pos - 1: r.alt for r in snps}
+
+        # accumulate relative-phase votes on consecutive-SNP edges
+        edge_votes: Dict[Tuple[int, int], int] = defaultdict(int)
+        bam = BamReader(self.bam_fn)
+        for read in bam.fetch(ctg_name, positions[0], positions[-1] + 1,
+                              min_mq=self.min_mq):
+            alleles = read_alleles_at_snps(read, positions, snp_ref, snp_alt)
+            for (p1, a1), (p2, a2) in zip(alleles, alleles[1:]):
+                i, j = index[p1], index[p2]
+                edge_votes[(i, j)] += 1 if a1 == a2 else -1
+
+        # incoming edges per SNP for the left-to-right sweep
+        incoming: Dict[int, List[Tuple[int, int]]] = defaultdict(list)
+        for (i, j), w in edge_votes.items():
+            incoming[j].append((i, w))
+
+        hap: List[Optional[int]] = [None] * len(snps)
+        phase_set: List[int] = [0] * len(snps)
+        current_ps = snps[0].pos
+        hap[0] = 0
+        phase_set[0] = current_ps
+        for j in range(1, len(snps)):
+            vote = 0
+            for i, w in incoming[j]:
+                if hap[i] is not None:
+                    vote += w * (1 - 2 * hap[i])
+            if vote == 0:
+                # unconnected (or perfectly ambiguous): new phase set
+                current_ps = snps[j].pos
+                hap[j] = 0
+            else:
+                hap[j] = 0 if vote > 0 else 1
+            phase_set[j] = current_ps
+
+        out: List[VcfRecord] = []
+        for rec, h, ps in zip(snps, hap, phase_set):
+            gt = "0|1" if h == 0 else "1|0"
+            out.append(VcfRecord(
+                rec.chrom, rec.pos, rec.ref, rec.alt, rec.qual, rec.filter,
+                rec.info, "GT:PS", f"{gt}:{ps}", id=rec.id,
+            ))
+        return out

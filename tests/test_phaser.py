@@ -1,0 +1,110 @@
+import numpy as np
+import pytest
+
+from clair3_tpu.config import CallConfig
+from clair3_tpu.io.vcf import VcfReader, VcfRecord
+from clair3_tpu.phase import ReadBackedPhaser
+from clair3_tpu.pipeline.call import VariantCaller
+from clair3_tpu.testing import (
+    FullAlignmentOracleEngine,
+    PileupOracleEngine,
+    SimVariant,
+    random_reference,
+    write_test_case,
+)
+
+
+def _het_record(pos1, ref, alt, qual=30.0):
+    return VcfRecord("chr1", pos1, ref, alt, qual, "PASS", "P",
+                     "GT:GQ:DP:AD:AF", f"0/1:{int(qual)}:30:15,15:0.5")
+
+
+@pytest.fixture(scope="module")
+def phased_case(tmp_path_factory):
+    d = tmp_path_factory.mktemp("phase")
+    ref = random_reference(4000, seed=31)
+    # co-phased het SNPs: alt always on haplotype 1 (genotype (0,1))
+    het_pos = [500, 900, 1300, 1700, 2100, 2500, 2900, 3300]
+    variants = [
+        SimVariant(p, ref[p], "A" if ref[p] != "A" else "T", (0, 1))
+        for p in het_pos
+    ]
+    fasta, bam, _, _ = write_test_case(
+        str(d), ref_length=4000, variants=variants, coverage=24,
+        read_length=900, seed=31, error_rate=0.01)
+    return {"fasta": fasta, "bam": bam, "ref": ref, "variants": variants}
+
+
+def test_phaser_cophased_snps(phased_case):
+    variants = phased_case["variants"]
+    het_snps = [_het_record(v.pos + 1, v.ref, v.alt) for v in variants]
+    phased = ReadBackedPhaser(phased_case["bam"]).phase("chr1", het_snps)
+    assert len(phased) == len(variants)
+    # all SNPs connected by 900bp reads at 400bp spacing -> one phase set
+    ps = {r.sample.split(":")[-1] for r in phased}
+    assert len(ps) == 1
+    assert ps == {str(variants[0].pos + 1)}
+    # all alts live on the same haplotype -> consistent orientation
+    gts = {r.sample.split(":")[0] for r in phased}
+    assert len(gts) == 1
+    assert gts <= {"0|1", "1|0"}
+
+
+def test_phaser_breaks_phase_set_on_gap(tmp_path):
+    ref = random_reference(6000, seed=32)
+    # two clusters separated by >read_length: no connecting reads
+    cluster1 = [400, 700]
+    cluster2 = [4800, 5100]
+    variants = [
+        SimVariant(p, ref[p], "C" if ref[p] != "C" else "G", (0, 1))
+        for p in cluster1 + cluster2
+    ]
+    fasta, bam, _, _ = write_test_case(
+        str(tmp_path), ref_length=6000, variants=variants, coverage=20,
+        read_length=500, seed=32)
+    het_snps = [_het_record(v.pos + 1, v.ref, v.alt) for v in variants]
+    phased = ReadBackedPhaser(bam).phase("chr1", het_snps)
+    ps = [r.sample.split(":")[-1] for r in phased]
+    assert ps[0] == ps[1] == str(cluster1[0] + 1)
+    assert ps[2] == ps[3] == str(cluster2[0] + 1)
+
+
+def test_phaser_opposite_haplotypes(tmp_path):
+    ref = random_reference(2000, seed=33)
+    # one SNP on hap0, one on hap1, 300bp apart: opposite orientation
+    v1 = SimVariant(600, ref[600], "A" if ref[600] != "A" else "T", (1, 0))
+    v2 = SimVariant(900, ref[900], "C" if ref[900] != "C" else "G", (0, 1))
+    fasta, bam, _, _ = write_test_case(
+        str(tmp_path), ref_length=2000, variants=[v1, v2], coverage=20,
+        read_length=800, seed=33)
+    het_snps = [_het_record(v.pos + 1, v.ref, v.alt) for v in (v1, v2)]
+    phased = ReadBackedPhaser(bam).phase("chr1", het_snps)
+    gt1 = phased[0].sample.split(":")[0]
+    gt2 = phased[1].sample.split(":")[0]
+    assert gt1 != gt2  # opposite phases
+
+
+def test_full_cascade_with_phasing(phased_case, tmp_path):
+    """Cascade with the internal phaser + in-extractor haplotagging."""
+    cfg = CallConfig(
+        platform="ont", bam_fn=phased_case["bam"], ref_fn=phased_case["fasta"],
+        output_dir=str(tmp_path / "out"), threads=2,
+        var_pct_full=1.0, ref_pct_full=1.0, var_pct_phasing=0.1,
+    )
+    caller = VariantCaller(
+        cfg,
+        pileup_engine=PileupOracleEngine(),
+        fa_engine=FullAlignmentOracleEngine(),
+        phaser=ReadBackedPhaser(phased_case["bam"]),
+    )
+    outputs = caller.run()
+    recs = list(VcfReader(outputs["merge_output"]))
+    by_pos = {r.pos: r for r in recs}
+    for v in phased_case["variants"]:
+        rec = by_pos.get(v.pos + 1)
+        assert rec is not None, f"missing call at {v.pos + 1}"
+        assert rec.alt == v.alt
+        assert rec.genotype in ((0, 1), (1, 0))
+    # FA stage must have run with haplotagging enabled
+    fa_recs = list(VcfReader(outputs["full_alignment"]))
+    assert len(fa_recs) > 0
