@@ -1,0 +1,260 @@
+"""gVCF: non-variant block construction and variant/non-variant merging.
+
+Behavioral port of the reference gVCF machinery (preprocess/utils.py):
+* ``reference_likelihood`` — binomial non-variant site genotype likelihoods
+  P(0/0)=(1-p)^n_ref * p^n_alt, P(het)=2^-n, P(1/1) mirrored; GQ capped at
+  50 and binned by ``gq_bin_size`` (utils.py:524-568).
+* ``NonVariantBlockWriter`` — adaptive block merging: blocks break on GQ-bin
+  change, GT change, contig change, N-reference transitions, and DP drifting
+  beyond +-30% of the block minimum (utils.py:398-488).  Emitted rows are
+  GATK-style ``<NON_REF>`` records ``GT:GQ:MIN_DP:PL`` with ``END=``.
+* ``merge_variant_and_nonvariant`` — interleaves non-variant blocks with
+  variant calls, splitting blocks around variant spans (utils.py:189-346).
+
+The reference's phred math uses a truncated LOG_10 = 2.3025 in its CFFI fast
+path; we keep that constant for output parity.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+_LOG_10 = 2.3025  # truncated, matching the reference CFFI path
+_LOG_2 = math.log(2) / _LOG_10
+
+
+def _log10sumexp(values: Sequence[float]) -> float:
+    m = max(values)
+    return m + math.log(sum(pow(10.0, v - m) for v in values)) / _LOG_10
+
+
+def _normalize_log10(values: Sequence[float]) -> List[float]:
+    lse = round(_log10sumexp(values), 6)
+    return [min(v - lse, 0.0) for v in values]
+
+
+def _log10p_to_phred(log10p: float) -> float:
+    p_true = pow(10.0, log10p)
+    if p_true == 1:
+        return 50.0
+    return round(-10 * (math.log(1.0 - p_true) / _LOG_10), 6)
+
+
+def reference_likelihood(
+    n_ref: int, n_total: int, p_err: float = 0.001, gq_bin_size: int = 5,
+    max_gq: int = 50,
+) -> Tuple[bool, int, int, List[int]]:
+    """(validPL, gq, binned_gq, phred_PLs) for a non-variant site."""
+    if n_total == 0:
+        log10_probs = _normalize_log10([-1.0, -1.0, -1.0])
+    else:
+        logp = math.log(p_err) / _LOG_10
+        log1p = math.log1p(-p_err) / _LOG_10
+        n_alt = n_total - n_ref
+        log10_probs = _normalize_log10([
+            n_ref * log1p + n_alt * logp,
+            -n_total * _LOG_2,
+            n_ref * logp + n_alt * log1p,
+        ])
+    gq = int(min(int(_log10p_to_phred(log10_probs[0])), max_gq))
+    if gq >= 1:
+        binned_gq = ((gq - 1) // gq_bin_size) * gq_bin_size + 1
+    else:
+        binned_gq = 0
+    valid_pl = log10_probs[0] == max(log10_probs)
+    phred = [-10 * x for x in log10_probs]
+    min_phred = min(phred)
+    pls = [int(x - min_phred) for x in phred]
+    return valid_pl, gq, binned_gq, pls
+
+
+@dataclass
+class _Site:
+    chrom: str
+    pos: int        # 1-based
+    ref: str
+    gt: str
+    gq: int
+    binned_gq: int
+    pls: List[int]
+    dp: int
+
+
+class NonVariantBlockWriter:
+    """Accumulates per-position non-variant info into merged gVCF rows."""
+
+    def __init__(
+        self,
+        p_err: float = 0.001,
+        gq_bin_size: int = 5,
+        bp_resolution: bool = False,
+        contig_lengths: Optional[dict] = None,
+    ):
+        self.p_err = p_err
+        self.gq_bin_size = gq_bin_size
+        self.bp_resolution = bp_resolution
+        self.contig_lengths = contig_lengths or {}
+        self.rows: List[str] = []
+        self._block: List[_Site] = []
+        self._min_dp = self._max_dp = 0
+        self._min_raw_gq = 0
+
+    def add_site(self, chrom: str, pos: int, ref: str, n_ref: int, n_total: int) -> None:
+        valid_pl, gq, binned_gq, pls = reference_likelihood(
+            n_ref, n_total, self.p_err, self.gq_bin_size)
+        gt = "0/0" if valid_pl else "./."
+        if ref not in "ACGT":
+            ref, gq, binned_gq, pls = "N", 1, 1, [0, 0, 0]
+        site = _Site(chrom, pos, ref, gt, gq, binned_gq, pls, n_total)
+
+        if not self._block:
+            self._start_block(site)
+            return
+        head = self._block[0]
+        cur = self._block[-1]
+        if (site.binned_gq != head.binned_gq or site.gt != head.gt
+                or site.chrom != head.chrom
+                or (site.ref != cur.ref and (site.ref == "N" or cur.ref == "N"))):
+            self.flush()
+            self._start_block(site)
+            return
+        # DP drift rule (+-30% of block min)
+        if site.dp < self._min_dp:
+            if self._max_dp > math.ceil(site.dp + site.dp * 0.3):
+                self.flush()
+                self._start_block(site)
+            else:
+                self._min_dp = site.dp
+                self._min_raw_gq = min(self._min_raw_gq, site.gq)
+                self._block.append(site)
+        elif site.dp > self._max_dp:
+            if site.dp <= math.ceil(self._min_dp + self._min_dp * 0.3):
+                self._max_dp = site.dp
+                self._min_raw_gq = min(self._min_raw_gq, site.gq)
+                self._block.append(site)
+            else:
+                self.flush()
+                self._start_block(site)
+        else:
+            self._min_raw_gq = min(self._min_raw_gq, site.gq)
+            self._block.append(site)
+
+    def _start_block(self, site: _Site) -> None:
+        self._block = [site]
+        self._min_dp = self._max_dp = site.dp
+        self._min_raw_gq = site.gq
+
+    def _row(self, site: _Site, end: int, gq_field: int, min_dp: int) -> str:
+        end_str = str(end)
+        length = self.contig_lengths.get(site.chrom)
+        if length is not None and end == length - 1:
+            end_str = str(length)
+        pls = ",".join(str(x) for x in site.pls)
+        return (f"{site.chrom}\t{site.pos}\t.\t{site.ref}\t<NON_REF>\t0\t.\t"
+                f"END={end_str}\tGT:GQ:MIN_DP:PL\t{site.gt}:{gq_field}:{min_dp}:{pls}")
+
+    def flush(self) -> None:
+        if not self._block:
+            return
+        head = self._block[0]
+        if (self.bp_resolution or head.gt == "./.") and head.ref != "N":
+            for site in self._block:
+                self.rows.append(self._row(site, site.pos, site.binned_gq, site.dp))
+        else:
+            end = self._block[-1].pos
+            if head.ref == "N":
+                row_site = _Site(head.chrom, head.pos, "N", "./.", 1, 1, [0, 0, 0], self._min_dp)
+                self.rows.append(self._row(row_site, end, 1, self._min_dp))
+            else:
+                # quirk preserved: the GQ field carries the block's min raw GQ
+                self.rows.append(self._row(head, end, self._min_raw_gq, self._min_dp))
+        self._block = []
+
+    def finish(self) -> List[str]:
+        self.flush()
+        return self.rows
+
+
+_END_RE = re.compile(r"END=(\d+)")
+
+
+def _augment_variant_row(row: str) -> Optional[Tuple[str, int, int]]:
+    """Variant row -> gVCF form: ALT += ',<NON_REF>', AD/AF padded, PL += 990s
+    (utils.py:118-140).  Returns (row, start, end) or None for ref calls."""
+    cols = row.rstrip("\n").split("\t")
+    ref, alt = cols[3], cols[4]
+    if alt == "." or ref == alt:
+        return None
+    start = int(cols[1])
+    end = start - 1 + len(ref)
+    n_alt = len(alt.split(","))
+    info = cols[-1].split(":")
+    info[-3] += ",0"
+    info[-2] += ",0.0000"
+    cols[-1] = ":".join(info)
+    cols[4] = alt + ",<NON_REF>"
+    cols[-1] += ",990,990,990" if n_alt == 1 else ",990,990,990,990"
+    return "\t".join(cols), start, end
+
+
+def merge_variant_and_nonvariant(
+    variant_rows: Iterable[str],
+    nonvariant_rows: Iterable[str],
+    ref_base_at: Callable[[str, int], str],
+) -> List[str]:
+    """Interleave variant calls with non-variant blocks, splitting blocks
+    around variant spans (gvcfGenerator.mergeCalls semantics)."""
+    variants: List[Tuple[str, int, int]] = []
+    for row in variant_rows:
+        if row.startswith("#"):
+            continue
+        aug = _augment_variant_row(row)
+        if aug:
+            variants.append(aug)
+
+    blocks: List[Tuple[str, int, int]] = []
+    for row in nonvariant_rows:
+        if row.startswith("#"):
+            continue
+        row = row.rstrip("\n")
+        cols = row.split("\t")
+        start = int(cols[1])
+        m = _END_RE.search(row)
+        end = int(m.group(1)) if m else start
+        blocks.append((row, start, end))
+
+    out: List[str] = []
+    vi = 0
+
+    def write_block(row: str, start: int, end: int, chrom: str) -> None:
+        cols = row.split("\t")
+        orig_start = int(cols[1])
+        if start != orig_start:
+            cols[1] = str(start)
+            cols[3] = ref_base_at(chrom, start)
+        new_row = "\t".join(cols)
+        new_row = re.sub(r"END=\d+", f"END={end}", new_row)
+        out.append(new_row)
+
+    for row, bstart, bend in blocks:
+        chrom = row.split("\t", 1)[0]
+        cur_start = bstart
+        while vi < len(variants) and variants[vi][2] < cur_start:
+            out.append(variants[vi][0])
+            vi += 1
+        while vi < len(variants) and variants[vi][1] <= bend:
+            vrow, vstart, vend = variants[vi]
+            if vstart > cur_start:
+                write_block(row, cur_start, vstart - 1, chrom)
+            out.append(vrow)
+            cur_start = max(cur_start, vend + 1)
+            vi += 1
+        if cur_start <= bend:
+            write_block(row, cur_start, bend, chrom)
+    while vi < len(variants):
+        out.append(variants[vi][0])
+        vi += 1
+    return out

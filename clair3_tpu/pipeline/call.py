@@ -88,6 +88,7 @@ class VariantCaller:
         self.pileup_engine = pileup_engine
         self.fa_engine = fa_engine
         self.phaser = phaser
+        self.nonvariant_rows: List[str] = []
 
     # ------------------------------------------------------------------
     # planning
@@ -140,15 +141,35 @@ class VariantCaller:
         )
 
     def run_pileup(self, tasks: Sequence[ChunkTask]) -> List[str]:
-        """Pileup-call all chunks; returns unsorted VCF body rows."""
+        """Pileup-call all chunks; returns unsorted VCF body rows.  When
+        gVCF is enabled, non-variant blocks accumulate in
+        ``self.nonvariant_rows`` (reference: CreateTensorPileupFromCffi.py:399-441)."""
         decode_cfg = self._pileup_decode_config()
         rows: List[str] = []
         t0 = time.time()
         n_candidates = 0
+        gvcf_writer = None
+        fa = None
+        if self.cfg.gvcf:
+            from clair3_tpu.gvcf import NonVariantBlockWriter
+
+            fa = FastaFile(self.cfg.ref_fn)
+            gvcf_writer = NonVariantBlockWriter(
+                p_err=self.cfg.base_err, gq_bin_size=self.cfg.gq_bin_size,
+                contig_lengths={n: fa.contig_length(n) for n in fa.references})
         with ThreadPoolExecutor(max_workers=max(1, self.cfg.threads)) as pool:
-            for tensors, pos_infos, alt_infos, _res in pool.map(
-                self._extract_pileup_chunk, tasks
+            for task, (tensors, pos_infos, alt_infos, res) in zip(
+                tasks, pool.map(self._extract_pileup_chunk, tasks)
             ):
+                if gvcf_writer is not None and res.pos_ref_count is not None:
+                    ref_seq = fa.fetch(task.contig, task.start - 1, task.end)
+                    for pos0 in range(task.start - 1, task.end):
+                        idx = pos0 - res.start
+                        n_ref = int(res.pos_ref_count[idx]) if 0 <= idx < len(res.pos_ref_count) else 0
+                        n_tot = int(res.pos_total_count[idx]) if 0 <= idx < len(res.pos_total_count) else 0
+                        gvcf_writer.add_site(
+                            task.contig, pos0 + 1,
+                            ref_seq[pos0 - (task.start - 1)], n_ref, n_tot)
                 if tensors.shape[0] == 0:
                     continue
                 n_candidates += tensors.shape[0]
@@ -156,6 +177,9 @@ class VariantCaller:
                     tensors, alt_infos, max_depth=self.cfg.preset.max_depth)
                 probs = self.pileup_engine.predict(tensors)
                 rows.extend(batch_decode(pos_infos, alt_infos, probs, decode_cfg))
+        if gvcf_writer is not None:
+            self.nonvariant_rows = gvcf_writer.finish()
+            fa.close()
         logger.info(
             "[pileup] %d candidates -> %d rows in %.1fs",
             n_candidates, len(rows), time.time() - t0)
@@ -221,6 +245,30 @@ class VariantCaller:
                 w.write(row)
         return path
 
+    def _write_gvcf(self, final_rows: Sequence[str]) -> Optional[str]:
+        """Merge the final variant rows with the non-variant blocks into
+        merge_output.gvcf.gz (reference: MergeVcf.mergeNonVariant)."""
+        if not self.cfg.gvcf:
+            return None
+        from clair3_tpu.gvcf import merge_variant_and_nonvariant
+
+        fa = FastaFile(self.cfg.ref_fn)
+
+        def ref_base_at(chrom: str, pos1: int) -> str:
+            return fa.fetch(chrom, pos1 - 1, pos1) or "N"
+
+        merged = merge_variant_and_nonvariant(
+            final_rows, self.nonvariant_rows, ref_base_at)
+        fa.close()
+        path = os.path.join(self.cfg.output_dir, "merge_output.gvcf.gz")
+        header = get_header(
+            reference_file_path=self.cfg.ref_fn,
+            sample_name=self.cfg.sample_name, gvcf=True)
+        with VcfWriter(path, header) as w:
+            for row in merged:
+                w.write(row)
+        return path
+
     def _final_filter(self, rows: Sequence[str]) -> List[str]:
         """Postfilters applied to the final merged rows (SortVcf.py:93-112)."""
         out = []
@@ -261,6 +309,9 @@ class VariantCaller:
             final_rows = self._final_filter(pileup_rows)
             self._write_vcf(merge_path, final_rows, contigs)
             outputs["merge_output"] = merge_path
+            gvcf_path = self._write_gvcf(final_rows)
+            if gvcf_path:
+                outputs["merge_output_gvcf"] = gvcf_path
             return outputs
 
         # --- full-alignment cascade ---
@@ -305,4 +356,7 @@ class VariantCaller:
         merged = sort_rows(merged, contig_names)
         self._write_vcf(merge_path, merged, contigs)
         outputs["merge_output"] = merge_path
+        gvcf_path = self._write_gvcf(merged)
+        if gvcf_path:
+            outputs["merge_output_gvcf"] = gvcf_path
         return outputs
