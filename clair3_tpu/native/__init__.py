@@ -1,0 +1,128 @@
+"""Native (C++) host extractors with lazy compilation and ctypes bindings.
+
+The shared library is built on first use with g++ (no pybind11 in this
+image; the C API is plain structs + arrays).  Outputs are bit-identical to
+the numpy reference extractors — enforced by differential tests.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "clair3t_pileup.cc")
+_SO = os.path.join(_DIR, "libclair3t.so")
+_lock = threading.Lock()
+_lib = None
+
+
+class _PileupOut(ctypes.Structure):
+    _fields_ = [
+        ("counts", ctypes.POINTER(ctypes.c_int32)),
+        ("depth", ctypes.POINTER(ctypes.c_int32)),
+        ("pos_ref_count", ctypes.POINTER(ctypes.c_int64)),
+        ("pos_total_count", ctypes.POINTER(ctypes.c_int64)),
+        ("alt_infos", ctypes.POINTER(ctypes.c_char_p)),
+        ("cand_pos", ctypes.POINTER(ctypes.c_int64)),
+        ("n_candidates", ctypes.c_int32),
+        ("L", ctypes.c_int32),
+        ("error", ctypes.c_int32),
+    ]
+
+
+def _build() -> str:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", _SO, "-lz",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _SO
+
+
+def get_lib():
+    global _lib
+    with _lock:
+        if _lib is None:
+            lib = ctypes.CDLL(_build())
+            lib.clair3t_pileup.restype = ctypes.POINTER(_PileupOut)
+            lib.clair3t_pileup.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.clair3t_pileup_free.argtypes = [ctypes.POINTER(_PileupOut)]
+            _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    try:
+        get_lib()
+        return True
+    except Exception:
+        return False
+
+
+def pileup_region_native(
+    bam_path: str,
+    ref_seq: str,
+    ref_offset: int,
+    ctg_name: str,
+    start: int,
+    end: int,
+    *,
+    min_mq: int = 5,
+    min_depth: int = 2,
+    min_snp_af: float = 0.08,
+    min_indel_af: float = 0.15,
+    max_indel_length: int = 50,
+    call_snp_only: bool = False,
+    gvcf: bool = False,
+    call_ht: bool = False,
+):
+    """Native counterpart of clair3_tpu.pileup.extractor.pileup_region,
+    returning a PileupResult with identical contents."""
+    from clair3_tpu.pileup.extractor import PileupCandidate, PileupResult
+
+    lib = get_lib()
+    out_p = lib.clair3t_pileup(
+        bam_path.encode(), ctg_name.encode(), start, end,
+        ref_seq.encode(), ref_offset,
+        min_mq, min_depth, min_snp_af, min_indel_af,
+        max_indel_length, int(call_snp_only), int(gvcf), int(call_ht),
+    )
+    out = out_p.contents
+    try:
+        if out.error:
+            raise RuntimeError(
+                f"native pileup failed (error={out.error}) for {bam_path} {ctg_name}")
+        L = out.L
+        counts = np.ctypeslib.as_array(out.counts, shape=(L, 18)).copy()
+        depth = np.ctypeslib.as_array(out.depth, shape=(L,)).copy()
+        pos_ref = pos_tot = None
+        if gvcf:
+            pos_ref = np.ctypeslib.as_array(out.pos_ref_count, shape=(L,)).copy()
+            pos_tot = np.ctypeslib.as_array(out.pos_total_count, shape=(L,)).copy()
+        candidates: List[PileupCandidate] = []
+        for i in range(out.n_candidates):
+            alt = out.alt_infos[i].decode()
+            pos = int(out.cand_pos[i])
+            head, _, rest = alt.partition("-")
+            depth_s, _, rest2 = rest.partition("-")
+            ref_base, _, tail = rest2.partition("-")
+            candidates.append(
+                PileupCandidate(pos, int(depth_s), ref_base, f"{depth_s}-{tail}"))
+        return PileupResult(
+            start=start, counts=counts, depth=depth, candidates=candidates,
+            pos_ref_count=pos_ref, pos_total_count=pos_tot)
+    finally:
+        lib.clair3t_pileup_free(out_p)

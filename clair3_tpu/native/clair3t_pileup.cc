@@ -1,0 +1,489 @@
+// clair3_tpu native host extractor: BGZF + BAM decoding and pileup feature
+// counting with candidate selection.
+//
+// This is the production fast path for the TPU-VM host feed; the numpy
+// implementation in clair3_tpu/pileup/extractor.py is the behavioral oracle
+// (differential tests assert bit-identical outputs).  Semantics follow the
+// reference C extractor (reference: src/clair3_pileup.c) as documented
+// there: 18-channel per-column counts, ref-column negation, AF/depth/
+// majority/tie-break candidate rules, contiguous-flank gating, alt-info
+// strings, gVCF per-position ref/total counts.
+//
+// Self-contained: BGZF via zlib, BAM record layout per SAM spec 4.2.
+// Region fetch is a linear scan with early exit on coordinate-sorted input
+// (index support can be added without changing this API).
+
+#include <zlib.h>
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <map>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr int kFeat = 18;
+constexpr int kRevOff = 9;
+constexpr int kFwdInsAll = 4, kFwdInsBest = 5;
+constexpr int kFwdDelAll = 6, kFwdDelBest = 7, kFwdDel = 8;
+constexpr int kFlank = 16;
+constexpr uint16_t kFilterFlag = 2316;  // UNMAP|MUNMAP|SECONDARY|SUPPLEMENTARY
+
+const char kSeqNt16[] = "=ACMGRSVTWYHKDBN";
+
+int base_index(char b) {
+  switch (b) {
+    case 'A': return 0;
+    case 'C': return 1;
+    case 'G': return 2;
+    case 'T': return 3;
+    default: return -1;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// BGZF
+// ---------------------------------------------------------------------------
+
+bool bgzf_read_all(const char* path, std::vector<uint8_t>* out) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return false;
+  std::vector<uint8_t> comp;
+  fseek(fp, 0, SEEK_END);
+  long fsize = ftell(fp);
+  fseek(fp, 0, SEEK_SET);
+  comp.resize(fsize);
+  if (fsize > 0 && fread(comp.data(), 1, fsize, fp) != (size_t)fsize) {
+    fclose(fp);
+    return false;
+  }
+  fclose(fp);
+
+  size_t off = 0;
+  while (off + 18 <= comp.size()) {
+    if (comp[off] != 0x1f || comp[off + 1] != 0x8b) return false;
+    uint16_t xlen;
+    memcpy(&xlen, comp.data() + off + 10, 2);
+    // find BC subfield for the block size
+    size_t extra = off + 12;
+    int bsize = -1;
+    size_t eoff = 0;
+    while (eoff + 4 <= xlen) {
+      uint8_t si1 = comp[extra + eoff], si2 = comp[extra + eoff + 1];
+      uint16_t slen;
+      memcpy(&slen, comp.data() + extra + eoff + 2, 2);
+      if (si1 == 'B' && si2 == 'C' && slen == 2) {
+        uint16_t bs;
+        memcpy(&bs, comp.data() + extra + eoff + 4, 2);
+        bsize = bs + 1;
+      }
+      eoff += 4 + slen;
+    }
+    if (bsize < 0) return false;
+    size_t payload_off = off + 12 + xlen;
+    size_t payload_len = bsize - 12 - xlen - 8;
+    uint32_t isize;
+    memcpy(&isize, comp.data() + off + bsize - 4, 4);
+    if (isize > 0) {
+      size_t old = out->size();
+      out->resize(old + isize);
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      inflateInit2(&zs, -15);
+      zs.next_in = comp.data() + payload_off;
+      zs.avail_in = payload_len;
+      zs.next_out = out->data() + old;
+      zs.avail_out = isize;
+      int ret = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (ret != Z_STREAM_END) return false;
+    }
+    off += bsize;
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// BAM
+// ---------------------------------------------------------------------------
+
+struct BamView {
+  std::vector<uint8_t> data;
+  std::vector<std::string> refs;
+  std::vector<int32_t> ref_lens;
+  size_t records_off = 0;
+
+  bool load(const char* path) {
+    if (!bgzf_read_all(path, &data)) return false;
+    if (data.size() < 8 || memcmp(data.data(), "BAM\x01", 4) != 0) return false;
+    int32_t l_text;
+    memcpy(&l_text, data.data() + 4, 4);
+    size_t off = 8 + l_text;
+    int32_t n_ref;
+    memcpy(&n_ref, data.data() + off, 4);
+    off += 4;
+    for (int i = 0; i < n_ref; i++) {
+      int32_t l_name;
+      memcpy(&l_name, data.data() + off, 4);
+      off += 4;
+      refs.emplace_back((const char*)data.data() + off, l_name - 1);
+      off += l_name;
+      int32_t l_ref;
+      memcpy(&l_ref, data.data() + off, 4);
+      off += 4;
+      ref_lens.push_back(l_ref);
+    }
+    records_off = off;
+    return true;
+  }
+
+  int tid_of(const char* name) const {
+    for (size_t i = 0; i < refs.size(); i++)
+      if (refs[i] == name) return (int)i;
+    return -1;
+  }
+};
+
+struct RecView {
+  int32_t tid, pos;
+  uint8_t mapq;
+  uint16_t flag;
+  int32_t l_seq;
+  const uint32_t* cigar;
+  uint16_t n_cigar;
+  const uint8_t* seq;   // 4-bit packed
+  const uint8_t* qual;
+};
+
+// iterate records; cb returns false to stop
+template <typename F>
+void for_each_record(const BamView& bam, F cb) {
+  size_t off = bam.records_off;
+  const uint8_t* d = bam.data.data();
+  size_t n = bam.data.size();
+  while (off + 4 <= n) {
+    int32_t block_size;
+    memcpy(&block_size, d + off, 4);
+    size_t p = off + 4;
+    RecView r;
+    memcpy(&r.tid, d + p, 4);
+    memcpy(&r.pos, d + p + 4, 4);
+    uint8_t l_qname = d[p + 8];
+    r.mapq = d[p + 9];
+    memcpy(&r.n_cigar, d + p + 12, 2);
+    memcpy(&r.flag, d + p + 14, 2);
+    memcpy(&r.l_seq, d + p + 16, 4);
+    size_t q = p + 32 + l_qname;
+    r.cigar = (const uint32_t*)(d + q);
+    q += 4ull * r.n_cigar;
+    r.seq = d + q;
+    q += (r.l_seq + 1) / 2;
+    r.qual = d + q;
+    if (!cb(r)) return;
+    off += 4 + block_size;
+  }
+}
+
+int64_t ref_span(const RecView& r) {
+  int64_t span = 0;
+  for (int i = 0; i < r.n_cigar; i++) {
+    uint32_t op = r.cigar[i] & 0xF, len = r.cigar[i] >> 4;
+    if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) span += len;
+  }
+  return span;
+}
+
+// ---------------------------------------------------------------------------
+// pileup
+// ---------------------------------------------------------------------------
+
+struct PileupOut {
+  int32_t* counts;
+  int32_t* depth;
+  int64_t* pos_ref_count;
+  int64_t* pos_total_count;
+  char** alt_infos;
+  int64_t* cand_pos;
+  int32_t n_candidates;
+  int32_t L;
+  int32_t error;  // 0 ok, 1 file error, 2 contig not found
+};
+
+struct ColIndels {
+  std::map<int, int> dels_f, dels_r;          // del_len -> count
+  std::map<std::string, int> ins_f, ins_r;    // ins_seq -> count
+};
+
+}  // namespace
+
+extern "C" {
+
+PileupOut* clair3t_pileup(
+    const char* bam_path, const char* ctg, int64_t start, int64_t end,
+    const char* ref_seq, int64_t ref_offset,
+    int min_mq, int min_depth, double min_snp_af, double min_indel_af,
+    int max_indel_length, int call_snp_only, int want_gvcf, int call_ht) {
+  auto* out = new PileupOut();
+  memset(out, 0, sizeof(PileupOut));
+  const int64_t L = end - start;
+  out->L = (int32_t)L;
+
+  BamView bam;
+  if (!bam.load(bam_path)) {
+    out->error = 1;
+    return out;
+  }
+  int tid = bam.tid_of(ctg);
+  if (tid < 0) {
+    out->error = 2;
+    return out;
+  }
+
+  std::vector<int64_t> counts((size_t)L * kFeat, 0);
+  std::vector<int32_t> depth(L, 0);
+  std::unordered_map<int64_t, ColIndels> indels;
+
+  for_each_record(bam, [&](const RecView& r) -> bool {
+    if (r.tid != tid) return r.tid <= tid;  // stop once past our contig
+    if (r.pos >= end) return false;         // coordinate-sorted early exit
+    if (r.flag & kFilterFlag) return true;
+    if (r.mapq < min_mq) return true;
+    int64_t rend = r.pos + ref_span(r);
+    if (rend <= start) return true;
+
+    bool rev = r.flag & 0x10;
+    int strand = rev ? kRevOff : 0;
+    int64_t rpos = r.pos;
+    int64_t qpos = 0;
+    for (int ci = 0; ci < r.n_cigar; ci++) {
+      uint32_t op = r.cigar[ci] & 0xF;
+      int64_t len = r.cigar[ci] >> 4;
+      if (op == 0 || op == 7 || op == 8) {  // M =X
+        int64_t lo = std::max(rpos, start), hi = std::min(rpos + len, end);
+        for (int64_t p = lo; p < hi; p++) {
+          int64_t qp = qpos + (p - rpos);
+          char b = kSeqNt16[(r.seq[qp >> 1] >> ((~qp & 1) << 2)) & 0xF];
+          depth[p - start]++;
+          int bi = base_index(b);
+          if (bi >= 0) counts[(p - start) * kFeat + bi + strand]++;
+        }
+        rpos += len;
+        qpos += len;
+      } else if (op == 1) {  // I at anchor rpos-1
+        int64_t anchor = rpos - 1;
+        if (anchor >= start && anchor < end && anchor >= r.pos) {
+          std::string seq;
+          seq.reserve(len);
+          for (int64_t k = 0; k < len; k++) {
+            int64_t qp = qpos + k;
+            seq.push_back(kSeqNt16[(r.seq[qp >> 1] >> ((~qp & 1) << 2)) & 0xF]);
+          }
+          auto& col = indels[anchor - start];
+          (rev ? col.ins_r : col.ins_f)[seq]++;
+        }
+        qpos += len;
+      } else if (op == 2) {  // D
+        int64_t anchor = rpos - 1;
+        if (anchor >= start && anchor < end && anchor >= r.pos) {
+          auto& col = indels[anchor - start];
+          (rev ? col.dels_r : col.dels_f)[(int)len]++;
+        }
+        int64_t lo = std::max(rpos, start), hi = std::min(rpos + len, end);
+        for (int64_t p = lo; p < hi; p++) {
+          depth[p - start]++;
+          counts[(p - start) * kFeat + kFwdDel + strand]++;
+        }
+        rpos += len;
+      } else if (op == 3) {
+        rpos += len;
+      } else if (op == 4) {
+        qpos += len;
+      }
+    }
+    return true;
+  });
+
+  // finalize indel summary channels
+  for (auto& [idx, col] : indels) {
+    int64_t fa = 0, fb = 0, ra = 0, rb = 0;
+    for (auto& [len, c] : col.dels_f) { fa += c; fb = std::max<int64_t>(fb, c); }
+    for (auto& [len, c] : col.dels_r) { ra += c; rb = std::max<int64_t>(rb, c); }
+    counts[idx * kFeat + kFwdDelAll] = fa;
+    counts[idx * kFeat + kFwdDelBest] = fb;
+    counts[idx * kFeat + kFwdDelAll + kRevOff] = ra;
+    counts[idx * kFeat + kFwdDelBest + kRevOff] = rb;
+    fa = fb = ra = rb = 0;
+    for (auto& [seq, c] : col.ins_f) { fa += c; fb = std::max<int64_t>(fb, c); }
+    for (auto& [seq, c] : col.ins_r) { ra += c; rb = std::max<int64_t>(rb, c); }
+    counts[idx * kFeat + kFwdInsAll] = fa;
+    counts[idx * kFeat + kFwdInsBest] = fb;
+    counts[idx * kFeat + kFwdInsAll + kRevOff] = ra;
+    counts[idx * kFeat + kFwdInsBest + kRevOff] = rb;
+  }
+
+  if (want_gvcf) {
+    out->pos_ref_count = new int64_t[L]();
+    out->pos_total_count = new int64_t[L]();
+  }
+
+  std::vector<char*> alt_infos;
+  std::vector<int64_t> cand_pos;
+  int64_t contiguous = 0;
+  int64_t pre_pos = -2;
+  const int64_t ref_len = (int64_t)strlen(ref_seq);
+  static const ColIndels kEmpty;
+
+  for (int64_t idx = 0; idx < L; idx++) {
+    if (depth[idx] == 0) continue;
+    int64_t pos = start + idx;
+    contiguous = (pre_pos + 1 == pos) ? contiguous + 1 : 0;
+    pre_pos = pos;
+
+    int64_t roff = pos - ref_offset;
+    char ref_base = (roff >= 0 && roff < ref_len) ? (char)toupper(ref_seq[roff]) : 'N';
+    int ref_idx_raw = base_index(ref_base);
+    bool ref_in_acgt = ref_idx_raw >= 0;
+    int ref_idx = ref_in_acgt ? ref_idx_raw : 0;
+
+    int64_t* row = counts.data() + idx * kFeat;
+    int64_t forward_sum = row[0] + row[1] + row[2] + row[3];
+    int64_t reverse_sum = row[kRevOff] + row[kRevOff + 1] + row[kRevOff + 2] + row[kRevOff + 3];
+    int64_t ref_count = 0, alt_count = 0, all_alt_count = 0;
+    char major_alt = '\0';
+    static const char kBases[] = "ACGT";
+    for (int i = 0; i < 4; i++) {
+      int64_t cur = row[i] + row[i + kRevOff];
+      if (i == ref_idx) {
+        ref_count = cur;
+      } else if (cur > alt_count) {
+        alt_count = cur;
+        major_alt = kBases[i];
+        all_alt_count += alt_count;  // reference quirk (clair3_pileup.c:365)
+      }
+    }
+
+    auto it = indels.find(idx);
+    const ColIndels& col = (it != indels.end()) ? it->second : kEmpty;
+    int64_t del_count = 0, ins_count = 0;
+    for (auto& [len, c] : col.dels_f) del_count += c;
+    for (auto& [len, c] : col.dels_r) del_count += c;
+    for (auto& [s, c] : col.ins_f) ins_count += c;
+    for (auto& [s, c] : col.ins_r) ins_count += c;
+
+    // negate the ref-base columns
+    row[ref_idx] = -forward_sum;
+    row[ref_idx + kRevOff] = -reverse_sum;
+
+    int64_t col_depth = std::max<int32_t>(1, depth[idx]);
+    bool pass_min_depth = col_depth >= min_depth;
+    bool non_ref_majority =
+        ref_count < alt_count || ref_count < ins_count || ref_count < del_count;
+    bool ref_alt_equal =
+        ref_count > 0 && ref_count == alt_count && major_alt != '\0' && ref_base < major_alt;
+    bool pass_af;
+    if (call_snp_only) {
+      pass_af = (double)alt_count / col_depth >= min_snp_af;
+    } else {
+      pass_af = non_ref_majority || ref_alt_equal ||
+                (double)alt_count / col_depth >= min_snp_af ||
+                (double)del_count / col_depth >= min_indel_af ||
+                (double)ins_count / col_depth >= min_indel_af;
+    }
+    pass_af = pass_af && pass_min_depth && ref_in_acgt;
+    if (!call_ht) pass_af = pass_af && contiguous >= kFlank;
+
+    if (pass_af) {
+      std::string s;
+      char head[64];
+      snprintf(head, sizeof(head), "%lld-%lld-%c-",
+               (long long)(pos + 1), (long long)col_depth, ref_base);
+      s = head;
+      int64_t ref_depth = ref_count;
+      for (int i = 0; i < 4; i++) {
+        if (i == ref_idx) continue;
+        int64_t alt_sum = row[i] + row[i + kRevOff];
+        if (alt_sum > 0) {
+          char buf[32];
+          snprintf(buf, sizeof(buf), "X%c %lld ", kBases[i], (long long)alt_sum);
+          s += buf;
+        }
+      }
+      // merged per-length deletion counts, ascending (std::map is sorted)
+      std::map<int, int64_t> del_all;
+      for (auto& [len, c] : col.dels_f) del_all[len] += c;
+      for (auto& [len, c] : col.dels_r) del_all[len] += c;
+      for (auto& [dlen, c] : del_all) {
+        ref_depth -= c;
+        if (c > 0 && dlen <= max_indel_length) {
+          s += 'D';
+          for (int k = 0; k < dlen; k++) {
+            int64_t rp = roff + 1 + k;
+            s += (rp >= 0 && rp < ref_len) ? (char)toupper(ref_seq[rp]) : 'N';
+          }
+          char buf[32];
+          snprintf(buf, sizeof(buf), " %lld ", (long long)c);
+          s += buf;
+        }
+      }
+      std::map<std::string, int64_t> ins_all;
+      for (auto& [seq, c] : col.ins_f) ins_all[seq] += c;
+      for (auto& [seq, c] : col.ins_r) ins_all[seq] += c;
+      for (auto& [seq, c] : ins_all) {
+        ref_depth -= c;
+        if ((int)seq.size() <= max_indel_length) {
+          s += 'I';
+          s += ref_base;
+          s += seq;
+          char buf[32];
+          snprintf(buf, sizeof(buf), " %lld ", (long long)c);
+          s += buf;
+        }
+      }
+      if (ref_depth > 0) {
+        char buf[32];
+        snprintf(buf, sizeof(buf), "R%c %lld ", ref_base, (long long)ref_depth);
+        s += buf;
+      }
+      char* cs = new char[s.size() + 1];
+      memcpy(cs, s.c_str(), s.size() + 1);
+      alt_infos.push_back(cs);
+      cand_pos.push_back(pos);
+    }
+
+    if (want_gvcf) {
+      out->pos_ref_count[idx] = ref_count;
+      out->pos_total_count[idx] = ref_count + all_alt_count + del_count + ins_count;
+    }
+  }
+
+  out->counts = new int32_t[(size_t)L * kFeat];
+  for (size_t i = 0; i < (size_t)L * kFeat; i++) out->counts[i] = (int32_t)counts[i];
+  out->depth = new int32_t[L];
+  memcpy(out->depth, depth.data(), L * sizeof(int32_t));
+  out->n_candidates = (int32_t)alt_infos.size();
+  out->alt_infos = new char*[alt_infos.size()];
+  out->cand_pos = new int64_t[alt_infos.size()];
+  for (size_t i = 0; i < alt_infos.size(); i++) {
+    out->alt_infos[i] = alt_infos[i];
+    out->cand_pos[i] = cand_pos[i];
+  }
+  return out;
+}
+
+void clair3t_pileup_free(PileupOut* out) {
+  if (!out) return;
+  delete[] out->counts;
+  delete[] out->depth;
+  delete[] out->pos_ref_count;
+  delete[] out->pos_total_count;
+  for (int i = 0; i < out->n_candidates; i++) delete[] out->alt_infos[i];
+  delete[] out->alt_infos;
+  delete[] out->cand_pos;
+  delete out;
+}
+
+}  // extern "C"

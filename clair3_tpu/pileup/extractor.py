@@ -325,11 +325,15 @@ def create_pileup_tensors(
     call_snp_only: bool = False,
     gvcf: bool = False,
     head_tail: bool = False,
+    use_native: Optional[bool] = None,
 ) -> Tuple[np.ndarray, List[str], List[str], PileupResult]:
     """End-to-end tensor creation for a 1-based inclusive region
     [ctg_start, ctg_end], expanding by the window size like the reference
-    (CreateTensorPileupFromCffi.py:312-317)."""
-    from clair3_tpu.io.bam import BamReader
+    (CreateTensorPileupFromCffi.py:312-317).
+
+    Counting runs in the C++ fast path (clair3_tpu/native) when available
+    (``use_native=None`` auto-detects); the numpy path is the fallback and
+    differential oracle."""
     from clair3_tpu.io.fasta import FastaFile
 
     ctg_start = max(1, ctg_start)
@@ -343,13 +347,30 @@ def create_pileup_tensors(
     ref_seq = fa.fetch(ctg_name, ref_start, ref_end)
     fa.close()
 
-    bam = BamReader(bam_path)
-    reads = bam.fetch(ctg_name, extend_start0, extend_end0, min_mq=min_mq)
-    result = pileup_region(
-        reads, ref_seq, ref_start, extend_start0, extend_end0,
-        min_depth=min_depth, min_snp_af=min_snp_af, min_indel_af=min_indel_af,
-        max_indel_length=max_indel_length, call_snp_only=call_snp_only,
-        gvcf=gvcf, call_ht=head_tail,
-    )
+    if use_native is None:
+        from clair3_tpu.native import native_available
+
+        use_native = native_available()
+
+    if use_native:
+        from clair3_tpu.native import pileup_region_native
+
+        result = pileup_region_native(
+            bam_path, ref_seq, ref_start, ctg_name, extend_start0, extend_end0,
+            min_mq=min_mq, min_depth=min_depth, min_snp_af=min_snp_af,
+            min_indel_af=min_indel_af, max_indel_length=max_indel_length,
+            call_snp_only=call_snp_only, gvcf=gvcf, call_ht=head_tail,
+        )
+    else:
+        from clair3_tpu.io.bam import BamReader
+
+        bam = BamReader(bam_path)
+        reads = bam.fetch(ctg_name, extend_start0, extend_end0, min_mq=min_mq)
+        result = pileup_region(
+            reads, ref_seq, ref_start, extend_start0, extend_end0,
+            min_depth=min_depth, min_snp_af=min_snp_af, min_indel_af=min_indel_af,
+            max_indel_length=max_indel_length, call_snp_only=call_snp_only,
+            gvcf=gvcf, call_ht=head_tail,
+        )
     tensors, pos_infos, alt_infos = candidate_tensors(result, ctg_name, head_tail=head_tail)
     return tensors, pos_infos, alt_infos, result

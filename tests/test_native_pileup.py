@@ -1,0 +1,100 @@
+"""Differential tests: native C++ pileup extractor vs the numpy oracle
+(the same C-vs-Python identity strategy the reference project used,
+docs/v0.1_r11_speedup.md:7)."""
+
+import numpy as np
+import pytest
+
+from clair3_tpu.io.bam import BamReader
+from clair3_tpu.io.fasta import FastaFile
+from clair3_tpu.pileup.extractor import pileup_region
+from clair3_tpu.testing import SimVariant, random_reference, write_test_case
+
+native = pytest.importorskip("clair3_tpu.native")
+if not native.native_available():
+    pytest.skip("g++ toolchain unavailable", allow_module_level=True)
+
+
+def _both(bam, fasta, ctg, start, end, **kw):
+    fa = FastaFile(fasta)
+    ref_start = max(0, start - 1000)
+    ref_seq = fa.fetch(ctg, ref_start, end + 1000)
+    fa.close()
+    br = BamReader(bam)
+    py = pileup_region(
+        br.fetch(ctg, start, end, min_mq=kw.get("min_mq", 5)),
+        ref_seq, ref_start, start, end, **{k: v for k, v in kw.items() if k != "min_mq"})
+    nat = native.pileup_region_native(
+        bam, ref_seq, ref_start, ctg, start, end, **kw)
+    return py, nat
+
+
+def _assert_identical(py, nat):
+    np.testing.assert_array_equal(py.counts, nat.counts)
+    np.testing.assert_array_equal(py.depth, nat.depth)
+    assert len(py.candidates) == len(nat.candidates)
+    for a, b in zip(py.candidates, nat.candidates):
+        assert (a.pos, a.depth, a.ref_base) == (b.pos, b.depth, b.ref_base)
+        assert a.alt_info == b.alt_info
+    if py.pos_ref_count is not None:
+        np.testing.assert_array_equal(py.pos_ref_count, nat.pos_ref_count)
+        np.testing.assert_array_equal(py.pos_total_count, nat.pos_total_count)
+
+
+def test_native_matches_python_snps_and_indels(tmp_path):
+    ref = random_reference(3000, seed=51)
+    variants = [
+        SimVariant(600, ref[600], "C" if ref[600] != "C" else "G", (1, 1)),
+        SimVariant(1000, ref[1000], "T" if ref[1000] != "T" else "A", (0, 1)),
+        SimVariant(1500, ref[1500], ref[1500] + "TAG", (0, 1)),
+        SimVariant(2000, ref[2000:2004], ref[2000], (1, 1)),
+    ]
+    fasta, bam, _, _ = write_test_case(
+        str(tmp_path), ref_length=3000, variants=variants, coverage=25,
+        read_length=600, seed=51, error_rate=0.02)
+    py, nat = _both(bam, fasta, "chr1", 0, 3000, gvcf=True)
+    assert len(py.candidates) >= 4
+    _assert_identical(py, nat)
+
+
+def test_native_matches_python_subregion_and_flags(tmp_path):
+    ref = random_reference(2000, seed=52)
+    variants = [SimVariant(p, ref[p], "A" if ref[p] != "A" else "C", (0, 1))
+                for p in (400, 800, 1200)]
+    fasta, bam, _, _ = write_test_case(
+        str(tmp_path), ref_length=2000, variants=variants, coverage=18,
+        read_length=400, seed=52, error_rate=0.01)
+    # sub-region with call_ht (head/tail) enabled and snp-only mode
+    py, nat = _both(bam, fasta, "chr1", 350, 1300, call_ht=True)
+    _assert_identical(py, nat)
+    py, nat = _both(bam, fasta, "chr1", 0, 2000, call_snp_only=True)
+    _assert_identical(py, nat)
+    py, nat = _both(bam, fasta, "chr1", 0, 2000, min_snp_af=0.3, min_indel_af=0.5)
+    _assert_identical(py, nat)
+
+
+def test_native_speedup(tmp_path):
+    """The native path must beat the numpy oracle by a wide margin."""
+    import time
+
+    ref = random_reference(20_000, seed=53)
+    variants = [SimVariant(p, ref[p], "G" if ref[p] != "G" else "T", (0, 1))
+                for p in range(500, 19_500, 500)]
+    fasta, bam, _, _ = write_test_case(
+        str(tmp_path), ref_length=20_000, variants=variants, coverage=30,
+        read_length=1000, seed=53, error_rate=0.02)
+
+    fa = FastaFile(fasta)
+    ref_seq = fa.fetch("chr1", 0, 20_000)
+    fa.close()
+
+    t0 = time.perf_counter()
+    br = BamReader(bam)
+    pileup_region(br.fetch("chr1", 0, 20_000, min_mq=5), ref_seq, 0, 0, 20_000)
+    t_py = time.perf_counter() - t0
+
+    native.pileup_region_native(bam, ref_seq, 0, "chr1", 0, 20_000)  # warm build
+    t0 = time.perf_counter()
+    native.pileup_region_native(bam, ref_seq, 0, "chr1", 0, 20_000)
+    t_nat = time.perf_counter() - t0
+    assert t_nat < t_py / 3, f"native {t_nat:.3f}s vs python {t_py:.3f}s"
