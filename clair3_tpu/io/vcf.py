@@ -139,7 +139,9 @@ def parse_vcf_line(line: str) -> VcfRecord:
     except ValueError:
         qual = 0.0
     fmt = cols[8] if len(cols) > 8 else ""
-    sample = cols[9] if len(cols) > 9 else ""
+    # multi-sample VCFs (e.g. hap.py TRUTH/QUERY) keep their extra sample
+    # columns tab-joined in `sample`
+    sample = "\t".join(cols[9:]) if len(cols) > 9 else ""
     return VcfRecord(cols[0], int(cols[1]), cols[3], cols[4], qual,
                      cols[6], cols[7], fmt, sample, id=cols[2])
 

@@ -89,6 +89,17 @@ class VariantCaller:
         self.fa_engine = fa_engine
         self.phaser = phaser
         self.nonvariant_rows: List[str] = []
+        # candidate gating (reference: CreateTensorPileupFromCffi.py:345-354)
+        self._bed_tree = None
+        if self.cfg.bed_fn:
+            from clair3_tpu.io.bed import read_bed
+
+            self._bed_tree = read_bed(self.cfg.bed_fn)
+        self._known_sites = None          # {(ctg, pos1)} for genotyping mode
+        self._known_records = None
+        if self.cfg.vcf_fn:
+            self._known_records = list(VcfReader(self.cfg.vcf_fn))
+            self._known_sites = {(r.chrom, r.pos) for r in self._known_records}
 
     # ------------------------------------------------------------------
     # planning
@@ -170,6 +181,9 @@ class VariantCaller:
                         gvcf_writer.add_site(
                             task.contig, pos0 + 1,
                             ref_seq[pos0 - (task.start - 1)], n_ref, n_tot)
+                if self._bed_tree is not None or self._known_sites is not None:
+                    tensors, pos_infos, alt_infos = self._filter_candidates(
+                        task.contig, tensors, pos_infos, alt_infos)
                 if tensors.shape[0] == 0:
                     continue
                 n_candidates += tensors.shape[0]
@@ -184,6 +198,21 @@ class VariantCaller:
             "[pileup] %d candidates -> %d rows in %.1fs",
             n_candidates, len(rows), time.time() - t0)
         return rows
+
+    def _filter_candidates(self, ctg, tensors, pos_infos, alt_infos):
+        keep = []
+        for i, pos_info in enumerate(pos_infos):
+            pos1 = int(pos_info.split(":")[-2])
+            if self._bed_tree is not None and not self._bed_tree.overlaps(
+                    ctg, pos1 - 2, pos1 + 1):
+                continue
+            if self._known_sites is not None and (ctg, pos1) not in self._known_sites:
+                continue
+            keep.append(i)
+        if len(keep) == len(pos_infos):
+            return tensors, pos_infos, alt_infos
+        return (tensors[keep], [pos_infos[i] for i in keep],
+                [alt_infos[i] for i in keep])
 
     # ------------------------------------------------------------------
     # full-alignment stage
@@ -269,6 +298,15 @@ class VariantCaller:
                 w.write(row)
         return path
 
+    def _genotyping_add_back(self, rows: List[str]) -> List[str]:
+        """Genotyping mode (--vcf_fn): re-add candidate sites missing from
+        the output as ./. rows (AddBackMissingVariantsInGenotyping)."""
+        if not self._known_records:
+            return rows
+        from clair3_tpu.postprocess import add_back_missing_variants
+
+        return add_back_missing_variants(self._known_records, rows)
+
     def _final_filter(self, rows: Sequence[str]) -> List[str]:
         """Postfilters applied to the final merged rows (SortVcf.py:93-112)."""
         out = []
@@ -306,7 +344,7 @@ class VariantCaller:
 
         merge_path = os.path.join(cfg.output_dir, "merge_output.vcf.gz")
         if cfg.pileup_only or self.fa_engine is None:
-            final_rows = self._final_filter(pileup_rows)
+            final_rows = self._genotyping_add_back(self._final_filter(pileup_rows))
             self._write_vcf(merge_path, final_rows, contigs)
             outputs["merge_output"] = merge_path
             gvcf_path = self._write_gvcf(final_rows)
@@ -353,7 +391,7 @@ class VariantCaller:
                     haploid_sensitive=cfg.haploid_sensitive,
                 )
             )
-        merged = sort_rows(merged, contig_names)
+        merged = self._genotyping_add_back(sort_rows(merged, contig_names))
         self._write_vcf(merge_path, merged, contigs)
         outputs["merge_output"] = merge_path
         gvcf_path = self._write_gvcf(merged)
