@@ -56,6 +56,50 @@ def _lstm_scan(xw: jnp.ndarray, wh: jnp.ndarray, reverse: bool) -> jnp.ndarray:
     return jnp.swapaxes(hs, 0, 1)  # [B, T, H]
 
 
+def _bilstm_fused_scan(
+    xw_f: jnp.ndarray, xw_b: jnp.ndarray,
+    wh_f: jnp.ndarray, wh_b: jnp.ndarray,
+) -> jnp.ndarray:
+    """Both directions in ONE scan: step t consumes time t forward and time
+    T-1-t backward, with the two recurrent matmuls batched into a single
+    [2, B, H] x [2, H, 4H] contraction.  Halves the sequential-step count
+    versus two independent scans (XLA runs separate scans back to back).
+
+    Returns the concatenated hidden states [B, T, 2H] in torch order.
+    """
+    B, T, H4 = xw_f.shape
+    H = H4 // 4
+    dtype = xw_f.dtype
+
+    # [T, 2, B, 4H]: slot 0 walks forward, slot 1 walks backward
+    xw = jnp.stack([jnp.swapaxes(xw_f, 0, 1),
+                    jnp.swapaxes(xw_b, 0, 1)[::-1]], axis=1)
+    wh = jnp.stack([wh_f, wh_b])  # [2, H, 4H]
+
+    def step(carry, x_t):
+        h, c = carry  # [2, B, H]
+        gates = x_t + jnp.einsum(
+            "dbh,dhg->dbg", h, wh,
+            preferred_element_type=dtype)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    init = (
+        jnp.zeros((2, B, H), dtype=dtype),
+        jnp.zeros((2, B, H), dtype=dtype),
+    )
+    _, hs = jax.lax.scan(step, init, xw)  # [T, 2, B, H]
+    fwd = jnp.swapaxes(hs[:, 0], 0, 1)        # [B, T, H]
+    bwd = jnp.swapaxes(hs[::-1, 1], 0, 1)     # un-reverse the backward pass
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
 class LSTMDirection(nn.Module):
     hidden: int
     reverse: bool = False
@@ -74,13 +118,40 @@ class LSTMDirection(nn.Module):
 
 
 class BiLSTM(nn.Module):
-    """Bidirectional LSTM over ``[B, T, C]``, output ``[B, T, 2H]``."""
+    """Bidirectional LSTM over ``[B, T, C]``, output ``[B, T, 2H]``.
+
+    Parameters live under ``fwd``/``bwd`` (torch-checkpoint-compatible); the
+    forward pass fuses both directions into one scan with batched recurrent
+    matmuls (``fused=False`` falls back to two independent scans)."""
 
     hidden: int
     param_dtype: Any = jnp.float32
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        fwd = LSTMDirection(self.hidden, reverse=False, param_dtype=self.param_dtype, name="fwd")(x)
-        bwd = LSTMDirection(self.hidden, reverse=True, param_dtype=self.param_dtype, name="bwd")(x)
-        return jnp.concatenate([fwd, bwd], axis=-1)
+        if not self.fused:
+            fwd = LSTMDirection(self.hidden, reverse=False, param_dtype=self.param_dtype, name="fwd")(x)
+            bwd = LSTMDirection(self.hidden, reverse=True, param_dtype=self.param_dtype, name="bwd")(x)
+            return jnp.concatenate([fwd, bwd], axis=-1)
+
+        C = x.shape[-1]
+        H = self.hidden
+        init_wi = nn.initializers.lecun_normal()
+        init_wh = nn.initializers.orthogonal()
+        scope_f = self.scope.push("fwd")  # keep the fwd/bwd param layout
+        wi_f = scope_f.param("wi", init_wi, (C, 4 * H), self.param_dtype)
+        wh_f = scope_f.param("wh", init_wh, (H, 4 * H), self.param_dtype)
+        b_f = scope_f.param("b", nn.initializers.zeros, (4 * H,), self.param_dtype)
+        scope_b = self.scope.push("bwd")
+        wi_b = scope_b.param("wi", init_wi, (C, 4 * H), self.param_dtype)
+        wh_b = scope_b.param("wh", init_wh, (H, 4 * H), self.param_dtype)
+        b_b = scope_b.param("b", nn.initializers.zeros, (4 * H,), self.param_dtype)
+
+        dtype = x.dtype
+        # one big MXU matmul for both directions' input projections
+        wi = jnp.concatenate([wi_f, wi_b], axis=1).astype(dtype)  # [C, 8H]
+        xw = x @ wi
+        xw_f = xw[..., : 4 * H] + b_f.astype(dtype)
+        xw_b = xw[..., 4 * H:] + b_b.astype(dtype)
+        return _bilstm_fused_scan(xw_f, xw_b, wh_f.astype(dtype), wh_b.astype(dtype))
