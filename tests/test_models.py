@@ -73,3 +73,14 @@ def test_full_alignment_train_mode_mutates_batch_stats(rng):
     )
     assert y.shape == (4, 90)
     assert "batch_stats" in mutated
+
+
+def test_fb_binary_net(rng):
+    from clair3_tpu.models import FullAlignmentBinaryNet
+
+    model = FullAlignmentBinaryNet()
+    x = jnp.zeros((2, 89, 33, 8), jnp.int8)
+    variables = model.init(rng, x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, 1)
+    assert ((np.asarray(y) > 0) & (np.asarray(y) < 1)).all()
