@@ -45,6 +45,42 @@ _ACGT_IDX = {"A": 0, "C": 1, "G": 2, "T": 3}
 HAP_UNPHASED, HAP_1, HAP_2 = 0, 1, 2
 _HAP_VAL = (60, 30, 90)
 
+_U64 = (1 << 64) - 1
+
+
+class XorShift64:
+    """xorshift64* PRNG, bit-identical to the C++ fast path (native/common.h)
+    so read-subsampling decisions agree across implementations."""
+
+    def __init__(self, seed: int):
+        self.state = (seed & _U64) or 0x9E3779B97F4A7C15
+
+    def next(self) -> int:
+        x = self.state
+        x ^= x >> 12
+        x = (x ^ (x << 25)) & _U64
+        x ^= x >> 27
+        self.state = x
+        return (x * 0x2545F4914F6CDD1D) & _U64
+
+    def below(self, n: int) -> int:
+        return self.next() % n
+
+
+def candidate_seed(seed: int, cand_pos: int) -> int:
+    return (seed ^ ((cand_pos * 0x100000001B3) & _U64)) & _U64
+
+
+def subsample_indices(indices, depth: int, seed: int):
+    """Fisher-Yates shuffle (shared algorithm with the C++ path), keep the
+    first ``depth`` entries."""
+    a = list(indices)
+    rng = XorShift64(seed)
+    for i in range(len(a) - 1, 0, -1):
+        j = rng.below(i + 1)
+        a[i], a[j] = a[j], a[i]
+    return a[:depth]
+
 
 def _norm_mq(mq: int) -> int:
     return int(100 * mq / 60.0) if mq < 60 else 100
@@ -377,7 +413,6 @@ def fa_region(
         infos.append(info)
 
     infos.sort(key=lambda x: x.read.pos)
-    rng = random.Random(seed)
 
     matrix = np.zeros((n_cand, matrix_depth, NO_OF_POSITIONS, channels), np.int8)
     alt_infos: List[str] = []
@@ -391,8 +426,8 @@ def fa_region(
         ]
         # random down-sample above matrix_depth, stable hap-sort, center pad
         if len(overlaps) > matrix_depth:
-            rng.shuffle(overlaps)
-            overlaps = overlaps[:matrix_depth]
+            overlaps = subsample_indices(
+                overlaps, matrix_depth, candidate_seed(seed, cand))
         overlaps.sort(key=lambda j: (infos[j].haplotype, j))
         if len(overlaps) < matrix_depth:
             pad = matrix_depth - len(overlaps)
@@ -518,11 +553,14 @@ def create_fa_tensors(
     enable_dwell: bool = False,
     max_indel_length: int = 50,
     seed: int = 0,
+    use_native: Optional[bool] = None,
 ) -> Tuple[np.ndarray, List[str], List[str]]:
     """End-to-end FA tensor creation for one candidate batch.
 
     ``phased_snps`` entries are (1-based pos, 'ref-alt-hap-phaseset') like
-    SelectCandidates emits."""
+    SelectCandidates emits.  Extraction runs in the C++ fast path
+    (clair3_tpu/native) when available; the Python implementation is the
+    differential oracle and fallback."""
     from clair3_tpu.io.bam import BamReader
     from clair3_tpu.io.fasta import FastaFile
 
@@ -550,14 +588,29 @@ def create_fa_tensors(
     ref_seq = fa.fetch(ctg_name, ref_fetch_start, ref_fetch_end)
     fa.close()
 
-    bam = BamReader(bam_path)
-    reads = list(bam.fetch(ctg_name, region_start, region_end, min_mq=min_mq))
+    if use_native is None:
+        from clair3_tpu.native import native_available
 
-    tensor, cand_pos, alt_infos = fa_region(
-        reads, ref_seq, ref_fetch_start, candidates0, variants,
-        matrix_depth=matrix_depth, max_indel_length=max_indel_length,
-        need_haplotagging=not no_phasing, enable_dwell=enable_dwell, seed=seed,
-    )
+        use_native = native_available()
+
+    if use_native:
+        from clair3_tpu.native import fa_region_native
+
+        tensor, cand_pos, alt_infos = fa_region_native(
+            bam_path, ref_seq, ref_fetch_start, ctg_name, candidates0, variants,
+            matrix_depth=matrix_depth, min_mq=min_mq,
+            max_indel_length=max_indel_length,
+            need_haplotagging=not no_phasing, enable_dwell=enable_dwell,
+            seed=seed,
+        )
+    else:
+        bam = BamReader(bam_path)
+        reads = list(bam.fetch(ctg_name, region_start, region_end, min_mq=min_mq))
+        tensor, cand_pos, alt_infos = fa_region(
+            reads, ref_seq, ref_fetch_start, candidates0, variants,
+            matrix_depth=matrix_depth, max_indel_length=max_indel_length,
+            need_haplotagging=not no_phasing, enable_dwell=enable_dwell, seed=seed,
+        )
     pos_infos = []
     for c in cand_pos:
         ref_base = ref_seq[c - ref_fetch_start].upper() if 0 <= c - ref_fetch_start < len(ref_seq) else "N"

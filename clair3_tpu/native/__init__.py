@@ -16,7 +16,9 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "clair3t_pileup.cc")
+_SRCS = [os.path.join(_DIR, "clair3t_pileup.cc"),
+         os.path.join(_DIR, "clair3t_fullalign.cc")]
+_HDRS = [os.path.join(_DIR, "common.h")]
 _SO = os.path.join(_DIR, "libclair3t.so")
 _lock = threading.Lock()
 _lib = None
@@ -37,11 +39,12 @@ class _PileupOut(ctypes.Structure):
 
 
 def _build() -> str:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+    newest_src = max(os.path.getmtime(p) for p in _SRCS + _HDRS)
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= newest_src:
         return _SO
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _SO, "-lz",
+        *_SRCS, "-o", _SO, "-lz",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
     return _SO
@@ -126,3 +129,93 @@ def pileup_region_native(
             pos_ref_count=pos_ref, pos_total_count=pos_tot)
     finally:
         lib.clair3t_pileup_free(out_p)
+
+
+class _FaOut(ctypes.Structure):
+    _fields_ = [
+        ("matrix", ctypes.POINTER(ctypes.c_int8)),
+        ("alt_infos", ctypes.POINTER(ctypes.c_char_p)),
+        ("cand_pos", ctypes.POINTER(ctypes.c_int64)),
+        ("n_cand", ctypes.c_int32),
+        ("depth", ctypes.c_int32),
+        ("positions", ctypes.c_int32),
+        ("channels", ctypes.c_int32),
+        ("error", ctypes.c_int32),
+    ]
+
+
+def _bind_fa(lib):
+    if getattr(lib, "_fa_bound", False):
+        return
+    lib.clair3t_fullalign.restype = ctypes.POINTER(_FaOut)
+    lib.clair3t_fullalign.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+    ]
+    lib.clair3t_fullalign_free.argtypes = [ctypes.POINTER(_FaOut)]
+    lib._fa_bound = True
+
+
+def fa_region_native(
+    bam_path: str,
+    ref_seq: str,
+    ref_offset: int,
+    ctg_name: str,
+    candidates0,
+    variants=(),
+    *,
+    matrix_depth: int = 89,
+    min_mq: int = 5,
+    max_indel_length: int = 50,
+    need_haplotagging: bool = True,
+    enable_dwell: bool = False,
+    seed: int = 0,
+):
+    """Native counterpart of clair3_tpu.fullalign.extractor.fa_region.
+
+    ``variants`` are PhasedVariant namedtuple-likes (position, ref_base,
+    alt_base, genotype, phase_set).  Returns (tensor, cand_positions,
+    alt_infos) identical to the Python oracle."""
+    lib = get_lib()
+    _bind_fa(lib)
+
+    cands = sorted(set(int(c) for c in candidates0))
+    n_cand = len(cands)
+    channels = 9 if enable_dwell else 8
+    if n_cand == 0:
+        return (np.zeros((0, matrix_depth, 33, channels), np.int8), [], [])
+    cand_arr = (ctypes.c_int64 * n_cand)(*cands)
+
+    variants = sorted(variants, key=lambda v: v.position)
+    n_var = len(variants)
+    var_pos = (ctypes.c_int64 * max(n_var, 1))(*[v.position for v in variants])
+    var_ref = "".join(v.ref_base[0] for v in variants).encode() or b"\x00"
+    var_alt = "".join(v.alt_base[0] for v in variants).encode() or b"\x00"
+    var_gt = (ctypes.c_int32 * max(n_var, 1))(*[v.genotype for v in variants])
+    var_ps = (ctypes.c_int32 * max(n_var, 1))(*[v.phase_set for v in variants])
+
+    out_p = lib.clair3t_fullalign(
+        bam_path.encode(), ctg_name.encode(),
+        ref_seq.encode(), ref_offset,
+        cand_arr, n_cand,
+        var_pos, var_ref, var_alt, var_gt, var_ps, n_var,
+        int(need_haplotagging), min_mq, matrix_depth,
+        max_indel_length, int(enable_dwell), seed,
+    )
+    out = out_p.contents
+    try:
+        if out.error:
+            raise RuntimeError(
+                f"native fullalign failed (error={out.error}) for {bam_path} {ctg_name}")
+        shape = (out.n_cand, out.depth, out.positions, out.channels)
+        matrix = np.ctypeslib.as_array(out.matrix, shape=shape).copy()
+        alt_infos = [out.alt_infos[i].decode() for i in range(out.n_cand)]
+        cand_pos = [int(out.cand_pos[i]) for i in range(out.n_cand)]
+        return matrix, cand_pos, alt_infos
+    finally:
+        lib.clair3t_fullalign_free(out_p)

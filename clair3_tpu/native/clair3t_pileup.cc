@@ -13,7 +13,7 @@
 // Region fetch is a linear scan with early exit on coordinate-sorted input
 // (index support can be added without changing this API).
 
-#include <zlib.h>
+#include "common.h"
 
 #include <algorithm>
 #include <cstdint>
@@ -24,6 +24,13 @@
 #include <unordered_map>
 #include <vector>
 
+using c3t::BamView;
+using c3t::RecView;
+using c3t::for_each_record;
+using c3t::ref_span;
+using c3t::kFilterFlag;
+using c3t::kSeqNt16;
+
 namespace {
 
 constexpr int kFeat = 18;
@@ -31,9 +38,6 @@ constexpr int kRevOff = 9;
 constexpr int kFwdInsAll = 4, kFwdInsBest = 5;
 constexpr int kFwdDelAll = 6, kFwdDelBest = 7, kFwdDel = 8;
 constexpr int kFlank = 16;
-constexpr uint16_t kFilterFlag = 2316;  // UNMAP|MUNMAP|SECONDARY|SUPPLEMENTARY
-
-const char kSeqNt16[] = "=ACMGRSVTWYHKDBN";
 
 int base_index(char b) {
   switch (b) {
@@ -45,157 +49,9 @@ int base_index(char b) {
   }
 }
 
-// ---------------------------------------------------------------------------
-// BGZF
-// ---------------------------------------------------------------------------
+}  // namespace
 
-bool bgzf_read_all(const char* path, std::vector<uint8_t>* out) {
-  FILE* fp = fopen(path, "rb");
-  if (!fp) return false;
-  std::vector<uint8_t> comp;
-  fseek(fp, 0, SEEK_END);
-  long fsize = ftell(fp);
-  fseek(fp, 0, SEEK_SET);
-  comp.resize(fsize);
-  if (fsize > 0 && fread(comp.data(), 1, fsize, fp) != (size_t)fsize) {
-    fclose(fp);
-    return false;
-  }
-  fclose(fp);
-
-  size_t off = 0;
-  while (off + 18 <= comp.size()) {
-    if (comp[off] != 0x1f || comp[off + 1] != 0x8b) return false;
-    uint16_t xlen;
-    memcpy(&xlen, comp.data() + off + 10, 2);
-    // find BC subfield for the block size
-    size_t extra = off + 12;
-    int bsize = -1;
-    size_t eoff = 0;
-    while (eoff + 4 <= xlen) {
-      uint8_t si1 = comp[extra + eoff], si2 = comp[extra + eoff + 1];
-      uint16_t slen;
-      memcpy(&slen, comp.data() + extra + eoff + 2, 2);
-      if (si1 == 'B' && si2 == 'C' && slen == 2) {
-        uint16_t bs;
-        memcpy(&bs, comp.data() + extra + eoff + 4, 2);
-        bsize = bs + 1;
-      }
-      eoff += 4 + slen;
-    }
-    if (bsize < 0) return false;
-    size_t payload_off = off + 12 + xlen;
-    size_t payload_len = bsize - 12 - xlen - 8;
-    uint32_t isize;
-    memcpy(&isize, comp.data() + off + bsize - 4, 4);
-    if (isize > 0) {
-      size_t old = out->size();
-      out->resize(old + isize);
-      z_stream zs;
-      memset(&zs, 0, sizeof(zs));
-      inflateInit2(&zs, -15);
-      zs.next_in = comp.data() + payload_off;
-      zs.avail_in = payload_len;
-      zs.next_out = out->data() + old;
-      zs.avail_out = isize;
-      int ret = inflate(&zs, Z_FINISH);
-      inflateEnd(&zs);
-      if (ret != Z_STREAM_END) return false;
-    }
-    off += bsize;
-  }
-  return true;
-}
-
-// ---------------------------------------------------------------------------
-// BAM
-// ---------------------------------------------------------------------------
-
-struct BamView {
-  std::vector<uint8_t> data;
-  std::vector<std::string> refs;
-  std::vector<int32_t> ref_lens;
-  size_t records_off = 0;
-
-  bool load(const char* path) {
-    if (!bgzf_read_all(path, &data)) return false;
-    if (data.size() < 8 || memcmp(data.data(), "BAM\x01", 4) != 0) return false;
-    int32_t l_text;
-    memcpy(&l_text, data.data() + 4, 4);
-    size_t off = 8 + l_text;
-    int32_t n_ref;
-    memcpy(&n_ref, data.data() + off, 4);
-    off += 4;
-    for (int i = 0; i < n_ref; i++) {
-      int32_t l_name;
-      memcpy(&l_name, data.data() + off, 4);
-      off += 4;
-      refs.emplace_back((const char*)data.data() + off, l_name - 1);
-      off += l_name;
-      int32_t l_ref;
-      memcpy(&l_ref, data.data() + off, 4);
-      off += 4;
-      ref_lens.push_back(l_ref);
-    }
-    records_off = off;
-    return true;
-  }
-
-  int tid_of(const char* name) const {
-    for (size_t i = 0; i < refs.size(); i++)
-      if (refs[i] == name) return (int)i;
-    return -1;
-  }
-};
-
-struct RecView {
-  int32_t tid, pos;
-  uint8_t mapq;
-  uint16_t flag;
-  int32_t l_seq;
-  const uint32_t* cigar;
-  uint16_t n_cigar;
-  const uint8_t* seq;   // 4-bit packed
-  const uint8_t* qual;
-};
-
-// iterate records; cb returns false to stop
-template <typename F>
-void for_each_record(const BamView& bam, F cb) {
-  size_t off = bam.records_off;
-  const uint8_t* d = bam.data.data();
-  size_t n = bam.data.size();
-  while (off + 4 <= n) {
-    int32_t block_size;
-    memcpy(&block_size, d + off, 4);
-    size_t p = off + 4;
-    RecView r;
-    memcpy(&r.tid, d + p, 4);
-    memcpy(&r.pos, d + p + 4, 4);
-    uint8_t l_qname = d[p + 8];
-    r.mapq = d[p + 9];
-    memcpy(&r.n_cigar, d + p + 12, 2);
-    memcpy(&r.flag, d + p + 14, 2);
-    memcpy(&r.l_seq, d + p + 16, 4);
-    size_t q = p + 32 + l_qname;
-    r.cigar = (const uint32_t*)(d + q);
-    q += 4ull * r.n_cigar;
-    r.seq = d + q;
-    q += (r.l_seq + 1) / 2;
-    r.qual = d + q;
-    if (!cb(r)) return;
-    off += 4 + block_size;
-  }
-}
-
-int64_t ref_span(const RecView& r) {
-  int64_t span = 0;
-  for (int i = 0; i < r.n_cigar; i++) {
-    uint32_t op = r.cigar[i] & 0xF, len = r.cigar[i] >> 4;
-    if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) span += len;
-  }
-  return span;
-}
+namespace {
 
 // ---------------------------------------------------------------------------
 // pileup

@@ -1,0 +1,190 @@
+// Shared native helpers: BGZF decompression and BAM record iteration.
+// Self-contained (zlib only); see clair3_tpu/io/bam.py for the Python
+// reference implementation of the same formats.
+#pragma once
+
+#include <zlib.h>
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace c3t {
+
+constexpr uint16_t kFilterFlag = 2316;  // UNMAP|MUNMAP|SECONDARY|SUPPLEMENTARY
+inline const char* kSeqNt16 = "=ACMGRSVTWYHKDBN";
+
+inline bool bgzf_read_all(const char* path, std::vector<uint8_t>* out) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return false;
+  std::vector<uint8_t> comp;
+  fseek(fp, 0, SEEK_END);
+  long fsize = ftell(fp);
+  fseek(fp, 0, SEEK_SET);
+  comp.resize(fsize);
+  if (fsize > 0 && fread(comp.data(), 1, fsize, fp) != (size_t)fsize) {
+    fclose(fp);
+    return false;
+  }
+  fclose(fp);
+
+  size_t off = 0;
+  while (off + 18 <= comp.size()) {
+    if (comp[off] != 0x1f || comp[off + 1] != 0x8b) return false;
+    uint16_t xlen;
+    memcpy(&xlen, comp.data() + off + 10, 2);
+    size_t extra = off + 12;
+    int bsize = -1;
+    size_t eoff = 0;
+    while (eoff + 4 <= xlen) {
+      uint8_t si1 = comp[extra + eoff], si2 = comp[extra + eoff + 1];
+      uint16_t slen;
+      memcpy(&slen, comp.data() + extra + eoff + 2, 2);
+      if (si1 == 'B' && si2 == 'C' && slen == 2) {
+        uint16_t bs;
+        memcpy(&bs, comp.data() + extra + eoff + 4, 2);
+        bsize = bs + 1;
+      }
+      eoff += 4 + slen;
+    }
+    if (bsize < 0) return false;
+    size_t payload_off = off + 12 + xlen;
+    size_t payload_len = bsize - 12 - xlen - 8;
+    uint32_t isize;
+    memcpy(&isize, comp.data() + off + bsize - 4, 4);
+    if (isize > 0) {
+      size_t old = out->size();
+      out->resize(old + isize);
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      inflateInit2(&zs, -15);
+      zs.next_in = comp.data() + payload_off;
+      zs.avail_in = payload_len;
+      zs.next_out = out->data() + old;
+      zs.avail_out = isize;
+      int ret = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (ret != Z_STREAM_END) return false;
+    }
+    off += bsize;
+  }
+  return true;
+}
+
+struct BamView {
+  std::vector<uint8_t> data;
+  std::vector<std::string> refs;
+  std::vector<int32_t> ref_lens;
+  size_t records_off = 0;
+
+  bool load(const char* path) {
+    if (!bgzf_read_all(path, &data)) return false;
+    if (data.size() < 8 || memcmp(data.data(), "BAM\x01", 4) != 0) return false;
+    int32_t l_text;
+    memcpy(&l_text, data.data() + 4, 4);
+    size_t off = 8 + l_text;
+    int32_t n_ref;
+    memcpy(&n_ref, data.data() + off, 4);
+    off += 4;
+    for (int i = 0; i < n_ref; i++) {
+      int32_t l_name;
+      memcpy(&l_name, data.data() + off, 4);
+      off += 4;
+      refs.emplace_back((const char*)data.data() + off, l_name - 1);
+      off += l_name;
+      int32_t l_ref;
+      memcpy(&l_ref, data.data() + off, 4);
+      off += 4;
+      ref_lens.push_back(l_ref);
+    }
+    records_off = off;
+    return true;
+  }
+
+  int tid_of(const char* name) const {
+    for (size_t i = 0; i < refs.size(); i++)
+      if (refs[i] == name) return (int)i;
+    return -1;
+  }
+};
+
+struct RecView {
+  int32_t tid, pos;
+  uint8_t mapq;
+  uint16_t flag;
+  int32_t l_seq;
+  const uint32_t* cigar;
+  uint16_t n_cigar;
+  const uint8_t* seq;   // 4-bit packed
+  const uint8_t* qual;
+  const char* qname;
+  const uint8_t* tags;
+  size_t tags_len;
+};
+
+inline char seq_base(const RecView& r, int64_t qp) {
+  return kSeqNt16[(r.seq[qp >> 1] >> ((~qp & 1) << 2)) & 0xF];
+}
+
+template <typename F>
+void for_each_record(const BamView& bam, F cb) {
+  size_t off = bam.records_off;
+  const uint8_t* d = bam.data.data();
+  size_t n = bam.data.size();
+  while (off + 4 <= n) {
+    int32_t block_size;
+    memcpy(&block_size, d + off, 4);
+    size_t p = off + 4;
+    RecView r;
+    memcpy(&r.tid, d + p, 4);
+    memcpy(&r.pos, d + p + 4, 4);
+    uint8_t l_qname = d[p + 8];
+    r.mapq = d[p + 9];
+    memcpy(&r.n_cigar, d + p + 12, 2);
+    memcpy(&r.flag, d + p + 14, 2);
+    memcpy(&r.l_seq, d + p + 16, 4);
+    size_t q = p + 32;
+    r.qname = (const char*)(d + q);
+    q += l_qname;
+    r.cigar = (const uint32_t*)(d + q);
+    q += 4ull * r.n_cigar;
+    r.seq = d + q;
+    q += (r.l_seq + 1) / 2;
+    r.qual = d + q;
+    q += r.l_seq;
+    r.tags = d + q;
+    r.tags_len = (off + 4 + block_size) - q;
+    if (!cb(r)) return;
+    off += 4 + block_size;
+  }
+}
+
+inline int64_t ref_span(const RecView& r) {
+  int64_t span = 0;
+  for (int i = 0; i < r.n_cigar; i++) {
+    uint32_t op = r.cigar[i] & 0xF, len = r.cigar[i] >> 4;
+    if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) span += len;
+  }
+  return span;
+}
+
+// xorshift64* PRNG shared with the Python extractor for identical read
+// subsampling decisions (seeded per candidate).
+struct XorShift64 {
+  uint64_t state;
+  explicit XorShift64(uint64_t seed) : state(seed ? seed : 0x9E3779B97F4A7C15ull) {}
+  uint64_t next() {
+    uint64_t x = state;
+    x ^= x >> 12;
+    x ^= x << 25;
+    x ^= x >> 27;
+    state = x;
+    return x * 0x2545F4914F6CDD1Dull;
+  }
+  // unbiased-enough bounded draw for shuffling
+  uint64_t below(uint64_t n) { return next() % n; }
+};
+
+}  // namespace c3t
