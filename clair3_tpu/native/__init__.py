@@ -17,7 +17,8 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, "clair3t_pileup.cc"),
-         os.path.join(_DIR, "clair3t_fullalign.cc")]
+         os.path.join(_DIR, "clair3t_fullalign.cc"),
+         os.path.join(_DIR, "clair3t_align.cc")]
 _HDRS = [os.path.join(_DIR, "common.h")]
 _SO = os.path.join(_DIR, "libclair3t.so")
 _lock = threading.Lock()

@@ -16,6 +16,7 @@ InferenceEngine.  Decode is plain Python on the host.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 import time
@@ -327,11 +328,39 @@ class VariantCaller:
                 out.append(row)
         return out
 
+    def _realign_illumina(self, contigs) -> None:
+        """ilmn platform: local read realignment before feature extraction
+        (reference: RealignReads as the first stage of the ilmn pipe,
+        CallVarBam.py:160-175).  Rewrites self.cfg.bam_fn to the realigned
+        BAM."""
+        from clair3_tpu.io.bam import BamReader, write_bam
+        from clair3_tpu.io.fasta import FastaFile
+        from clair3_tpu.realign.realigner import realign_reads_in_region
+
+        bam = BamReader(self.cfg.bam_fn)
+        fa = FastaFile(self.cfg.ref_fn)
+        all_reads = []
+        total = 0
+        for name, length in contigs:
+            reads = list(bam.fetch(name, 0, length, min_mq=self.cfg.min_mq))
+            ref_seq = fa.fetch(name, 0, length)
+            realigned, n = realign_reads_in_region(reads, ref_seq, 0, 0, length)
+            total += n
+            all_reads.extend(realigned)
+        fa.close()
+        out_path = os.path.join(self.cfg.output_dir, "realigned.bam")
+        write_bam(out_path, bam.references, bam.lengths, all_reads)
+        logger.info("[realign] %d reads realigned -> %s", total, out_path)
+        self.cfg = dataclasses.replace(self.cfg, bam_fn=out_path)
+
     def run(self) -> Dict[str, str]:
         """Execute the cascade; returns paths of the written VCFs."""
         cfg = self.cfg
         os.makedirs(cfg.output_dir, exist_ok=True)
         contigs = self.resolve_contigs()
+        if cfg.platform == "ilmn":
+            self._realign_illumina(contigs)
+            cfg = self.cfg
         contig_names = [c for c, _ in contigs]
         tasks = plan_chunks(contigs, cfg.chunk_size)
         logger.info("[plan] %d contigs, %d chunks", len(contigs), len(tasks))
