@@ -273,6 +273,10 @@ class VariantCaller:
         with VcfWriter(path, header) as w:
             for row in rows:
                 w.write(row)
+        if path.endswith(".gz"):
+            from clair3_tpu.io.tabix import write_tabix_index
+
+            write_tabix_index(path)
         return path
 
     def _write_gvcf(self, final_rows: Sequence[str]) -> Optional[str]:
