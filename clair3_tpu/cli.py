@@ -184,6 +184,28 @@ def cmd_tensor2bin(args: argparse.Namespace) -> int:
             no_phasing=True, enable_dwell=args.enable_dwell_time)
 
     truths = truth_variants_from_vcf(args.truth_vcf_fn, ctg)
+    if args.unify_repr:
+        from clair3_tpu.io.fasta import FastaFile as _FF
+        from clair3_tpu.train.unify import CandidateAllele, unify_representation
+
+        cands = []
+        for pos_info, alt_info in zip(pos_infos, alt_infos):
+            pos1 = int(pos_info.split(":")[-2])
+            ref_base = pos_info.split(":")[-1]
+            ref_base = ref_base[len(ref_base) // 2] if len(ref_base) > 1 else ref_base
+            for token in str(alt_info).split("-", 1)[-1].split(" "):
+                if not token or token[0] not in "XID" or not token[1:]:
+                    continue
+                if token[0] == "X":
+                    cands.append(CandidateAllele(pos1, ref_base, token[1]))
+                elif token[0] == "I":
+                    cands.append(CandidateAllele(pos1, ref_base, token[1:]))
+                else:  # D<deleted>
+                    cands.append(CandidateAllele(pos1, ref_base + token[1:], ref_base))
+        _fa = _FF(args.ref_fn)
+        ref_seq = _fa.fetch(ctg, 0, _fa.contig_length(ctg))
+        _fa.close()
+        truths = unify_representation(truths, cands, ref_seq, 0)
     labels, keep = build_labels(
         pos_infos, truths, maximum_non_variant_ratio=args.maximum_non_variant_ratio)
     write_bin(args.bin_fn, tensors[keep], labels[keep],
@@ -243,6 +265,9 @@ def main(argv=None) -> int:
     t2b.add_argument("--snp_min_af", type=float, default=0.08)
     t2b.add_argument("--indel_min_af", type=float, default=0.15)
     t2b.add_argument("--maximum_non_variant_ratio", type=float, default=None)
+    t2b.add_argument("--unify_repr", action="store_true",
+                     help="re-express truth variants in the sample's own "
+                          "candidate representation space before labeling")
     t2b.set_defaults(func=cmd_tensor2bin)
 
     tr = sub.add_parser("train", help="Train a model from HDF5 bins")
