@@ -275,3 +275,85 @@ def parse_happy_vcf(happy_vcf_fn: str, ctg_name: Optional[str] = None) -> Dict[s
         out[vt] = MetricsRow(vt, c["query_fp"], c["truth_fn"], c["truth_tp"],
                              c["query_tp"], p, r, f1)
     return out
+
+
+# ---------------------------------------------------------------------------
+# paired-end allele depth (AddPairEndAlleleDepth.py)
+# ---------------------------------------------------------------------------
+
+PEAD_HEADER_LINE = (
+    '##FORMAT=<ID=PEAD,Number=1,Type=Integer,Description="Allelic depths for '
+    'the alt alleles after removing same pair-end reads in the order listed">'
+)
+
+
+def _alt_support_read_names(bam_fn: str, chrom: str, pos1: int, ref: str,
+                            alt: str, min_mq: int = 5) -> Set[str]:
+    """Read names supporting the (first) alt allele at a site: SNP base
+    match, insertion with the exact inserted sequence, or deletion of the
+    exact length — mirroring the mpileup-based reference classification."""
+    from clair3_tpu.io.bam import BamReader
+
+    pos0 = pos1 - 1
+    names: Set[str] = set()
+    bam = BamReader(bam_fn)
+    for read in bam.fetch(chrom, pos0, pos0 + 1, min_mq=min_mq):
+        rpos, qpos = read.pos, 0
+        base = None
+        ins_seq = ""
+        del_len = 0
+        for i, (op, ln) in enumerate(read.cigar):
+            if op in (0, 7, 8):
+                if rpos <= pos0 < rpos + ln:
+                    base = read.seq[qpos + (pos0 - rpos)]
+                    # indel immediately following this base?
+                    if pos0 == rpos + ln - 1 and i + 1 < len(read.cigar):
+                        nop, nln = read.cigar[i + 1]
+                        if nop == 1:
+                            ins_seq = read.seq[qpos + ln: qpos + ln + nln]
+                        elif nop == 2:
+                            del_len = nln
+                rpos += ln
+                qpos += ln
+            elif op == 1:
+                qpos += ln
+            elif op in (2, 3):
+                rpos += ln
+            elif op == 4:
+                qpos += ln
+        if base is None:
+            continue
+        if len(ref) == 1 and len(alt) == 1:
+            if base.upper() == alt and not ins_seq and not del_len:
+                names.add(read.qname)
+        elif len(ref) == 1 and len(alt) > 1:
+            if base.upper() == alt[0] and ins_seq.upper() == alt[1:]:
+                names.add(read.qname)
+        elif len(ref) > 1 and len(alt) == 1:
+            if base.upper() == ref[0] and del_len == len(ref) - 1:
+                names.add(read.qname)
+    return names
+
+
+def add_pairend_allele_depth(
+    bam_fn: str, rows: Sequence[str], min_mq: int = 5
+) -> List[str]:
+    """Append the PEAD FORMAT tag (unique-fragment alt support) to variant
+    rows; ref-call rows pass through."""
+    out: List[str] = []
+    for row in rows:
+        if row.startswith("#"):
+            out.append(row)
+            continue
+        rec = parse_vcf_line(row)
+        if rec.alt == "." or rec.ref == rec.alt:
+            out.append(row)
+            continue
+        alt0 = rec.alt.split(",")[0]
+        names = _alt_support_read_names(bam_fn, rec.chrom, rec.pos, rec.ref,
+                                        alt0, min_mq=min_mq)
+        cols = row.rstrip("\n").split("\t")
+        cols[8] += ":PEAD"
+        cols[9] += f":{len(names)}"
+        out.append("\t".join(cols) + "\n")
+    return out

@@ -179,3 +179,33 @@ def test_pipeline_genotyping_mode(tmp_path):
     assert set(by_pos) == {801, 1201}
     assert by_pos[801].alt == v.alt
     assert by_pos[1201].sample == "./."
+
+
+def test_add_pairend_allele_depth(tmp_path):
+    from clair3_tpu.io.bam import BamRead, write_bam
+    from clair3_tpu.postprocess import add_pairend_allele_depth
+    import numpy as np
+
+    ref = random_reference(300, seed=64)
+    alt = "T" if ref[100] != "T" else "A"
+    alt_seq = ref[50:100] + alt + ref[101:150]
+    reads = []
+    # 3 fragments; one has BOTH mates covering the SNP (same qname)
+    for i, qname in enumerate(("f1", "f1", "f2", "f3")):
+        reads.append(BamRead(
+            qname, 0 if i % 2 == 0 else 16, 0, 50, 60, [(0, 100)], alt_seq,
+            np.full(100, 30, np.uint8)))
+    # one ref-carrying read
+    reads.append(BamRead("r1", 0, 0, 50, 60, [(0, 100)], ref[50:150],
+                         np.full(100, 30, np.uint8)))
+    reads.sort(key=lambda r: r.pos)
+    bam = str(tmp_path / "p.bam")
+    write_bam(bam, ["chr1"], [300], reads)
+
+    row = (f"chr1\t101\t.\t{ref[100]}\t{alt}\t30.00\tPASS\tP\t"
+           f"GT:GQ:DP:AD:AF\t0/1:30:5:1,4:0.8000\n")
+    out = add_pairend_allele_depth(bam, [row])
+    cols = out[0].rstrip().split("\t")
+    assert cols[8].endswith(":PEAD")
+    # 4 alt reads but only 3 unique fragment names
+    assert cols[9].endswith(":3")
