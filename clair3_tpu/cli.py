@@ -10,6 +10,7 @@ from __future__ import annotations
 import argparse
 import logging
 import sys
+from typing import Optional
 
 
 def _add_call_args(p: argparse.ArgumentParser) -> None:
@@ -72,11 +73,52 @@ def _load_engine(path: str, kind: str, platform: str):
     return InferenceEngine(model, variables)
 
 
+def _validate_call_inputs(args) -> Optional[str]:
+    """Input validation (reference: preprocess/CheckEnvs.py:180-388);
+    returns an error string or None."""
+    import os
+
+    if not os.path.exists(args.bam_fn):
+        return f"BAM file not found: {args.bam_fn}"
+    if not os.path.exists(args.ref_fn):
+        return f"reference FASTA not found: {args.ref_fn}"
+    with open(args.bam_fn, "rb") as fh:
+        if fh.read(2) != b"\x1f\x8b":
+            return f"{args.bam_fn} is not a BGZF/BAM file"
+    if args.bed_fn and not os.path.exists(args.bed_fn):
+        return f"BED file not found: {args.bed_fn}"
+    if args.vcf_fn and not os.path.exists(args.vcf_fn):
+        return f"known-sites VCF not found: {args.vcf_fn}"
+    if args.threads < 1:
+        return "--threads must be >= 1"
+    try:
+        from clair3_tpu.io.bam import BamReader
+        from clair3_tpu.io.fasta import FastaFile
+
+        fa = FastaFile(args.ref_fn)
+        bam = BamReader(args.bam_fn)
+        shared = set(fa.references) & set(bam.references)
+        fa.close()
+        if args.ctg_name and args.ctg_name not in shared:
+            return (f"contig {args.ctg_name!r} absent from BAM+FASTA "
+                    f"intersection (have: {sorted(shared)[:5]}...)")
+        if not shared:
+            return "no contigs shared between the BAM and the reference"
+    except Exception as e:  # malformed inputs
+        return f"failed to open inputs: {e}"
+    return None
+
+
 def cmd_call(args: argparse.Namespace) -> int:
     import os
 
     from clair3_tpu.config import CallConfig
     from clair3_tpu.pipeline.call import VariantCaller
+
+    err = _validate_call_inputs(args)
+    if err:
+        print(f"[ERROR] {err}", file=sys.stderr)
+        return 1
 
     cfg = CallConfig(
         platform=args.platform,
