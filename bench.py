@@ -66,7 +66,8 @@ def main():
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
 
     B_P, ITERS_P = 8192, 30
-    pileup = PileupNet(add_indel_length=False, compute_dtype=jnp.bfloat16)
+    pileup = PileupNet(add_indel_length=False, compute_dtype=jnp.bfloat16,
+                       use_pallas_lstm=True)
     vp = pileup.init(jax.random.PRNGKey(0), jnp.zeros((8, 33, 18), jnp.int32))
 
     def pileup_batch(key):

@@ -42,12 +42,15 @@ class PileupNet(nn.Module):
     l5_units: int = 128
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    use_pallas_lstm: bool = False  # inference-only Pallas recurrence kernel
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         x = x.astype(self.compute_dtype)
-        x = BiLSTM(self.lstm1_units, param_dtype=self.param_dtype, name="LSTM1")(x)
-        x = BiLSTM(self.lstm2_units, param_dtype=self.param_dtype, name="LSTM2")(x)
+        x = BiLSTM(self.lstm1_units, param_dtype=self.param_dtype,
+                   use_pallas=self.use_pallas_lstm, name="LSTM1")(x)
+        x = BiLSTM(self.lstm2_units, param_dtype=self.param_dtype,
+                   use_pallas=self.use_pallas_lstm, name="LSTM2")(x)
         x = nn.Dropout(0.2, deterministic=not train, name="L3_dropout")(x)
         x = x.reshape((x.shape[0], NO_OF_POSITIONS * 2 * self.lstm2_units))
         dt = self.compute_dtype

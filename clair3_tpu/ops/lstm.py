@@ -127,6 +127,9 @@ class BiLSTM(nn.Module):
     hidden: int
     param_dtype: Any = jnp.float32
     fused: bool = True
+    # Run the recurrence as a Pallas TPU kernel (h/c resident in VMEM for the
+    # whole sequence).  Inference-only: the kernel defines no VJP.
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -154,4 +157,14 @@ class BiLSTM(nn.Module):
         xw = x @ wi
         xw_f = xw[..., : 4 * H] + b_f.astype(dtype)
         xw_b = xw[..., 4 * H:] + b_b.astype(dtype)
+        if self.use_pallas:
+            from clair3_tpu.ops.pallas_lstm import bilstm_pallas
+
+            stacked = jnp.stack([jnp.swapaxes(xw_f, 0, 1),
+                                 jnp.swapaxes(xw_b, 0, 1)[::-1]], axis=1)
+            wh = jnp.stack([wh_f, wh_b]).astype(dtype)
+            hs = bilstm_pallas(stacked, wh)
+            fwd = jnp.swapaxes(hs[:, 0], 0, 1)
+            bwd = jnp.swapaxes(hs[::-1, 1], 0, 1)
+            return jnp.concatenate([fwd, bwd], axis=-1)
         return _bilstm_fused_scan(xw_f, xw_b, wh_f.astype(dtype), wh_b.astype(dtype))
