@@ -141,44 +141,94 @@ def _encode_tags(tags: Dict[str, Any]) -> bytes:
     return bytes(out)
 
 
+def parse_bam_header(data: bytes):
+    """(header_text, references, lengths, records_off) from decompressed
+    leading bytes; raises ValueError if incomplete."""
+    if data[:4] != b"BAM\x01":
+        raise ValueError("not a BAM stream")
+    (l_text,) = struct.unpack_from("<i", data, 4)
+    off = 8
+    header_text = data[off:off + l_text].decode(errors="replace")
+    off += l_text
+    (n_ref,) = struct.unpack_from("<i", data, off)
+    off += 4
+    references: List[str] = []
+    lengths: List[int] = []
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", data, off)
+        off += 4
+        references.append(data[off:off + l_name - 1].decode())
+        off += l_name
+        (l_ref,) = struct.unpack_from("<i", data, off)
+        off += 4
+        lengths.append(l_ref)
+    return header_text, references, lengths, off
+
+
+def read_bam_header(path: str):
+    """Parse only the BAM header, decompressing the minimum leading blocks.
+    Returns (header_text, references, lengths)."""
+    from clair3_tpu.io.bgzf import stream_decompress
+
+    buf = b""
+    for block in stream_decompress(path):
+        buf += block
+        try:
+            header_text, refs, lens, _ = parse_bam_header(buf)
+            return header_text, refs, lens
+        except (ValueError, struct.error, IndexError):
+            if buf[:4] != b"BAM\x01" and len(buf) >= 4:
+                raise ValueError(f"{path} is not a BAM file")
+            continue
+    raise ValueError(f"{path}: truncated BAM header")
+
+
 class BamReader:
-    """In-memory BAM reader with region fetch (requires coordinate order)."""
+    """BAM reader with region fetch.
+
+    With a .bai index present, ``fetch`` decompresses only the BGZF blocks
+    covering the region; otherwise the whole file is decompressed once
+    (cached) and scanned with coordinate-sorted early exit."""
 
     def __init__(self, path: str):
         self.path = path
-        data = decompress(path)
-        if data[:4] != b"BAM\x01":
-            raise ValueError(f"{path} is not a BAM file")
-        (l_text,) = struct.unpack_from("<i", data, 4)
-        off = 8
-        self.header_text = data[off:off + l_text].decode(errors="replace")
-        off += l_text
-        (n_ref,) = struct.unpack_from("<i", data, off)
-        off += 4
-        self.references: List[str] = []
-        self.lengths: List[int] = []
-        for _ in range(n_ref):
-            (l_name,) = struct.unpack_from("<i", data, off)
-            off += 4
-            self.references.append(data[off:off + l_name - 1].decode())
-            off += l_name
-            (l_ref,) = struct.unpack_from("<i", data, off)
-            off += 4
-            self.lengths.append(l_ref)
+        self.header_text, self.references, self.lengths = read_bam_header(path)
         self._tid = {name: i for i, name in enumerate(self.references)}
-        self._data = data
-        self._records_off = off
+        self._data: Optional[bytes] = None
+        self._records_off: Optional[int] = None
+        self._bai = None
+        import os
+
+        bai_path = path + ".bai"
+        if os.path.exists(bai_path):
+            from clair3_tpu.io.bai import BaiIndex
+
+            try:
+                self._bai = BaiIndex(bai_path)
+            except ValueError:
+                self._bai = None
+
+    def _full(self):
+        if self._data is None:
+            data = decompress(self.path)
+            _, _, _, off = parse_bam_header(data)
+            self._data = data
+            self._records_off = off
+        return self._data, self._records_off
 
     def __iter__(self) -> Iterator[BamRead]:
-        return self._iter_from(self._records_off)
+        data, off = self._full()
+        return self._iter_buffer(data, off)
 
-    def _iter_from(self, off: int) -> Iterator[BamRead]:
-        data = self._data
+    @staticmethod
+    def _iter_buffer(data: bytes, off: int) -> Iterator[BamRead]:
         n = len(data)
         while off + 4 <= n:
             (block_size,) = struct.unpack_from("<i", data, off)
             rec_end = off + 4 + block_size
-            yield self._parse_record(data, off + 4, rec_end)
+            if rec_end > n:
+                break  # truncated tail (range reads may stop mid-record)
+            yield BamReader._parse_record(data, off + 4, rec_end)
             off = rec_end
 
     @staticmethod
@@ -218,7 +268,18 @@ class BamReader:
         """Reads overlapping [start, end), 0-based, flag/MQ filtered."""
         tid = self._tid[contig]
         end = end if end is not None else self.lengths[tid]
-        for read in self:
+        if self._bai is not None and self._data is None:
+            window = self._bai.query_voff_range(tid, start, end)
+            if window is None:
+                return
+            voff_begin, voff_end = window
+            from clair3_tpu.io.bgzf import decompress_range
+
+            data = decompress_range(self.path, voff_begin >> 16, voff_end >> 16)
+            records = self._iter_buffer(data, voff_begin & 0xFFFF)
+        else:
+            records = iter(self)
+        for read in records:
             if read.tid != tid:
                 if read.tid > tid:
                     break
@@ -253,8 +314,10 @@ def write_bam(
     lengths: Sequence[int],
     reads: Sequence[BamRead],
     header_text: Optional[str] = None,
+    write_index: bool = True,
 ) -> None:
-    """Write a coordinate-order BAM (callers must pre-sort reads)."""
+    """Write a coordinate-order BAM (callers must pre-sort reads) and its
+    .bai index."""
     if header_text is None:
         header_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
             f"@SQ\tSN:{r}\tLN:{l}\n" for r, l in zip(references, lengths)
@@ -268,6 +331,10 @@ def write_bam(
             out.write(struct.pack("<i", len(nb)) + nb + struct.pack("<i", length))
         for read in reads:
             out.write(_encode_record(read))
+    if write_index:
+        from clair3_tpu.io.bai import write_bai
+
+        write_bai(path)
 
 
 def _encode_record(read: BamRead) -> bytes:

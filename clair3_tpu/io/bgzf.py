@@ -116,3 +116,41 @@ def decompress(path: str) -> bytes:
 def is_gzipped(path: str) -> bool:
     with open(path, "rb") as fh:
         return fh.read(2) == b"\x1f\x8b"
+
+
+def decompress_range(path: str, coffset_begin: int, coffset_end: int) -> bytes:
+    """Decompress only the BGZF blocks whose file offsets lie in
+    [coffset_begin, coffset_end] (inclusive of the block containing
+    coffset_end)."""
+    out = bytearray()
+    with open(path, "rb") as fh:
+        fh.seek(coffset_begin)
+        offset = coffset_begin
+        while offset <= coffset_end:
+            header = fh.read(12)
+            if len(header) < 12:
+                break
+            (xlen,) = struct.unpack("<H", header[10:12])
+            extra = fh.read(xlen)
+            bsize = None
+            off = 0
+            while off + 4 <= len(extra):
+                si1, si2 = extra[off], extra[off + 1]
+                (slen,) = struct.unpack("<H", extra[off + 2:off + 4])
+                if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                    bsize = struct.unpack("<H", extra[off + 4:off + 6])[0] + 1
+                off += 4 + slen
+            if bsize is None:
+                raise ValueError("BGZF block missing BC subfield")
+            payload = fh.read(bsize - 12 - xlen - 8)
+            fh.read(8)
+            if payload:
+                out += zlib.decompress(payload, -15)
+            offset += bsize
+    return bytes(out)
+
+
+def stream_decompress(path: str):
+    """Yield decompressed BGZF blocks lazily (for header-only parsing)."""
+    with open(path, "rb") as fh:
+        yield from iter_blocks(fh)

@@ -62,10 +62,33 @@ def get_lib():
                 ctypes.c_char_p, ctypes.c_int64,
                 ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
             ]
             lib.clair3t_pileup_free.argtypes = [ctypes.POINTER(_PileupOut)]
             _lib = lib
     return _lib
+
+
+def _bai_window(bam_path: str, ctg_name: str, start: int, end: int):
+    """(tid, voff_begin, voff_end) from the .bai index, (tid, 0, 0) for a
+    full scan, or (tid, None, None) when the region provably has no reads."""
+    import os
+
+    from clair3_tpu.io.bam import read_bam_header
+
+    _, refs, _ = read_bam_header(bam_path)
+    if ctg_name not in refs:
+        raise KeyError(f"contig {ctg_name!r} not in {bam_path}")
+    tid = refs.index(ctg_name)
+    bai_path = bam_path + ".bai"
+    if not os.path.exists(bai_path):
+        return tid, 0, 0
+    from clair3_tpu.io.bai import BaiIndex
+
+    window = BaiIndex(bai_path).query_voff_range(tid, start, end)
+    if window is None:
+        return tid, None, None
+    return tid, window[0], window[1]
 
 
 def native_available() -> bool:
@@ -98,11 +121,20 @@ def pileup_region_native(
     from clair3_tpu.pileup.extractor import PileupCandidate, PileupResult
 
     lib = get_lib()
+    tid, voff_begin, voff_end = _bai_window(bam_path, ctg_name, start, end)
+    if voff_begin is None:  # indexed and provably empty region
+        L = end - start
+        return PileupResult(
+            start=start, counts=np.zeros((L, 18), np.int32),
+            depth=np.zeros(L, np.int32), candidates=[],
+            pos_ref_count=np.zeros(L, np.int64) if gvcf else None,
+            pos_total_count=np.zeros(L, np.int64) if gvcf else None)
     out_p = lib.clair3t_pileup(
         bam_path.encode(), ctg_name.encode(), start, end,
         ref_seq.encode(), ref_offset,
         min_mq, min_depth, min_snp_af, min_indel_af,
         max_indel_length, int(call_snp_only), int(gvcf), int(call_ht),
+        voff_begin, voff_end, tid,
     )
     out = out_p.contents
     try:
@@ -157,6 +189,7 @@ def _bind_fa(lib):
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
     ]
     lib.clair3t_fullalign_free.argtypes = [ctypes.POINTER(_FaOut)]
     lib._fa_bound = True
@@ -200,6 +233,11 @@ def fa_region_native(
     var_gt = (ctypes.c_int32 * max(n_var, 1))(*[v.genotype for v in variants])
     var_ps = (ctypes.c_int32 * max(n_var, 1))(*[v.phase_set for v in variants])
 
+    region_start = max(0, cands[0] - 16)
+    region_end = cands[-1] + 17
+    tid, voff_begin, voff_end = _bai_window(bam_path, ctg_name, region_start, region_end)
+    if voff_begin is None:
+        voff_begin = voff_end = 0  # empty region: cheap full scan, no reads kept
     out_p = lib.clair3t_fullalign(
         bam_path.encode(), ctg_name.encode(),
         ref_seq.encode(), ref_offset,
@@ -207,6 +245,7 @@ def fa_region_native(
         var_pos, var_ref, var_alt, var_gt, var_ps, n_var,
         int(need_haplotagging), min_mq, matrix_depth,
         max_indel_length, int(enable_dwell), seed,
+        voff_begin, voff_end, tid,
     )
     out = out_p.contents
     try:

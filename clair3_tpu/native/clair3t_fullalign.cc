@@ -323,7 +323,8 @@ FaOut* clair3t_fullalign(
     const int64_t* var_pos, const char* var_ref, const char* var_alt,
     const int32_t* var_gt, const int32_t* var_ps, int32_t n_var,
     int need_haplotagging, int min_mq, int matrix_depth,
-    int max_indel_length, int enable_dwell, uint64_t seed) {
+    int max_indel_length, int enable_dwell, uint64_t seed,
+    uint64_t voff_begin, uint64_t voff_end, int tid_hint) {
   auto* out = new FaOut();
   memset(out, 0, sizeof(FaOut));
   const int channels = enable_dwell ? 9 : 8;
@@ -333,14 +334,23 @@ FaOut* clair3t_fullalign(
   out->channels = channels;
 
   BamView bam;
-  if (!bam.load(bam_path)) {
-    out->error = 1;
-    return out;
-  }
-  int tid = bam.tid_of(ctg);
-  if (tid < 0) {
-    out->error = 2;
-    return out;
+  int tid;
+  if (voff_end > 0) {  // indexed range load (tid supplied by the caller)
+    if (!bam.load_range(bam_path, voff_begin, voff_end)) {
+      out->error = 1;
+      return out;
+    }
+    tid = tid_hint;
+  } else {
+    if (!bam.load(bam_path)) {
+      out->error = 1;
+      return out;
+    }
+    tid = bam.tid_of(ctg);
+    if (tid < 0) {
+      out->error = 2;
+      return out;
+    }
   }
   const int64_t ref_len = (int64_t)strlen(ref_seq);
 

@@ -82,21 +82,31 @@ PileupOut* clair3t_pileup(
     const char* bam_path, const char* ctg, int64_t start, int64_t end,
     const char* ref_seq, int64_t ref_offset,
     int min_mq, int min_depth, double min_snp_af, double min_indel_af,
-    int max_indel_length, int call_snp_only, int want_gvcf, int call_ht) {
+    int max_indel_length, int call_snp_only, int want_gvcf, int call_ht,
+    uint64_t voff_begin, uint64_t voff_end, int tid_hint) {
   auto* out = new PileupOut();
   memset(out, 0, sizeof(PileupOut));
   const int64_t L = end - start;
   out->L = (int32_t)L;
 
   BamView bam;
-  if (!bam.load(bam_path)) {
-    out->error = 1;
-    return out;
-  }
-  int tid = bam.tid_of(ctg);
-  if (tid < 0) {
-    out->error = 2;
-    return out;
+  int tid;
+  if (voff_end > 0) {  // indexed range load (tid supplied by the caller)
+    if (!bam.load_range(bam_path, voff_begin, voff_end)) {
+      out->error = 1;
+      return out;
+    }
+    tid = tid_hint;
+  } else {
+    if (!bam.load(bam_path)) {
+      out->error = 1;
+      return out;
+    }
+    tid = bam.tid_of(ctg);
+    if (tid < 0) {
+      out->error = 2;
+      return out;
+    }
   }
 
   std::vector<int64_t> counts((size_t)L * kFeat, 0);

@@ -73,11 +73,83 @@ inline bool bgzf_read_all(const char* path, std::vector<uint8_t>* out) {
   return true;
 }
 
+// decompress only blocks with file offset in [coffset_begin, coffset_end]
+inline bool bgzf_read_range(const char* path, uint64_t coffset_begin,
+                            uint64_t coffset_end, std::vector<uint8_t>* out) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return false;
+  if (fseek(fp, (long)coffset_begin, SEEK_SET) != 0) {
+    fclose(fp);
+    return false;
+  }
+  uint64_t offset = coffset_begin;
+  while (offset <= coffset_end) {
+    uint8_t header[12];
+    if (fread(header, 1, 12, fp) != 12) break;
+    uint16_t xlen;
+    memcpy(&xlen, header + 10, 2);
+    std::vector<uint8_t> extra(xlen);
+    if (fread(extra.data(), 1, xlen, fp) != xlen) break;
+    int bsize = -1;
+    size_t eoff = 0;
+    while (eoff + 4 <= xlen) {
+      uint16_t slen;
+      memcpy(&slen, extra.data() + eoff + 2, 2);
+      if (extra[eoff] == 'B' && extra[eoff + 1] == 'C' && slen == 2) {
+        uint16_t bs;
+        memcpy(&bs, extra.data() + eoff + 4, 2);
+        bsize = bs + 1;
+      }
+      eoff += 4 + slen;
+    }
+    if (bsize < 0) {
+      fclose(fp);
+      return false;
+    }
+    size_t payload_len = bsize - 12 - xlen - 8;
+    std::vector<uint8_t> payload(payload_len);
+    if (payload_len && fread(payload.data(), 1, payload_len, fp) != payload_len) break;
+    uint8_t footer[8];
+    if (fread(footer, 1, 8, fp) != 8) break;
+    uint32_t isize;
+    memcpy(&isize, footer + 4, 4);
+    if (isize > 0) {
+      size_t old = out->size();
+      out->resize(old + isize);
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      inflateInit2(&zs, -15);
+      zs.next_in = payload.data();
+      zs.avail_in = payload_len;
+      zs.next_out = out->data() + old;
+      zs.avail_out = isize;
+      int ret = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (ret != Z_STREAM_END) {
+        fclose(fp);
+        return false;
+      }
+    }
+    offset += bsize;
+  }
+  fclose(fp);
+  return true;
+}
+
 struct BamView {
   std::vector<uint8_t> data;
   std::vector<std::string> refs;
   std::vector<int32_t> ref_lens;
   size_t records_off = 0;
+
+  // indexed load: only the blocks covering [voff_begin, voff_end]; record
+  // parsing starts at voff_begin's in-block offset.  Caller supplies tid.
+  bool load_range(const char* path, uint64_t voff_begin, uint64_t voff_end) {
+    if (!bgzf_read_range(path, voff_begin >> 16, voff_end >> 16, &data))
+      return false;
+    records_off = voff_begin & 0xFFFF;
+    return records_off <= data.size();
+  }
 
   bool load(const char* path) {
     if (!bgzf_read_all(path, &data)) return false;
@@ -136,6 +208,7 @@ void for_each_record(const BamView& bam, F cb) {
   while (off + 4 <= n) {
     int32_t block_size;
     memcpy(&block_size, d + off, 4);
+    if (off + 4 + (size_t)block_size > n) return;  // truncated range tail
     size_t p = off + 4;
     RecView r;
     memcpy(&r.tid, d + p, 4);
