@@ -48,6 +48,8 @@ def _add_call_args(p: argparse.ArgumentParser) -> None:
                    action="store_true")
     p.add_argument("--use_oracle_engines", action="store_true",
                    help="TESTING: use tensor-sniffing oracle predictors instead of models")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace of the run to this directory")
 
 
 def _load_engine(path: str, kind: str, platform: str):
@@ -188,7 +190,13 @@ def cmd_call(args: argparse.Namespace) -> int:
 
     caller = VariantCaller(cfg, pileup_engine=pileup_engine, fa_engine=fa_engine,
                            phaser=phaser)
-    outputs = caller.run()
+    if args.profile_dir:
+        import jax
+
+        with jax.profiler.trace(args.profile_dir):
+            outputs = caller.run()
+    else:
+        outputs = caller.run()
     for name, path in outputs.items():
         print(f"[INFO] {name}: {path}")
     return 0

@@ -358,18 +358,36 @@ class VariantCaller:
         self.cfg = dataclasses.replace(self.cfg, bam_fn=out_path)
 
     def run(self) -> Dict[str, str]:
-        """Execute the cascade; returns paths of the written VCFs."""
+        """Execute the cascade; returns paths of the written VCFs.  Stage
+        wall-times land in ``self.stage_times`` (observability; the
+        reference only had per-job logs from GNU parallel)."""
+        self.stage_times: Dict[str, float] = {}
+
+        def _timed(name):
+            class _T:
+                def __enter__(_s):
+                    _s.t0 = time.time()
+
+                def __exit__(_s, *exc):
+                    self.stage_times[name] = (
+                        self.stage_times.get(name, 0.0) + time.time() - _s.t0)
+
+            return _T()
+
         cfg = self.cfg
         os.makedirs(cfg.output_dir, exist_ok=True)
         contigs = self.resolve_contigs()
         if cfg.platform == "ilmn":
-            self._realign_illumina(contigs)
+            with _timed("realign"):
+                self._realign_illumina(contigs)
             cfg = self.cfg
+        self._timed = _timed
         contig_names = [c for c, _ in contigs]
         tasks = plan_chunks(contigs, cfg.chunk_size)
         logger.info("[plan] %d contigs, %d chunks", len(contigs), len(tasks))
 
-        pileup_rows = sort_rows(self.run_pileup(tasks), contig_names)
+        with self._timed("pileup"):
+            pileup_rows = sort_rows(self.run_pileup(tasks), contig_names)
         outputs: Dict[str, str] = {}
         pileup_path = os.path.join(cfg.output_dir, "pileup.vcf.gz")
         self._write_vcf(pileup_path, pileup_rows, contigs)
@@ -383,6 +401,7 @@ class VariantCaller:
             gvcf_path = self._write_gvcf(final_rows)
             if gvcf_path:
                 outputs["merge_output_gvcf"] = gvcf_path
+            logger.info("[timing] %s", {k: round(v, 2) for k, v in self.stage_times.items()})
             return outputs
 
         # --- full-alignment cascade ---
@@ -393,19 +412,21 @@ class VariantCaller:
 
         phased_by_contig: Dict[str, List] = {}
         if self.phaser is not None and not cfg.no_phasing_for_fa:
-            phase_qual = select_phase_qual(pileup_records, cfg.var_pct_phasing)
-            for ctg in contig_names:
-                het_snps = select_het_snps(pileup_records, phase_qual, ctg)
-                phased_by_contig[ctg] = self.phaser.phase(ctg, het_snps)
+            with self._timed("phase"):
+                phase_qual = select_phase_qual(pileup_records, cfg.var_pct_phasing)
+                for ctg in contig_names:
+                    het_snps = select_het_snps(pileup_records, phase_qual, ctg)
+                    phased_by_contig[ctg] = self.phaser.phase(ctg, het_snps)
 
         fa_rows: List[str] = []
-        for ctg in contig_names:
-            batches = select_candidates(
-                pileup_records, ctg, var_qual, ref_qual,
-                phased_rows=phased_by_contig.get(ctg, ()),
-            )
-            if batches:
-                fa_rows.extend(self.run_full_alignment(batches))
+        with self._timed("full_alignment"):
+            for ctg in contig_names:
+                batches = select_candidates(
+                    pileup_records, ctg, var_qual, ref_qual,
+                    phased_rows=phased_by_contig.get(ctg, ()),
+                )
+                if batches:
+                    fa_rows.extend(self.run_full_alignment(batches))
         fa_rows = sort_rows(fa_rows, contig_names)
         fa_path = os.path.join(cfg.output_dir, "full_alignment.vcf.gz")
         self._write_vcf(fa_path, fa_rows, contigs)
@@ -430,4 +451,5 @@ class VariantCaller:
         gvcf_path = self._write_gvcf(merged)
         if gvcf_path:
             outputs["merge_output_gvcf"] = gvcf_path
+        logger.info("[timing] %s", {k: round(v, 2) for k, v in self.stage_times.items()})
         return outputs
