@@ -48,6 +48,10 @@ def _add_call_args(p: argparse.ArgumentParser) -> None:
                    action="store_true")
     p.add_argument("--use_oracle_engines", action="store_true",
                    help="TESTING: use tensor-sniffing oracle predictors instead of models")
+    p.add_argument("--use_phasing_for_final_output", action="store_true",
+                   help="phase the final merged VCF (internal phaser)")
+    p.add_argument("--use_haplotagging_for_final_output", action="store_true",
+                   help="also write an HP/PS-tagged BAM (phased_output.bam)")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace of the run to this directory")
 
@@ -151,6 +155,8 @@ def cmd_call(args: argparse.Namespace) -> int:
         keep_iupac_bases=args.keep_iupac_bases,
         enable_variant_calling_at_sequence_head_and_tail=(
             args.enable_variant_calling_at_sequence_head_and_tail),
+        use_phasing_for_final_output=args.use_phasing_for_final_output,
+        use_haplotagging_for_final_output=args.use_haplotagging_for_final_output,
     )
 
     if args.use_oracle_engines:

@@ -128,6 +128,8 @@ class CallConfig:
     enable_variant_calling_at_sequence_head_and_tail: bool = False
     no_phasing_for_fa: bool = False
     keep_iupac_bases: bool = False
+    use_phasing_for_final_output: bool = False
+    use_haplotagging_for_final_output: bool = False
     qual: Optional[int] = None         # QUAL cutoff marking LowQual
     base_err: float = 0.001            # gVCF (param_p.py:27)
     gq_bin_size: int = 5               # gVCF (param_p.py:28)

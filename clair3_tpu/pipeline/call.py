@@ -303,6 +303,26 @@ class VariantCaller:
                 w.write(row)
         return path
 
+    def _final_phasing(self, final_rows, contig_names, outputs) -> None:
+        """Optional last stage: phase the merged VCF and haplotag the BAM
+        (reference: whatshap final phasing/haplotagging,
+        clair3_c_impl_pipeline.py:632-700)."""
+        cfg = self.cfg
+        if not (cfg.use_phasing_for_final_output or cfg.use_haplotagging_for_final_output):
+            return
+        from clair3_tpu.phase.final_phasing import haplotag_bam, phase_final_rows
+
+        phased_rows = phase_final_rows(cfg.bam_fn, final_rows, contig_names)
+        path = os.path.join(cfg.output_dir, "phased_merge_output.vcf.gz")
+        self._write_vcf(path, phased_rows, None)
+        outputs["phased_merge_output"] = path
+        if cfg.use_haplotagging_for_final_output:
+            out_bam = os.path.join(cfg.output_dir, "phased_output.bam")
+            _, n = haplotag_bam(cfg.bam_fn, cfg.ref_fn, phased_rows, out_bam,
+                                min_mq=cfg.min_mq)
+            logger.info("[haplotag] %d reads tagged -> %s", n, out_bam)
+            outputs["phased_output_bam"] = out_bam
+
     def _genotyping_add_back(self, rows: List[str]) -> List[str]:
         """Genotyping mode (--vcf_fn): re-add candidate sites missing from
         the output as ./. rows (AddBackMissingVariantsInGenotyping)."""
@@ -401,6 +421,7 @@ class VariantCaller:
             gvcf_path = self._write_gvcf(final_rows)
             if gvcf_path:
                 outputs["merge_output_gvcf"] = gvcf_path
+            self._final_phasing(final_rows, contig_names, outputs)
             logger.info("[timing] %s", {k: round(v, 2) for k, v in self.stage_times.items()})
             return outputs
 
@@ -451,5 +472,6 @@ class VariantCaller:
         gvcf_path = self._write_gvcf(merged)
         if gvcf_path:
             outputs["merge_output_gvcf"] = gvcf_path
+        self._final_phasing(merged, contig_names, outputs)
         logger.info("[timing] %s", {k: round(v, 2) for k, v in self.stage_times.items()})
         return outputs

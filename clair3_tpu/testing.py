@@ -105,6 +105,7 @@ def simulate_reads(
     baseq: int = 30,
     contig: str = "chr1",
     with_hp_tags: bool = False,
+    with_mv_tags: bool = False,
 ) -> List[BamRead]:
     """Tile reads across the reference at the requested coverage, alternating
     haplotypes and strands.  Returns coordinate-sorted BamReads."""
@@ -127,6 +128,14 @@ def simulate_reads(
                 tags: Dict = {}
                 if with_hp_tags:
                     tags["HP"] = hap + 1
+                if with_mv_tags:
+                    # per-base dwell of 1-3 signal blocks: "1" then k-1 zeros
+                    mv = [5]
+                    for k in range(len(seq)):
+                        blocks = 1 + (s + k) % 3
+                        mv.append(1)
+                        mv.extend([0] * (blocks - 1))
+                    tags["mv"] = np.array(mv, np.int8)
                 reads.append(
                     BamRead(
                         qname=f"read_{idx}",
@@ -156,6 +165,7 @@ def write_test_case(
     error_rate: float = 0.0,
     contig: str = "chr1",
     with_hp_tags: bool = False,
+    with_mv_tags: bool = False,
 ) -> Tuple[str, str, str, Sequence[SimVariant]]:
     """Materialise (fasta, bam) under dir_path; returns their paths + truth."""
     import os
@@ -167,7 +177,8 @@ def write_test_case(
     write_fasta(fasta_path, {contig: ref})
     reads = simulate_reads(
         ref, variants, coverage=coverage, read_length=read_length, seed=seed,
-        error_rate=error_rate, contig=contig, with_hp_tags=with_hp_tags)
+        error_rate=error_rate, contig=contig, with_hp_tags=with_hp_tags,
+        with_mv_tags=with_mv_tags)
     bam_path = os.path.join(dir_path, "reads.bam")
     write_bam(bam_path, [contig], [ref_length], reads)
     return fasta_path, bam_path, ref, variants

@@ -108,3 +108,32 @@ def test_full_cascade_with_phasing(phased_case, tmp_path):
     # FA stage must have run with haplotagging enabled
     fa_recs = list(VcfReader(outputs["full_alignment"]))
     assert len(fa_recs) > 0
+
+
+def test_final_phasing_and_haplotagging(phased_case, tmp_path):
+    """Final-output phasing: phased GT|PS in phased_merge_output, HP/PS tags
+    in phased_output.bam."""
+    from clair3_tpu.io.bam import BamReader
+
+    cfg = CallConfig(
+        platform="ont", bam_fn=phased_case["bam"], ref_fn=phased_case["fasta"],
+        output_dir=str(tmp_path / "outp"), pileup_only=True,
+        use_phasing_for_final_output=True,
+        use_haplotagging_for_final_output=True,
+    )
+    outputs = VariantCaller(cfg, pileup_engine=PileupOracleEngine()).run()
+    assert "phased_merge_output" in outputs
+    recs = list(VcfReader(outputs["phased_merge_output"]))
+    het = [r for r in recs if "|" in r.sample.split(":")[0]]
+    assert len(het) == len(phased_case["variants"])
+    # all co-phased: same orientation, same PS
+    gts = {r.sample.split(":")[0] for r in het}
+    pss = {r.sample.split(":")[-1] for r in het}
+    assert len(gts) == 1 and len(pss) == 1
+    assert all(r.format.endswith(":PS") for r in het)
+
+    bam = BamReader(outputs["phased_output_bam"])
+    tags = [r.tags.get("HP") for r in bam.fetch("chr1", 400, 3500)]
+    tagged = [t for t in tags if t]
+    assert len(tagged) > len(tags) * 0.5
+    assert set(tagged) == {1, 2}

@@ -161,3 +161,44 @@ def test_sort_rows_dedup_and_order():
     assert [r.split("\t")[0:2] for r in out] == [
         ["chr1", "2"], ["chr1", "9"], ["chr2", "5"]]
     assert "A\tG" in out[1]
+
+
+def test_cascade_with_dwell_time(case, tmp_path):
+    """--enable_dwell_time: 9-channel FA tensors from mv-tagged reads."""
+    import numpy as np
+    from clair3_tpu.fullalign.extractor import create_fa_tensors
+    from clair3_tpu.testing import write_test_case as _wtc
+
+    ref = random_reference(2000, seed=12)
+    variants = _truth_variants(ref)[:2]
+    fasta, bam, _, _ = _wtc(
+        str(tmp_path), ref_length=2000, variants=variants, coverage=25,
+        read_length=600, seed=12, error_rate=0.01, with_mv_tags=True)
+
+    # extractor level: dwell channel populated
+    tensors, _, _ = create_fa_tensors(
+        bam, fasta, "chr1", [variants[0].pos + 1], matrix_depth=30,
+        no_phasing=True, enable_dwell=True)
+    assert tensors.shape[-1] == 9
+    center_dwell = tensors[0, :, 16, 8]
+    covered = tensors[0, :, 16, 0] != 0
+    assert (center_dwell[covered] >= 1).all()
+    assert len(np.unique(center_dwell[covered])) > 1  # 1-3 block variation
+
+    # pipeline level with a dwell-aware oracle
+    cfg = CallConfig(
+        platform="ont", bam_fn=bam, ref_fn=fasta,
+        output_dir=str(tmp_path / "out"), threads=2,
+        no_phasing_for_fa=True, enable_dwell_time=True,
+        var_pct_full=1.0, ref_pct_full=1.0,
+    )
+    caller = VariantCaller(
+        cfg, pileup_engine=PileupOracleEngine(),
+        fa_engine=FullAlignmentOracleEngine())
+    outputs = caller.run()
+    recs = list(VcfReader(outputs["merge_output"]))
+    by_pos = {r.pos: r for r in recs}
+    assert by_pos[501].alt == variants[0].alt
+    assert by_pos[801].alt == variants[1].alt
+    fa_recs = list(VcfReader(outputs["full_alignment"]))
+    assert len(fa_recs) > 0
