@@ -52,6 +52,8 @@ def _add_call_args(p: argparse.ArgumentParser) -> None:
                    help="phase the final merged VCF (internal phaser)")
     p.add_argument("--use_haplotagging_for_final_output", action="store_true",
                    help="also write an HP/PS-tagged BAM (phased_output.bam)")
+    p.add_argument("--output_probabilities_fn", default=None,
+                   help="DEBUG: dump raw head probabilities per candidate")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace of the run to this directory")
 
@@ -157,6 +159,7 @@ def cmd_call(args: argparse.Namespace) -> int:
             args.enable_variant_calling_at_sequence_head_and_tail),
         use_phasing_for_final_output=args.use_phasing_for_final_output,
         use_haplotagging_for_final_output=args.use_haplotagging_for_final_output,
+        output_probabilities_fn=args.output_probabilities_fn,
     )
 
     if args.use_oracle_engines:
@@ -275,6 +278,11 @@ def cmd_train(args: argparse.Namespace) -> int:
     from clair3_tpu.config import TrainConfig
     from clair3_tpu.train.trainer import train_model
 
+    init_variables = None
+    if args.chkpnt_fn:
+        from clair3_tpu.models.params_io import load_variables
+
+        init_variables = load_variables(args.chkpnt_fn)
     cfg = TrainConfig(
         pileup=args.pileup,
         add_indel_length=args.add_indel_length,
@@ -290,9 +298,63 @@ def cmd_train(args: argparse.Namespace) -> int:
         from clair3_tpu.parallel.mesh import get_mesh
 
         mesh = get_mesh()
-    result = train_model(args.bin_fn, args.output_dir, cfg, mesh=mesh)
+    result = train_model(args.bin_fn, args.output_dir, cfg, mesh=mesh,
+                         init_variables=init_variables,
+                         use_class_weights=args.use_class_weights)
     print(f"[INFO] best_val_loss={result['best_val_loss']:.4f} "
           f"model={result['model_path']}")
+    return 0
+
+
+def cmd_decode_probabilities(args: argparse.Namespace) -> int:
+    """Re-decode dumped probabilities into VCF rows (reference:
+    CallVariants --input_probabilities)."""
+    import numpy as np
+
+    from clair3_tpu.decode import DecodeConfig, decode_candidate
+
+    cfg = DecodeConfig(
+        add_indel_length=not args.pileup,
+        pileup=args.pileup,
+        show_ref_calls=args.show_ref,
+        gvcf=False,
+    )
+    out = open(args.output_fn, "w") if args.output_fn else sys.stdout
+    with open(args.probabilities_fn) as fh:
+        for line in fh:
+            pos_info, alt_info, probs_s = line.rstrip("\n").split("\t")
+            probs = np.fromstring(probs_s, sep=" ")
+            row = decode_candidate(pos_info, alt_info, probs, cfg)
+            if row:
+                out.write(row)
+    if args.output_fn:
+        out.close()
+    return 0
+
+
+def cmd_metrics(args: argparse.Namespace) -> int:
+    """SNP/Indel precision-recall-F1 (GetOverallMetrics equivalent)."""
+    from clair3_tpu.postprocess import parse_happy_vcf, variant_metrics
+
+    if args.happy_vcf_fn:
+        rows = parse_happy_vcf(args.happy_vcf_fn, args.ctg_name)
+    else:
+        from clair3_tpu.io.vcf import VcfReader
+
+        truth = [r for r in VcfReader(args.truth_vcf_fn)
+                 if not args.ctg_name or r.chrom == args.ctg_name]
+        query = [r for r in VcfReader(args.query_vcf_fn)
+                 if not args.ctg_name or r.chrom == args.ctg_name]
+        rows = variant_metrics(truth, query,
+                               genotype_match=not args.ignore_genotype)
+    header = ["VariantType", "Query_FP", "Truth_FN", "Truth_TP", "Query_TP",
+              "Precision", "Recall", "F1-score"]
+    print("".join(h.ljust(14) for h in header))
+    for vt in ("SNP", "INDEL"):
+        m = rows[vt]
+        print("".join(str(x).ljust(14) for x in (
+            vt, m.query_fp, m.truth_fn, m.truth_tp, m.query_tp,
+            m.precision, m.recall, m.f1)))
     return 0
 
 
@@ -339,7 +401,28 @@ def main(argv=None) -> int:
     tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("--data_parallel", action="store_true",
                     help="shard batches over all devices via a Mesh")
+    tr.add_argument("--chkpnt_fn", default=None,
+                    help="initial .npz checkpoint for fine-tuning/resume")
+    tr.add_argument("--use_class_weights", action="store_true",
+                    help="effective-number class-balanced focal loss weights")
     tr.set_defaults(func=cmd_train)
+
+    dp = sub.add_parser("decode_probabilities",
+                        help="re-decode dumped head probabilities to VCF rows")
+    dp.add_argument("--probabilities_fn", required=True)
+    dp.add_argument("--output_fn", default=None)
+    dp.add_argument("--pileup", action="store_true")
+    dp.add_argument("--show_ref", action="store_true")
+    dp.set_defaults(func=cmd_decode_probabilities)
+
+    mt = sub.add_parser("metrics", help="SNP/Indel P/R/F1 vs a truth set")
+    mt.add_argument("--truth_vcf_fn", default=None)
+    mt.add_argument("--query_vcf_fn", default=None)
+    mt.add_argument("--happy_vcf_fn", default=None,
+                    help="digest a hap.py output VCF instead")
+    mt.add_argument("--ctg_name", default=None)
+    mt.add_argument("--ignore_genotype", action="store_true")
+    mt.set_defaults(func=cmd_metrics)
 
     args = parser.parse_args(argv)
     return args.func(args)

@@ -90,6 +90,11 @@ class VariantCaller:
         self.fa_engine = fa_engine
         self.phaser = phaser
         self.nonvariant_rows: List[str] = []
+        import threading
+
+        self._dump_lock = threading.Lock()
+        if self.cfg.output_probabilities_fn:
+            open(self.cfg.output_probabilities_fn, "w").close()
         # candidate gating (reference: CreateTensorPileupFromCffi.py:345-354)
         self._bed_tree = None
         if self.cfg.bed_fn:
@@ -191,6 +196,7 @@ class VariantCaller:
                 tensors = rescale_high_coverage_pileup(
                     tensors, alt_infos, max_depth=self.cfg.preset.max_depth)
                 probs = self.pileup_engine.predict(tensors)
+                self._dump_probabilities(pos_infos, alt_infos, probs)
                 rows.extend(batch_decode(pos_infos, alt_infos, probs, decode_cfg))
         if gvcf_writer is not None:
             self.nonvariant_rows = gvcf_writer.finish()
@@ -199,6 +205,16 @@ class VariantCaller:
             "[pileup] %d candidates -> %d rows in %.1fs",
             n_candidates, len(rows), time.time() - t0)
         return rows
+
+    def _dump_probabilities(self, pos_infos, alt_infos, probs) -> None:
+        """Debug hook: append raw head probabilities per candidate
+        (reference: CallVariants --output_probabilities)."""
+        if not self.cfg.output_probabilities_fn:
+            return
+        with self._dump_lock:
+            with open(self.cfg.output_probabilities_fn, "a") as fh:
+                for pi, ai, p in zip(pos_infos, alt_infos, probs):
+                    fh.write(f"{pi}\t{ai}\t" + " ".join(f"{x:.6f}" for x in p) + "\n")
 
     def _filter_candidates(self, ctg, tensors, pos_infos, alt_infos):
         keep = []
@@ -256,6 +272,7 @@ class VariantCaller:
                 if tensors.shape[0] == 0:
                     continue
                 probs = self.fa_engine.predict(tensors)
+                self._dump_probabilities(pos_infos, alt_infos, probs)
                 rows.extend(batch_decode(pos_infos, alt_infos, probs, decode_cfg))
         return rows
 

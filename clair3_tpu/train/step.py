@@ -50,6 +50,7 @@ def make_train_step(
     has_batch_stats: bool,
     mesh=None,
     gamma: float = 2.0,
+    task_class_weights=None,
 ) -> Callable:
     """Build the jitted sharded train step: (state, batch_x, batch_y, rng) ->
     (state, loss).  When a mesh is given, inputs are expected sharded along
@@ -67,7 +68,8 @@ def make_train_step(
         else:
             preds = model.apply(variables, x, train=True, rngs={"dropout": dropout_rng})
             new_stats = batch_stats
-        loss = multitask_loss(preds, y, add_indel_length=add_indel_length, gamma=gamma)
+        loss = multitask_loss(preds, y, add_indel_length=add_indel_length,
+                              gamma=gamma, task_class_weights=task_class_weights)
         return loss, new_stats
 
     def step(state: TrainState, x, y, dropout_rng):

@@ -63,6 +63,8 @@ def train_model(
     cfg: TrainConfig,
     mesh=None,
     max_steps: Optional[int] = None,
+    init_variables: Optional[dict] = None,
+    use_class_weights: bool = False,
 ) -> dict:
     """Train from HDF5 bins; returns {'best_val_loss', 'epochs', 'model_path'}."""
     os.makedirs(output_dir, exist_ok=True)
@@ -80,10 +82,37 @@ def train_model(
     state, tx = create_train_state(
         model, rng, jnp.asarray(x0[:2]),
         learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay)
+    if init_variables is not None:  # fine-tuning / resume
+        import flax
+
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, init_variables["params"]),
+            batch_stats=(jax.tree.map(jnp.asarray, init_variables["batch_stats"])
+                         if "batch_stats" in init_variables else state.batch_stats))
+
+    task_class_weights = None
+    if use_class_weights:
+        # effective-number class weights from the label distribution
+        # (reference: Train.py:79-84 with --effective_label_num)
+        from clair3_tpu.config import LABEL_SHAPE
+        from clair3_tpu.train.loss import effective_class_weights
+        import numpy as _np
+
+        counts = _np.zeros(sum(LABEL_SHAPE))
+        for b, c in dataset.chunks:
+            _, y = dataset.get_chunk(b, c)
+            counts += y.sum(axis=0)
+        task_class_weights = []
+        start = 0
+        for size in LABEL_SHAPE:
+            task_class_weights.append(jnp.asarray(
+                effective_class_weights(_np.maximum(counts[start:start + size], 1))))
+            start += size
     has_bn = state.batch_stats is not None
     step_fn = make_train_step(
         model, tx, add_indel_length=cfg.add_indel_length,
-        has_batch_stats=has_bn, mesh=mesh, gamma=cfg.focal_gamma)
+        has_batch_stats=has_bn, mesh=mesh, gamma=cfg.focal_gamma,
+        task_class_weights=task_class_weights)
 
     @jax.jit
     def eval_loss(params, batch_stats, x, y):
@@ -92,7 +121,8 @@ def train_model(
             variables["batch_stats"] = batch_stats
         preds = model.apply(variables, x, train=False)
         return multitask_loss(preds, y, add_indel_length=cfg.add_indel_length,
-                              gamma=cfg.focal_gamma)
+                              gamma=cfg.focal_gamma,
+                              task_class_weights=task_class_weights)
 
     chunks_per_batch = max(1, cfg.batch_size // cfg.chunk_size)
     py_rng = random.Random(cfg.seed)
