@@ -9,9 +9,60 @@
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace c3t {
+
+// Parallel inflate of pre-scanned BGZF blocks.  Each block is independent;
+// a header scan collects (compressed offset/len, output offset), then a
+// small thread pool inflates into the preallocated output.
+struct BlockJob {
+  size_t comp_off;
+  size_t comp_len;
+  size_t out_off;
+  uint32_t isize;
+};
+
+inline bool inflate_blocks_parallel(const uint8_t* comp,
+                                    const std::vector<BlockJob>& jobs,
+                                    uint8_t* out, int n_threads) {
+  if (jobs.empty()) return true;
+  if (n_threads < 1) n_threads = 1;
+  n_threads = std::min<int>(n_threads, (int)jobs.size());
+  std::vector<uint8_t> failed(n_threads, 0);
+  auto work = [&](int t) {
+    for (size_t i = t; i < jobs.size(); i += n_threads) {
+      const BlockJob& j = jobs[i];
+      if (j.isize == 0) continue;
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      inflateInit2(&zs, -15);
+      zs.next_in = const_cast<uint8_t*>(comp + j.comp_off);
+      zs.avail_in = (uInt)j.comp_len;
+      zs.next_out = out + j.out_off;
+      zs.avail_out = j.isize;
+      int ret = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (ret != Z_STREAM_END) failed[t] = 1;
+    }
+  };
+  if (n_threads == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < n_threads; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+  }
+  for (auto f : failed)
+    if (f) return false;
+  return true;
+}
+
+inline int default_inflate_threads() {
+  unsigned hw = std::thread::hardware_concurrency();
+  return hw ? std::min(4u, hw) : 1;
+}
 
 constexpr uint16_t kFilterFlag = 2316;  // UNMAP|MUNMAP|SECONDARY|SUPPLEMENTARY
 inline const char* kSeqNt16 = "=ACMGRSVTWYHKDBN";
@@ -30,6 +81,9 @@ inline bool bgzf_read_all(const char* path, std::vector<uint8_t>* out) {
   }
   fclose(fp);
 
+  // pass 1: scan block headers
+  std::vector<BlockJob> jobs;
+  size_t total = 0;
   size_t off = 0;
   while (off + 18 <= comp.size()) {
     if (comp[off] != 0x1f || comp[off + 1] != 0x8b) return false;
@@ -50,27 +104,17 @@ inline bool bgzf_read_all(const char* path, std::vector<uint8_t>* out) {
       eoff += 4 + slen;
     }
     if (bsize < 0) return false;
-    size_t payload_off = off + 12 + xlen;
-    size_t payload_len = bsize - 12 - xlen - 8;
     uint32_t isize;
     memcpy(&isize, comp.data() + off + bsize - 4, 4);
-    if (isize > 0) {
-      size_t old = out->size();
-      out->resize(old + isize);
-      z_stream zs;
-      memset(&zs, 0, sizeof(zs));
-      inflateInit2(&zs, -15);
-      zs.next_in = comp.data() + payload_off;
-      zs.avail_in = payload_len;
-      zs.next_out = out->data() + old;
-      zs.avail_out = isize;
-      int ret = inflate(&zs, Z_FINISH);
-      inflateEnd(&zs);
-      if (ret != Z_STREAM_END) return false;
-    }
+    jobs.push_back({off + 12 + xlen, (size_t)(bsize - 12 - xlen - 8), total, isize});
+    total += isize;
     off += bsize;
   }
-  return true;
+
+  // pass 2: parallel inflate
+  out->resize(total);
+  return inflate_blocks_parallel(comp.data(), jobs, out->data(),
+                                 default_inflate_threads());
 }
 
 // decompress only blocks with file offset in [coffset_begin, coffset_end]
@@ -82,58 +126,49 @@ inline bool bgzf_read_range(const char* path, uint64_t coffset_begin,
     fclose(fp);
     return false;
   }
-  uint64_t offset = coffset_begin;
-  while (offset <= coffset_end) {
-    uint8_t header[12];
-    if (fread(header, 1, 12, fp) != 12) break;
+  // read the compressed window in one go, then scan + parallel inflate.
+  // The last needed block's size is unknown until its header is read, so
+  // read up to coffset_end + 64KiB (max BGZF block size).
+  fseek(fp, 0, SEEK_END);
+  uint64_t fsize = (uint64_t)ftell(fp);
+  uint64_t read_end = coffset_end + 65536 < fsize ? coffset_end + 65536 : fsize;
+  fseek(fp, (long)coffset_begin, SEEK_SET);
+  std::vector<uint8_t> comp(read_end - coffset_begin);
+  if (!comp.empty() && fread(comp.data(), 1, comp.size(), fp) != comp.size()) {
+    fclose(fp);
+    return false;
+  }
+  fclose(fp);
+
+  std::vector<BlockJob> jobs;
+  size_t total = 0;
+  size_t off = 0;
+  while (coffset_begin + off <= coffset_end && off + 18 <= comp.size()) {
+    if (comp[off] != 0x1f || comp[off + 1] != 0x8b) return false;
     uint16_t xlen;
-    memcpy(&xlen, header + 10, 2);
-    std::vector<uint8_t> extra(xlen);
-    if (fread(extra.data(), 1, xlen, fp) != xlen) break;
+    memcpy(&xlen, comp.data() + off + 10, 2);
     int bsize = -1;
     size_t eoff = 0;
     while (eoff + 4 <= xlen) {
       uint16_t slen;
-      memcpy(&slen, extra.data() + eoff + 2, 2);
-      if (extra[eoff] == 'B' && extra[eoff + 1] == 'C' && slen == 2) {
+      memcpy(&slen, comp.data() + off + 12 + eoff + 2, 2);
+      if (comp[off + 12 + eoff] == 'B' && comp[off + 12 + eoff + 1] == 'C' && slen == 2) {
         uint16_t bs;
-        memcpy(&bs, extra.data() + eoff + 4, 2);
+        memcpy(&bs, comp.data() + off + 12 + eoff + 4, 2);
         bsize = bs + 1;
       }
       eoff += 4 + slen;
     }
-    if (bsize < 0) {
-      fclose(fp);
-      return false;
-    }
-    size_t payload_len = bsize - 12 - xlen - 8;
-    std::vector<uint8_t> payload(payload_len);
-    if (payload_len && fread(payload.data(), 1, payload_len, fp) != payload_len) break;
-    uint8_t footer[8];
-    if (fread(footer, 1, 8, fp) != 8) break;
+    if (bsize < 0 || off + bsize > comp.size()) return false;
     uint32_t isize;
-    memcpy(&isize, footer + 4, 4);
-    if (isize > 0) {
-      size_t old = out->size();
-      out->resize(old + isize);
-      z_stream zs;
-      memset(&zs, 0, sizeof(zs));
-      inflateInit2(&zs, -15);
-      zs.next_in = payload.data();
-      zs.avail_in = payload_len;
-      zs.next_out = out->data() + old;
-      zs.avail_out = isize;
-      int ret = inflate(&zs, Z_FINISH);
-      inflateEnd(&zs);
-      if (ret != Z_STREAM_END) {
-        fclose(fp);
-        return false;
-      }
-    }
-    offset += bsize;
+    memcpy(&isize, comp.data() + off + bsize - 4, 4);
+    jobs.push_back({off + 12 + xlen, (size_t)(bsize - 12 - xlen - 8), total, isize});
+    total += isize;
+    off += bsize;
   }
-  fclose(fp);
-  return true;
+  out->resize(total);
+  return inflate_blocks_parallel(comp.data(), jobs, out->data(),
+                                 default_inflate_threads());
 }
 
 struct BamView {
