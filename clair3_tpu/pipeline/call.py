@@ -195,9 +195,15 @@ class VariantCaller:
                 n_candidates += tensors.shape[0]
                 tensors = rescale_high_coverage_pileup(
                     tensors, alt_infos, max_depth=self.cfg.preset.max_depth)
-                probs = self.pileup_engine.predict(tensors)
-                self._dump_probabilities(pos_infos, alt_infos, probs)
-                rows.extend(batch_decode(pos_infos, alt_infos, probs, decode_cfg))
+                # one-deep pipelining: decode chunk i-1 on host while the
+                # device computes chunk i
+                pending = self._submit(self.pileup_engine, tensors, pos_infos,
+                                       alt_infos, getattr(self, "_p_pending", None),
+                                       rows, decode_cfg)
+                self._p_pending = pending
+            rows.extend(self._drain(self.pileup_engine,
+                                    getattr(self, "_p_pending", None), decode_cfg))
+            self._p_pending = None
         if gvcf_writer is not None:
             self.nonvariant_rows = gvcf_writer.finish()
             fa.close()
@@ -205,6 +211,29 @@ class VariantCaller:
             "[pileup] %d candidates -> %d rows in %.1fs",
             n_candidates, len(rows), time.time() - t0)
         return rows
+
+    def _submit(self, engine, tensors, pos_infos, alt_infos, pending, rows,
+                decode_cfg):
+        """Enqueue one batch on the device; decode the previous batch while
+        it runs.  Falls back to synchronous predict for engines without the
+        async API (test oracles)."""
+        if not hasattr(engine, "predict_async"):
+            probs = engine.predict(tensors)
+            self._dump_probabilities(pos_infos, alt_infos, probs)
+            rows.extend(batch_decode(pos_infos, alt_infos, probs, decode_cfg))
+            return None
+        handles = engine.predict_async(tensors)
+        if pending is not None:
+            rows.extend(self._drain(engine, pending, decode_cfg))
+        return (pos_infos, alt_infos, handles)
+
+    def _drain(self, engine, pending, decode_cfg) -> List[str]:
+        if pending is None:
+            return []
+        pos_infos, alt_infos, handles = pending
+        probs = engine.gather(handles)
+        self._dump_probabilities(pos_infos, alt_infos, probs)
+        return batch_decode(pos_infos, alt_infos, probs, decode_cfg)
 
     def _dump_probabilities(self, pos_infos, alt_infos, probs) -> None:
         """Debug hook: append raw head probabilities per candidate
@@ -267,13 +296,14 @@ class VariantCaller:
                 enable_dwell=self.cfg.enable_dwell_time,
             )
 
+        pending = None
         with ThreadPoolExecutor(max_workers=max(1, self.cfg.threads)) as pool:
             for tensors, pos_infos, alt_infos in pool.map(_extract, batches):
                 if tensors.shape[0] == 0:
                     continue
-                probs = self.fa_engine.predict(tensors)
-                self._dump_probabilities(pos_infos, alt_infos, probs)
-                rows.extend(batch_decode(pos_infos, alt_infos, probs, decode_cfg))
+                pending = self._submit(self.fa_engine, tensors, pos_infos,
+                                       alt_infos, pending, rows, decode_cfg)
+            rows.extend(self._drain(self.fa_engine, pending, decode_cfg))
         return rows
 
     # ------------------------------------------------------------------
@@ -382,12 +412,20 @@ class VariantCaller:
         fa = FastaFile(self.cfg.ref_fn)
         all_reads = []
         total = 0
+        step = 2_000_000  # bound memory; reads partition by start position
         for name, length in contigs:
-            reads = list(bam.fetch(name, 0, length, min_mq=self.cfg.min_mq))
-            ref_seq = fa.fetch(name, 0, length)
-            realigned, n = realign_reads_in_region(reads, ref_seq, 0, 0, length)
-            total += n
-            all_reads.extend(realigned)
+            for cs in range(0, length, step):
+                ce = min(length, cs + step)
+                reads = [r for r in bam.fetch(name, cs, ce, min_mq=self.cfg.min_mq)
+                         if r.pos >= cs]
+                if not reads:
+                    continue
+                ref_start = max(0, cs - 2000)
+                ref_seq = fa.fetch(name, ref_start, min(length, ce + 2000))
+                realigned, n = realign_reads_in_region(
+                    reads, ref_seq, ref_start, cs, ce)
+                total += n
+                all_reads.extend(realigned)
         fa.close()
         out_path = os.path.join(self.cfg.output_dir, "realigned.bam")
         write_bam(out_path, bam.references, bam.lengths, all_reads)

@@ -64,12 +64,13 @@ class InferenceEngine:
         top = self.buckets[-1]
         return ((n + top - 1) // top) * top
 
-    def predict(self, x: np.ndarray) -> np.ndarray:
-        """Forward a host batch; returns probabilities [N, 24|90] float32."""
+    def predict_async(self, x: np.ndarray) -> List:
+        """Enqueue a host batch; returns device handles (no host sync).
+        Lets the caller overlap its CPU decode of batch i with the device
+        computing batch i+1 (replacing the reference's shared-memory
+        GPU-predict/CPU-decode split, CallVariantsFromCffi.py:299-353)."""
         n = x.shape[0]
-        if n == 0:
-            return np.zeros((0, 90), np.float32)
-        outs: List[np.ndarray] = []
+        handles: List = []
         top = self.buckets[-1]
         for lo in range(0, n, top):
             chunk = x[lo: lo + top]
@@ -79,9 +80,21 @@ class InferenceEngine:
                 pad = np.zeros((b - m,) + chunk.shape[1:], chunk.dtype)
                 chunk = np.concatenate([chunk, pad], axis=0)
             dev = jax.device_put(chunk, self._in_sharding)
-            y = self._forward(self.variables, dev)
-            outs.append(np.asarray(y)[:m])
-        return np.concatenate(outs, axis=0)
+            handles.append((self._forward(self.variables, dev), m))
+        return handles
+
+    @staticmethod
+    def gather(handles: List) -> np.ndarray:
+        """Fetch async handles to host probabilities [N, 24|90]."""
+        if not handles:
+            return np.zeros((0, 90), np.float32)
+        return np.concatenate([np.asarray(y)[:m] for y, m in handles], axis=0)
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        """Forward a host batch; returns probabilities [N, 24|90] float32."""
+        if x.shape[0] == 0:
+            return np.zeros((0, 90), np.float32)
+        return self.gather(self.predict_async(x))
 
 
 def rescale_high_coverage_pileup(
