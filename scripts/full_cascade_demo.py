@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Full-cascade acceptance run: train BOTH networks from scratch on
+simulated data, then run the complete two-stage pipeline — pileup calling,
+QUAL-quantile routing, internal read-backed phasing, in-extractor
+haplotagging, full-alignment re-calling, merge — on a held-out region and
+score genotype-exact SNP/Indel F1.
+
+Usage:  python scripts/full_cascade_demo.py [output_dir]
+"""
+
+import os
+import random
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def simulate(out_dir, L, seed=7, step=130):
+    from clair3_tpu.testing import SimVariant, random_reference, write_test_case
+
+    ref = random_reference(L, seed=seed)
+    rng = random.Random(seed)
+    variants = []
+    for pos in range(400, L - 400, step):
+        kind = rng.random()
+        gt = (1, 1) if rng.random() < 0.5 else ((0, 1) if rng.random() < 0.5 else (1, 0))
+        if kind < 0.7:
+            alt = rng.choice([b for b in "ACGT" if b != ref[pos]])
+            variants.append(SimVariant(pos, ref[pos], alt, gt))
+        elif kind < 0.85:
+            ins = "".join(rng.choice("ACGT") for _ in range(rng.randint(1, 3)))
+            variants.append(SimVariant(pos, ref[pos], ref[pos] + ins, gt))
+        else:
+            dlen = rng.randint(1, 3)
+            variants.append(SimVariant(pos, ref[pos:pos + dlen + 1], ref[pos], gt))
+    fasta, bam, _, _ = write_test_case(
+        out_dir, ref_length=L, variants=variants, coverage=25,
+        read_length=900, seed=seed, error_rate=0.02)
+    return fasta, bam, ref, variants
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="c3t_full_")
+    os.makedirs(out_dir, exist_ok=True)
+    t_start = time.time()
+
+    from clair3_tpu.config import CallConfig, TrainConfig
+    from clair3_tpu.fullalign.extractor import PhasedVariant, create_fa_tensors
+    from clair3_tpu.io.vcf import VcfReader, VcfRecord
+    from clair3_tpu.models import FullAlignmentNet, PileupNet
+    from clair3_tpu.models.params_io import load_variables
+    from clair3_tpu.phase import ReadBackedPhaser
+    from clair3_tpu.pileup.extractor import create_pileup_tensors
+    from clair3_tpu.pipeline.call import VariantCaller
+    from clair3_tpu.pipeline.engine import InferenceEngine
+    from clair3_tpu.postprocess import variant_metrics
+    from clair3_tpu.train.data import TruthVariant, build_labels, write_bin
+    from clair3_tpu.train.trainer import train_model
+
+    L = 260_000
+    TRAIN_END = 220_000
+    print(f"[full] simulating {L // 1000}kb diploid genome -> {out_dir}")
+    fasta, bam, ref, variants = simulate(out_dir, L)
+    truths = [TruthVariant("chr1", v.pos + 1, v.ref, v.alt, *sorted(v.genotype))
+              for v in variants]
+
+    # ---- stage 1 training data: pileup tensors ----
+    print("[full] pileup tensors + labels")
+    p_tensors, p_pos, p_alt, _ = create_pileup_tensors(
+        bam, fasta, "chr1", 1, TRAIN_END, min_snp_af=0.08, min_indel_af=0.12)
+    labels, keep = build_labels(p_pos, truths, maximum_non_variant_ratio=5.0)
+    p_bin = os.path.join(out_dir, "pileup.bin")
+    write_bin(p_bin, p_tensors[keep], labels[keep],
+              [x for x, k in zip(p_pos, keep) if k],
+              [x for x, k in zip(p_alt, keep) if k])
+
+    print("[full] training PileupNet")
+    p_cfg = TrainConfig(pileup=True, add_indel_length=False, batch_size=1000,
+                        chunk_size_pileup=100, max_epoch=60, seed=0,
+                        early_stop_patience=15)
+    p_result = train_model([p_bin], os.path.join(out_dir, "pileup_model"),
+                           p_cfg, max_steps=400)
+    print(f"[full] pileup best_val_loss={p_result['best_val_loss']:.4f}")
+
+    # ---- stage 2 training data: FA tensors with haplotagging ----
+    print("[full] full-alignment tensors (haplotagged) + labels")
+    # phased het SNPs from the simulation truth: haplotype 0 carries the alt
+    # for gt (1,0) -> extractor genotype code 2; gt (0,1) -> code 1
+    phased = [
+        (v.pos + 1, f"{v.ref}-{v.alt}-{1 if v.genotype == (0, 1) else 2}-1")
+        for v in variants
+        if len(v.ref) == 1 and len(v.alt) == 1 and v.genotype in ((0, 1), (1, 0))
+    ]
+    cand_positions = [int(p.split(":")[-2]) for p in p_pos]
+    f_tensors, f_pos, f_alt = create_fa_tensors(
+        bam, fasta, "chr1", cand_positions, phased_snps=phased,
+        matrix_depth=55, no_phasing=False)
+    f_labels, f_keep = build_labels(f_pos, truths, maximum_non_variant_ratio=1.0)
+    f_bin = os.path.join(out_dir, "fa.bin")
+    write_bin(f_bin, f_tensors[f_keep], f_labels[f_keep],
+              [x for x, k in zip(f_pos, f_keep) if k],
+              [x for x, k in zip(f_alt, f_keep) if k])
+
+    print("[full] training FullAlignmentNet")
+    f_cfg = TrainConfig(pileup=False, add_indel_length=True, batch_size=500,
+                        chunk_size_fa=100, max_epoch=60, seed=0,
+                        early_stop_patience=15)
+    f_result = train_model([f_bin], os.path.join(out_dir, "fa_model"),
+                           f_cfg, max_steps=300)
+    print(f"[full] FA best_val_loss={f_result['best_val_loss']:.4f}")
+
+    # ---- full cascade on the held-out region ----
+    print("[full] running the two-stage cascade on the held-out region")
+    p_engine = InferenceEngine(
+        PileupNet(add_indel_length=False),
+        load_variables(p_result["model_path"]), buckets=(256, 1024))
+    f_engine = InferenceEngine(
+        FullAlignmentNet(add_indel_length=True, input_channels=8),
+        load_variables(f_result["model_path"]), buckets=(256, 1024))
+    eval_bed = os.path.join(out_dir, "eval.bed")
+    with open(eval_bed, "w") as fh:
+        fh.write(f"chr1\t{TRAIN_END}\t{L}\n")
+    call_cfg = CallConfig(
+        platform="hifi",  # matrix_depth 55 to match the trained FA net
+        bam_fn=bam, ref_fn=fasta, bed_fn=eval_bed,
+        output_dir=os.path.join(out_dir, "out"),
+        indel_min_af=0.12, threads=4,
+        var_pct_full=0.3, ref_pct_full=0.3,
+    )
+    caller = VariantCaller(call_cfg, pileup_engine=p_engine, fa_engine=f_engine,
+                           phaser=ReadBackedPhaser(bam))
+    outputs = caller.run()
+    fa_calls = sum(1 for _ in VcfReader(outputs["full_alignment"]))
+    print(f"[full] full-alignment stage re-called {fa_calls} candidates")
+
+    truth_recs = [
+        VcfRecord("chr1", v.pos + 1, v.ref, v.alt, 60, "PASS", ".", "GT",
+                  "1/1" if v.genotype == (1, 1) else "0/1")
+        for v in variants if v.pos >= TRAIN_END
+    ]
+    query_recs = list(VcfReader(outputs["merge_output"]))
+    m = variant_metrics(truth_recs, query_recs)
+    header = ["VariantType", "FP", "FN", "TP", "Precision", "Recall", "F1-score"]
+    print("".join(h.ljust(13) for h in header))
+    for vt in ("SNP", "INDEL"):
+        r = m[vt]
+        print("".join(str(x).ljust(13) for x in (
+            vt, r.query_fp, r.truth_fn, r.truth_tp, r.precision, r.recall, r.f1)))
+    print(f"[full] total {time.time() - t_start:.0f}s; outputs in {out_dir}")
+    return 0 if m["SNP"].f1 >= 0.9 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
