@@ -204,36 +204,22 @@ def get_long_indel_read_count(
 # outcome probability enumeration (CallVariants.py:303-372, 510-659)
 # ---------------------------------------------------------------------------
 
-def _length_tuples(vl1, vl2, add_indel_length):
-    """Enumerated (lengths, probabilities) per outcome family when the
-    indel-length heads are present; empty length lists otherwise."""
-    out = {}
-    if not add_indel_length:
-        return None
-    homo_ins = [(i, vl1[i + _VL_OFF] * vl2[i + _VL_OFF]) for i in range(1, _VL_MAX + 1)]
-    het_ins = [(i, vl1[0 + _VL_OFF] * vl2[i + _VL_OFF]) for i in range(1, _VL_MAX + 1)]
-    het_insins = [
-        ((i, j), vl1[i + _VL_OFF] * vl2[j + _VL_OFF])
-        for i in range(1, _VL_MAX + 1)
-        for j in range(i, _VL_MAX + 1)
-    ]
-    homo_del = [(i, vl1[-i + _VL_OFF] * vl2[-i + _VL_OFF]) for i in range(1, _VL_MAX + 1)]
-    het_del = [(i, vl1[-i + _VL_OFF] * vl2[0 + _VL_OFF]) for i in range(1, _VL_MAX + 1)]
-    het_deldel = [
-        ((i, j) if i < j else (j, i), vl1[-i + _VL_OFF] * vl2[-j + _VL_OFF])
-        for i in range(1, _VL_MAX + 1)
-        for j in range(1, _VL_MAX + 1)
-        if not (i == j and i != _VL_OFF and j != _VL_OFF)
-    ]
-    het_insdel = [
-        ((i, j), vl1[-i + _VL_OFF] * vl2[j + _VL_OFF])
-        for i in range(1, _VL_MAX + 1)
-        for j in range(1, _VL_MAX + 1)
-    ]
-    out.update(homo_ins=homo_ins, het_ins=het_ins, het_insins=het_insins,
-               homo_del=homo_del, het_del=het_del, het_deldel=het_deldel,
-               het_insdel=het_insdel)
-    return out
+_HOMO_LENGTHS = list(range(1, _VL_MAX + 1))
+_INSINS_PAIRS = [(i, j) for i in range(1, _VL_MAX + 1) for j in range(i, _VL_MAX + 1)]
+_INSINS_I = np.array([i - 1 for i, _ in _INSINS_PAIRS])
+_INSINS_J = np.array([j - 1 for _, j in _INSINS_PAIRS])
+_DELDEL_PAIRS_RAW = [
+    (i, j) for i in range(1, _VL_MAX + 1) for j in range(1, _VL_MAX + 1)
+    if not (i == j and i != _VL_OFF and j != _VL_OFF)
+]
+_DELDEL_PAIRS = [(i, j) if i < j else (j, i) for i, j in _DELDEL_PAIRS_RAW]
+_DELDEL_I = np.array([i - 1 for i, _ in _DELDEL_PAIRS_RAW])
+_DELDEL_J = np.array([j - 1 for _, j in _DELDEL_PAIRS_RAW])
+_INSDEL_PAIRS = [(i, j) for i in range(1, _VL_MAX + 1) for j in range(1, _VL_MAX + 1)]
+_ACGT_LEN_BASES = [b for _ in _HOMO_LENGTHS for b in ACGT]          # length-major
+_ACGT_LEN_LENGTHS = [l for l in _HOMO_LENGTHS for _ in ACGT]
+_INS_GT21_IDX = np.array([GT21.AIns, GT21.CIns, GT21.GIns, GT21.TIns])
+_DEL_GT21_IDX = np.array([GT21.ADel, GT21.CDel, GT21.GDel, GT21.TDel])
 
 
 class _Outcomes:
@@ -265,21 +251,22 @@ def enumerate_outcomes(gt21, genotype, vl1, vl2, reference_base, add_indel_lengt
         if p_ref >= 0.5 and gt21[ref_gt21] >= 0.5:
             o.ref_only = True
             return o
-        o.homo_snp = [p_hom * gt21[g] for g in HOMO_SNP_GT21]
-        o.hetero_snp = [p_het * gt21[g] for g in HETERO_SNP_GT21]
-        o.homo_ins = [p_hom * gt21[GT21.InsIns]]
+        gt21 = np.asarray(gt21)
+        o.homo_snp = np.array([p_hom * gt21[g] for g in HOMO_SNP_GT21])
+        o.hetero_snp = np.array([p_het * gt21[g] for g in HETERO_SNP_GT21])
+        o.homo_ins = np.array([p_hom * gt21[GT21.InsIns]])
         o.homo_ins_lengths = []
-        o.het_insins = [p_het * gt21[GT21.InsIns]]
+        o.het_insins = np.array([p_het * gt21[GT21.InsIns]])
         o.het_insins_lengths = []
-        o.het_acgt_ins = [gt21[g] * p_het for g in (GT21.AIns, GT21.CIns, GT21.GIns, GT21.TIns)]
+        o.het_acgt_ins = gt21[_INS_GT21_IDX] * p_het
         o.het_acgt_ins_bases, o.het_acgt_ins_lengths = [], []
-        o.homo_del = [p_hom * gt21[GT21.DelDel]]
+        o.homo_del = np.array([p_hom * gt21[GT21.DelDel]])
         o.homo_del_lengths = []
-        o.het_deldel = [p_het * gt21[GT21.DelDel]]
+        o.het_deldel = np.array([p_het * gt21[GT21.DelDel]])
         o.het_deldel_lengths = []
-        o.het_acgt_del = [gt21[g] * p_het for g in (GT21.ADel, GT21.CDel, GT21.GDel, GT21.TDel)]
+        o.het_acgt_del = gt21[_DEL_GT21_IDX] * p_het
         o.het_acgt_del_bases, o.het_acgt_del_lengths = [], []
-        o.het_insdel = [p_het * gt21[GT21.InsDel]]
+        o.het_insdel = np.array([p_het * gt21[GT21.InsDel]])
         o.het_insdel_lengths = []
         return o
 
@@ -290,39 +277,37 @@ def enumerate_outcomes(gt21, genotype, vl1, vl2, reference_base, add_indel_lengt
     if vl0_1 >= 0.5 and vl0_2 >= 0.5 and p_ref >= 0.5 and gt21[ref_gt21] >= 0.5:
         o.ref_only = True
         return o
-    o.homo_snp = [vl0 * p_hom * gt21[g] for g in HOMO_SNP_GT21]
-    o.hetero_snp = [vl0 * p_het * gt21[g] for g in HETERO_SNP_GT21]
+    o.homo_snp = np.array([vl0 * p_hom * gt21[g] for g in HOMO_SNP_GT21])
+    o.hetero_snp = np.array([vl0 * p_het * gt21[g] for g in HETERO_SNP_GT21])
 
-    lt = _length_tuples(vl1, vl2, True)
-    e_homo_ins = p_hom * gt21[GT21.InsIns]
-    o.homo_ins_lengths = [l for l, _ in lt["homo_ins"]]
-    o.homo_ins = [p * e_homo_ins for _, p in lt["homo_ins"]]
-    e_het_insins = p_het * gt21[GT21.InsIns]
-    o.het_insins_lengths = [l for l, _ in lt["het_insins"]]
-    o.het_insins = [p * e_het_insins for _, p in lt["het_insins"]]
-    o.het_acgt_ins_bases, o.het_acgt_ins_lengths, o.het_acgt_ins = [], [], []
-    for length, p in lt["het_ins"]:
-        for g, base in ((GT21.AIns, "A"), (GT21.CIns, "C"), (GT21.GIns, "G"), (GT21.TIns, "T")):
-            o.het_acgt_ins_bases.append(base)
-            o.het_acgt_ins_lengths.append(length)
-            o.het_acgt_ins.append(p * gt21[g] * p_het)
+    # vectorized outcome-family values over static index maps (hot path:
+    # the reference builds ~1k-element Python lists per candidate here)
+    gt21 = np.asarray(gt21)
+    v1p = np.asarray(vl1[_VL_OFF + 1:])       # insertion lengths +1..+16
+    v2p = np.asarray(vl2[_VL_OFF + 1:])
+    v1n = np.asarray(vl1[_VL_OFF - 1::-1])    # deletion lengths -1..-16
+    v2n = np.asarray(vl2[_VL_OFF - 1::-1])
 
-    e_homo_del = p_hom * gt21[GT21.DelDel]
-    o.homo_del_lengths = [l for l, _ in lt["homo_del"]]
-    o.homo_del = [p * e_homo_del for _, p in lt["homo_del"]]
-    e_het_deldel = p_het * gt21[GT21.DelDel]
-    o.het_deldel_lengths = [l for l, _ in lt["het_deldel"]]
-    o.het_deldel = [p * e_het_deldel for _, p in lt["het_deldel"]]
-    o.het_acgt_del_bases, o.het_acgt_del_lengths, o.het_acgt_del = [], [], []
-    for length, p in lt["het_del"]:
-        for g, base in ((GT21.ADel, "A"), (GT21.CDel, "C"), (GT21.GDel, "G"), (GT21.TDel, "T")):
-            o.het_acgt_del_bases.append(base)
-            o.het_acgt_del_lengths.append(length)
-            o.het_acgt_del.append(p * gt21[g] * p_het)
+    o.homo_ins_lengths = _HOMO_LENGTHS
+    o.homo_ins = v1p * v2p * (p_hom * gt21[GT21.InsIns])
+    o.het_insins_lengths = _INSINS_PAIRS
+    o.het_insins = v1p[_INSINS_I] * v2p[_INSINS_J] * (p_het * gt21[GT21.InsIns])
+    o.het_acgt_ins_bases = _ACGT_LEN_BASES
+    o.het_acgt_ins_lengths = _ACGT_LEN_LENGTHS
+    het_ins_len = vl1[_VL_OFF] * v2p                        # (16,)
+    o.het_acgt_ins = (het_ins_len[:, None] * (gt21[_INS_GT21_IDX] * p_het)[None, :]).ravel()
 
-    e_insdel = p_het * gt21[GT21.InsDel]
-    o.het_insdel_lengths = [l for l, _ in lt["het_insdel"]]
-    o.het_insdel = [p * e_insdel for _, p in lt["het_insdel"]]
+    o.homo_del_lengths = _HOMO_LENGTHS
+    o.homo_del = v1n * v2n * (p_hom * gt21[GT21.DelDel])
+    o.het_deldel_lengths = _DELDEL_PAIRS
+    o.het_deldel = v1n[_DELDEL_I] * v2n[_DELDEL_J] * (p_het * gt21[GT21.DelDel])
+    o.het_acgt_del_bases = _ACGT_LEN_BASES
+    o.het_acgt_del_lengths = _ACGT_LEN_LENGTHS
+    het_del_len = v1n * vl2[_VL_OFF]
+    o.het_acgt_del = (het_del_len[:, None] * (gt21[_DEL_GT21_IDX] * p_het)[None, :]).ravel()
+
+    o.het_insdel_lengths = _INSDEL_PAIRS
+    o.het_insdel = (v1n[:, None] * v2p[None, :]).ravel() * (p_het * gt21[GT21.InsDel])
     return o
 
 
@@ -358,31 +343,30 @@ def select_output(
     maximum_probability = 0.0
 
     while reference_base is None or alternate_base is None:
-        maximum_probability = max(
-            o.homo_ref,
-            max(o.homo_snp),
-            max(o.hetero_snp),
-            max(o.homo_ins) if o.homo_ins else 0,
-            max(o.homo_del) if o.homo_del else 0,
-            max(o.het_acgt_ins) if o.het_acgt_ins else 0,
-            max(o.het_insins) if o.het_insins else 0,
-            max(o.het_acgt_del) if o.het_acgt_del else 0,
-            max(o.het_deldel) if o.het_deldel else 0,
-            max(o.het_insdel) if o.het_insdel else 0,
-        )
+        fam_max = {
+            name: (float(arr.max()) if arr.size else 0.0)
+            for name, arr in (
+                ("homo_snp", o.homo_snp), ("hetero_snp", o.hetero_snp),
+                ("homo_ins", o.homo_ins), ("homo_del", o.homo_del),
+                ("het_acgt_ins", o.het_acgt_ins), ("het_insins", o.het_insins),
+                ("het_acgt_del", o.het_acgt_del), ("het_deldel", o.het_deldel),
+                ("het_insdel", o.het_insdel),
+            )
+        }
+        maximum_probability = max(o.homo_ref, *fam_max.values())
 
         if maximum_probability == o.homo_ref:
             return _REF_FLAGS, (reference_base_acgt, reference_base_acgt), maximum_probability
 
-        is_homo_SNP = maximum_probability in o.homo_snp
-        is_hetero_SNP = maximum_probability in o.hetero_snp
-        is_homo_insertion = maximum_probability in o.homo_ins
-        is_hetero_ACGT_Ins = maximum_probability in o.het_acgt_ins
-        is_hetero_InsIns = maximum_probability in o.het_insins
-        is_homo_deletion = maximum_probability in o.homo_del
-        is_hetero_ACGT_Del = maximum_probability in o.het_acgt_del
-        is_hetero_DelDel = maximum_probability in o.het_deldel
-        is_insertion_and_deletion = maximum_probability in o.het_insdel
+        is_homo_SNP = maximum_probability == fam_max["homo_snp"]
+        is_hetero_SNP = maximum_probability == fam_max["hetero_snp"]
+        is_homo_insertion = maximum_probability == fam_max["homo_ins"]
+        is_hetero_ACGT_Ins = maximum_probability == fam_max["het_acgt_ins"]
+        is_hetero_InsIns = maximum_probability == fam_max["het_insins"]
+        is_homo_deletion = maximum_probability == fam_max["homo_del"]
+        is_hetero_ACGT_Del = maximum_probability == fam_max["het_acgt_del"]
+        is_hetero_DelDel = maximum_probability == fam_max["het_deldel"]
+        is_insertion_and_deletion = maximum_probability == fam_max["het_insdel"]
         flags = (
             False, is_homo_SNP, is_hetero_SNP,
             is_homo_insertion, is_hetero_ACGT_Ins, is_hetero_InsIns,
@@ -391,7 +375,7 @@ def select_output(
         )
 
         if is_homo_SNP:
-            idx = o.homo_snp.index(maximum_probability)
+            idx = int(np.argmax(o.homo_snp))
             reference_base = reference_sequence[tensor_position_center]
             bases = HOMO_SNP_LABELS[int(np.argmax(o.homo_snp))]
             alternate_base = bases[0] if bases[0] != reference_base else bases[1]
@@ -402,7 +386,7 @@ def select_output(
                 continue
 
         elif is_hetero_SNP:
-            idx = o.hetero_snp.index(maximum_probability)
+            idx = int(np.argmax(o.hetero_snp))
             bases = HETERO_SNP_LABELS[int(np.argmax(o.hetero_snp))]
             base1, base2 = bases[0], bases[1]
             reference_base = reference_sequence[tensor_position_center]
@@ -422,7 +406,7 @@ def select_output(
                     continue
 
         elif is_homo_insertion:
-            idx = o.homo_ins.index(maximum_probability)
+            idx = int(np.argmax(o.homo_ins))
             variant_length = o.homo_ins_lengths[idx] if add_indel_length else None
             insertion_bases = insertion_bases_from(
                 alt_info_dict,
@@ -438,7 +422,7 @@ def select_output(
             alternate_base = insertion_bases
 
         elif is_hetero_ACGT_Ins:
-            idx = o.het_acgt_ins.index(maximum_probability)
+            idx = int(np.argmax(o.het_acgt_ins))
             if add_indel_length:
                 hetero_ins_base = o.het_acgt_ins_bases[idx]
                 variant_length = o.het_acgt_ins_lengths[idx]
@@ -466,7 +450,7 @@ def select_output(
                 alternate_base = f"{sorted_bases[0]},{alternate_base}"
 
         elif is_hetero_InsIns:
-            idx = o.het_insins.index(maximum_probability)
+            idx = int(np.argmax(o.het_insins))
             insertion_bases_list: List[str] = []
             if add_indel_length:
                 vlen1, vlen2 = o.het_insins_lengths[idx]
@@ -510,7 +494,7 @@ def select_output(
                 continue
 
         elif is_homo_deletion:
-            idx = o.homo_del.index(maximum_probability)
+            idx = int(np.argmax(o.homo_del))
             variant_length = o.homo_del_lengths[idx] if add_indel_length else None
             deletion_bases = deletion_bases_from(
                 alt_info_dict,
@@ -526,7 +510,7 @@ def select_output(
             alternate_base = reference_base[0]
 
         elif is_hetero_ACGT_Del:
-            idx = o.het_acgt_del.index(maximum_probability)
+            idx = int(np.argmax(o.het_acgt_del))
             if add_indel_length:
                 variant_length = o.het_acgt_del_lengths[idx]
                 hetero_del_base = o.het_acgt_del_bases[idx]
@@ -549,7 +533,7 @@ def select_output(
                 alternate_base = f"{alternate_base},{hetero_del_base + reference_base[1:]}"
 
         elif is_hetero_DelDel:
-            idx = o.het_deldel.index(maximum_probability)
+            idx = int(np.argmax(o.het_deldel))
             deletion_bases_list: List[str] = []
             if add_indel_length:
                 vlen1, vlen2 = sorted(o.het_deldel_lengths[idx], reverse=True)
@@ -599,7 +583,7 @@ def select_output(
                 continue
 
         elif is_insertion_and_deletion:
-            idx = o.het_insdel.index(maximum_probability)
+            idx = int(np.argmax(o.het_insdel))
             if add_indel_length:
                 vlen1, vlen2 = o.het_insdel_lengths[idx]
             else:
