@@ -212,8 +212,13 @@ def _realign_allele(
     qen = query_pos + right_query
     if qen == qst:
         return 0
-    rst = variant.position - left_ref - ref_start
-    ren = variant.position + right_ref - ref_start
+    # clamp to the fetched windows (matches the native path,
+    # clair3t_fullalign.cc); phased SNPs can sit far outside the candidate
+    # span and negative slices would otherwise wrap around
+    rst = max(0, variant.position - left_ref - ref_start)
+    ren = min(len(ref_seq), variant.position + right_ref - ref_start)
+    qst = max(0, qst)
+    qen = min(len(read.seq), qen)
     query = read.seq[qst:qen]
     ref = ref_seq[rst:ren]
     alt = ref[:left_ref] + variant.alt_base + ref[left_ref + 1:] if left_ref < len(ref) else ref

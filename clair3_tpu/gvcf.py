@@ -205,29 +205,37 @@ def merge_variant_and_nonvariant(
     nonvariant_rows: Iterable[str],
     ref_base_at: Callable[[str, int], str],
 ) -> List[str]:
-    """Interleave variant calls with non-variant blocks, splitting blocks
-    around variant spans (gvcfGenerator.mergeCalls semantics)."""
-    variants: List[Tuple[str, int, int]] = []
+    """Interleave variant calls with non-variant blocks per contig, splitting
+    blocks around variant spans (gvcfGenerator.mergeCalls semantics)."""
+    variants_by_ctg: dict = {}
     for row in variant_rows:
         if row.startswith("#"):
             continue
         aug = _augment_variant_row(row)
         if aug:
-            variants.append(aug)
+            variants_by_ctg.setdefault(row.split("\t", 1)[0], []).append(aug)
 
-    blocks: List[Tuple[str, int, int]] = []
+    blocks_by_ctg: dict = {}
+    ctg_order: List[str] = []
     for row in nonvariant_rows:
         if row.startswith("#"):
             continue
         row = row.rstrip("\n")
         cols = row.split("\t")
+        chrom = cols[0]
         start = int(cols[1])
         m = _END_RE.search(row)
         end = int(m.group(1)) if m else start
-        blocks.append((row, start, end))
+        if chrom not in blocks_by_ctg:
+            blocks_by_ctg[chrom] = []
+            ctg_order.append(chrom)
+        blocks_by_ctg[chrom].append((row, start, end))
+    for chrom in variants_by_ctg:
+        if chrom not in blocks_by_ctg:
+            blocks_by_ctg[chrom] = []
+            ctg_order.append(chrom)
 
     out: List[str] = []
-    vi = 0
 
     def write_block(row: str, start: int, end: int, chrom: str) -> None:
         cols = row.split("\t")
@@ -239,22 +247,24 @@ def merge_variant_and_nonvariant(
         new_row = re.sub(r"END=\d+", f"END={end}", new_row)
         out.append(new_row)
 
-    for row, bstart, bend in blocks:
-        chrom = row.split("\t", 1)[0]
-        cur_start = bstart
-        while vi < len(variants) and variants[vi][2] < cur_start:
+    for chrom in ctg_order:
+        variants = variants_by_ctg.get(chrom, [])
+        vi = 0
+        for row, bstart, bend in blocks_by_ctg[chrom]:
+            cur_start = bstart
+            while vi < len(variants) and variants[vi][2] < cur_start:
+                out.append(variants[vi][0])
+                vi += 1
+            while vi < len(variants) and variants[vi][1] <= bend:
+                vrow, vstart, vend = variants[vi]
+                if vstart > cur_start:
+                    write_block(row, cur_start, vstart - 1, chrom)
+                out.append(vrow)
+                cur_start = max(cur_start, vend + 1)
+                vi += 1
+            if cur_start <= bend:
+                write_block(row, cur_start, bend, chrom)
+        while vi < len(variants):
             out.append(variants[vi][0])
             vi += 1
-        while vi < len(variants) and variants[vi][1] <= bend:
-            vrow, vstart, vend = variants[vi]
-            if vstart > cur_start:
-                write_block(row, cur_start, vstart - 1, chrom)
-            out.append(vrow)
-            cur_start = max(cur_start, vend + 1)
-            vi += 1
-        if cur_start <= bend:
-            write_block(row, cur_start, bend, chrom)
-    while vi < len(variants):
-        out.append(variants[vi][0])
-        vi += 1
     return out

@@ -237,7 +237,9 @@ def fa_region_native(
     region_end = cands[-1] + 17
     tid, voff_begin, voff_end = _bai_window(bam_path, ctg_name, region_start, region_end)
     if voff_begin is None:
-        voff_begin = voff_end = 0  # empty region: cheap full scan, no reads kept
+        # indexed and provably empty: zero tensor + "0-" alt-infos, no BAM IO
+        return (np.zeros((n_cand, matrix_depth, 33, channels), np.int8),
+                cands, ["0-"] * n_cand)
     out_p = lib.clair3t_fullalign(
         bam_path.encode(), ctg_name.encode(),
         ref_seq.encode(), ref_offset,

@@ -310,12 +310,12 @@ class VariantCaller:
     # orchestration
     # ------------------------------------------------------------------
 
-    def _write_vcf(self, path: str, rows: Sequence[str], contigs) -> str:
+    def _write_vcf(self, path: str, rows: Sequence[str], contigs=None) -> str:
         header = get_header(
             reference_file_path=self.cfg.ref_fn,
             sample_name=self.cfg.sample_name,
             gvcf=False,
-            contigs=None,
+            contigs=contigs or getattr(self, "_contigs", None),
         )
         with VcfWriter(path, header) as w:
             for row in rows:
@@ -427,6 +427,7 @@ class VariantCaller:
                 total += n
                 all_reads.extend(realigned)
         fa.close()
+        all_reads.sort(key=lambda r: (r.tid, r.pos))
         out_path = os.path.join(self.cfg.output_dir, "realigned.bam")
         write_bam(out_path, bam.references, bam.lengths, all_reads)
         logger.info("[realign] %d reads realigned -> %s", total, out_path)
@@ -452,6 +453,7 @@ class VariantCaller:
         cfg = self.cfg
         os.makedirs(cfg.output_dir, exist_ok=True)
         contigs = self.resolve_contigs()
+        self._contigs = contigs  # for ##contig header lines
         if cfg.platform == "ilmn":
             with _timed("realign"):
                 self._realign_illumina(contigs)
@@ -508,12 +510,21 @@ class VariantCaller:
         self._write_vcf(fa_path, fa_rows, contigs)
         outputs["full_alignment"] = fa_path
 
+        # bucket once per contig (O(rows)) instead of rescanning per contig
+        from collections import defaultdict
+
+        pileup_by_ctg: Dict[str, List[str]] = defaultdict(list)
+        for r in pileup_rows:
+            pileup_by_ctg[r.split("\t", 1)[0]].append(r)
+        fa_by_ctg: Dict[str, List[str]] = defaultdict(list)
+        for r in fa_rows:
+            fa_by_ctg[r.split("\t", 1)[0]].append(r)
         merged: List[str] = []
         for ctg in contig_names:
             merged.extend(
                 merge_pileup_and_full_alignment(
-                    [r for r in pileup_rows if r.split("\t", 1)[0] == ctg],
-                    [r for r in fa_rows if r.split("\t", 1)[0] == ctg],
+                    pileup_by_ctg.get(ctg, []),
+                    fa_by_ctg.get(ctg, []),
                     contig=ctg,
                     qual_cutoff=cfg.qual,
                     print_ref_calls=cfg.print_ref_calls,

@@ -31,17 +31,17 @@ logger = logging.getLogger(__name__)
 
 
 def _pad_batch(x: np.ndarray, y: np.ndarray, multiple: int):
+    """Pad the batch axis to a multiple (sharded steps require batch %
+    n_devices == 0).  Padded labels are all-zero one-hots: focal loss
+    -y*log(p)*(1-p)^g is exactly 0 for them, so padding only dilutes the
+    batch mean, never the gradient direction."""
     n = len(x)
     target = ((n + multiple - 1) // multiple) * multiple
     if target == n:
         return x, y, n
     pad = target - n
     x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
-    # pad labels with a uniform-safe one-hot so the loss stays finite; the
-    # padded rows are excluded by the weighting below being tiny relative to
-    # real rows (they contribute a constant near-zero gradient)
-    y_pad = np.zeros((pad,) + y.shape[1:], y.dtype)
-    y = np.concatenate([y, y_pad])
+    y = np.concatenate([y, np.zeros((pad,) + y.shape[1:], y.dtype)])
     return x, y, n
 
 
@@ -145,6 +145,8 @@ def train_model(
                 order[mini_epoch * mini: (mini_epoch + 1) * mini],
                 chunks_per_batch, offset,
             ):
+                if mesh is not None:
+                    x, y, _ = _pad_batch(x, y, mesh.devices.size)
                 dropout_rng = jax.random.fold_in(rng, total_steps)
                 state, loss = step_fn(state, jnp.asarray(x), jnp.asarray(y), dropout_rng)
                 epoch_loss += float(loss)
@@ -156,6 +158,8 @@ def train_model(
 
             val_loss, n_val = 0.0, 0
             for x, y in dataset.batches(val_chunks, chunks_per_batch, 0):
+                if mesh is not None:
+                    x, y, _ = _pad_batch(x, y, mesh.devices.size)
                 val_loss += float(eval_loss(state.params, state.batch_stats,
                                             jnp.asarray(x), jnp.asarray(y)))
                 n_val += 1

@@ -120,9 +120,17 @@ def unify_representation(
                 if gt == (0, 0):
                     continue
                 truth_edits.append((t.pos, t.ref, alts[0], tuple(sorted(gt))))
-            else:  # 1/2
-                truth_edits.append((t.pos, t.ref, alts[0], (1, 0)))
-                truth_edits.append((t.pos, t.ref, alts[1], (0, 1)))
+            else:
+                # multiallelic: place each carried alt on its haplotype(s)
+                # (handles 1/2 as well as 0/2, 2/2, 1/1 with spurious alts)
+                g1, g2 = t.genotype1, t.genotype2
+                if g1 == g2 and g1 > 0:  # e.g. 2/2
+                    truth_edits.append((t.pos, t.ref, alts[g1 - 1], (1, 1)))
+                else:
+                    if g1 > 0:
+                        truth_edits.append((t.pos, t.ref, alts[g1 - 1], (1, 0)))
+                    if g2 > 0:
+                        truth_edits.append((t.pos, t.ref, alts[g2 - 1], (0, 1)))
         if not ok:
             out.extend(cluster)
             continue

@@ -129,3 +129,26 @@ def test_gvcf_pipeline_end_to_end(tmp_path):
     assert "##ALT=<ID=NON_REF" in text and "MIN_DP" in text
     # variant rows carry PL with padded 990s
     assert all(l.rstrip().endswith("990,990,990") for l in var_rows)
+
+
+def test_merge_multi_contig_gvcf():
+    """Regression: variants of a later contig must not split an earlier
+    contig's non-variant blocks."""
+    nonvar = [
+        "chr1\t1\t.\tA\t<NON_REF>\t0\t.\tEND=1000\tGT:GQ:MIN_DP:PL\t0/0:46:30:0,90,90",
+        "chr2\t1\t.\tC\t<NON_REF>\t0\t.\tEND=1000\tGT:GQ:MIN_DP:PL\t0/0:46:30:0,90,90",
+    ]
+    var = [
+        "chr1\t500\t.\tA\tT\t30.00\tPASS\tP\tGT:GQ:DP:AD:AF:PL\t0/1:30:30:15,15:0.5000:30,0,30\n",
+        "chr2\t300\t.\tC\tG\t30.00\tPASS\tP\tGT:GQ:DP:AD:AF:PL\t0/1:30:30:15,15:0.5000:30,0,30\n",
+    ]
+    merged = merge_variant_and_nonvariant(var, nonvar, lambda c, p: "G")
+    chroms = [r.split("\t")[0] for r in merged]
+    # all chr1 rows before all chr2 rows
+    assert chroms == sorted(chroms, key=lambda c: (c != "chr1",))
+    chr1_rows = [r for r in merged if r.startswith("chr1")]
+    chr2_rows = [r for r in merged if r.startswith("chr2")]
+    assert len(chr1_rows) == 3 and len(chr2_rows) == 3
+    # each contig's block is split around its own variant
+    assert "END=499" in chr1_rows[0] and "\t500\t" in chr1_rows[1]
+    assert "END=299" in chr2_rows[0] and "\t300\t" in chr2_rows[1]

@@ -87,3 +87,24 @@ def test_unify_multiallelic_truth():
     alts = sorted((u.alt, (u.genotype1, u.genotype2)) for u in unified)
     assert [a for a, _ in alts] == ["A", "C"]
     assert all(gt in ((0, 1),) for _, gt in alts)
+
+
+def test_unify_multiallelic_02_genotype():
+    """Regression: 0/2 truth genotypes place only the carried alt."""
+    ref = "ACGTACGTACGTACGTACGTACGTACGTACGT"
+    truth = [TruthVariant("chr1", 12, "T", "A,C", 0, 2)]
+    cand = [CandidateAllele(12, "T", "C")]
+    unified = unify_representation(truth, cand, ref, 0)
+    assert len(unified) == 1
+    assert unified[0].alt == "C"
+    assert (unified[0].genotype1, unified[0].genotype2) == (0, 1)
+
+
+def test_unify_multiallelic_22_genotype():
+    ref = "ACGTACGTACGTACGTACGTACGTACGTACGT"
+    truth = [TruthVariant("chr1", 12, "T", "A,C", 2, 2)]
+    cand = [CandidateAllele(12, "T", "C")]
+    unified = unify_representation(truth, cand, ref, 0)
+    assert len(unified) == 1
+    assert unified[0].alt == "C"
+    assert (unified[0].genotype1, unified[0].genotype2) == (1, 1)
