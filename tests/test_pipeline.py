@@ -202,3 +202,63 @@ def test_cascade_with_dwell_time(case, tmp_path):
     assert by_pos[801].alt == variants[1].alt
     fa_recs = list(VcfReader(outputs["full_alignment"]))
     assert len(fa_recs) > 0
+
+
+def test_multi_contig_pipeline(tmp_path):
+    """Two contigs through the cascade + gVCF: per-contig ordering, headers,
+    and block/variant interleaving."""
+    from clair3_tpu.io.bam import write_bam
+    from clair3_tpu.io.fasta import write_fasta
+    from clair3_tpu.testing import simulate_reads
+
+    refs = {
+        "chr1": random_reference(1500, seed=41),
+        "chr2": random_reference(1200, seed=42),
+    }
+    all_reads = []
+    truth = {}
+    for tid, (name, ref) in enumerate(refs.items()):
+        pos = 600 + tid * 100
+        v = SimVariant(pos, ref[pos], "A" if ref[pos] != "A" else "G", (1, 1))
+        truth[name] = v
+        reads = simulate_reads(ref, [v], coverage=20, read_length=500,
+                               seed=41 + tid, contig=name)
+        for r in reads:
+            r.tid = tid
+        all_reads.extend(reads)
+    all_reads.sort(key=lambda r: (r.tid, r.pos))
+    fasta = str(tmp_path / "ref.fa")
+    write_fasta(fasta, refs)
+    bam = str(tmp_path / "r.bam")
+    write_bam(bam, list(refs), [len(refs[n]) for n in refs], all_reads)
+
+    cfg = CallConfig(platform="ont", bam_fn=bam, ref_fn=fasta,
+                     output_dir=str(tmp_path / "out"), pileup_only=True,
+                     gvcf=True)
+    outputs = VariantCaller(cfg, pileup_engine=PileupOracleEngine()).run()
+    recs = _records(outputs["merge_output"])
+    by_key = {(r.chrom, r.pos): r for r in recs}
+    for name, v in truth.items():
+        assert (name, v.pos + 1) in by_key
+        assert by_key[(name, v.pos + 1)].alt == v.alt
+    # contig-ordered output
+    chroms = [r.chrom for r in recs]
+    assert chroms == sorted(chroms, key=lambda c: list(refs).index(c))
+
+    # gVCF: per-contig interleaving, positions monotone within contig
+    from clair3_tpu.io.bgzf import decompress
+    body = [l for l in decompress(outputs["merge_output_gvcf"]).decode().splitlines()
+            if l and not l.startswith("#")]
+    seen = {}
+    order = []
+    for line in body:
+        c, p = line.split("\t")[:2]
+        if c not in seen:
+            seen[c] = []
+            order.append(c)
+        seen[c].append(int(p))
+    assert order == list(refs)
+    for c, ps in seen.items():
+        assert ps == sorted(ps), f"unsorted gVCF rows in {c}"
+    # both variants present in the gVCF
+    assert sum(1 for l in body if ",<NON_REF>" in l.split("\t")[4]) == 2
