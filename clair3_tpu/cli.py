@@ -332,6 +332,63 @@ def cmd_decode_probabilities(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sort_vcf(args: argparse.Namespace) -> int:
+    """Sort/dedup VCF body rows from input files into one indexed VCF
+    (SortVcf equivalent)."""
+    from clair3_tpu.io.vcf import VcfWriter, get_header
+    from clair3_tpu.io.bgzf import decompress, is_gzipped
+    from clair3_tpu.pipeline.merge_sort import sort_rows
+
+    rows = []
+    for path in args.input_fn:
+        text = decompress(path).decode() if is_gzipped(path) else open(path).read()
+        rows.extend(l + "\n" for l in text.splitlines() if l and not l.startswith("#"))
+    out_rows = sort_rows(rows)
+    header = get_header(reference_file_path=args.ref_fn,
+                        sample_name=args.sample_name)
+    with VcfWriter(args.output_fn, header) as w:
+        for row in out_rows:
+            w.write(row)
+    if args.output_fn.endswith(".gz"):
+        from clair3_tpu.io.tabix import write_tabix_index
+
+        write_tabix_index(args.output_fn)
+    print(f"[INFO] wrote {len(out_rows)} rows to {args.output_fn}")
+    return 0
+
+
+def cmd_merge_vcf(args: argparse.Namespace) -> int:
+    """Merge pileup + full-alignment VCFs (MergeVcf equivalent: FA calls win
+    at their positions)."""
+    from clair3_tpu.io.vcf import VcfWriter, get_header
+    from clair3_tpu.io.bgzf import decompress, is_gzipped
+    from clair3_tpu.pipeline.merge_sort import (
+        merge_pileup_and_full_alignment, sort_rows)
+
+    def read_rows(path):
+        text = decompress(path).decode() if is_gzipped(path) else open(path).read()
+        return [l + "\n" for l in text.splitlines() if l and not l.startswith("#")]
+
+    merged = merge_pileup_and_full_alignment(
+        read_rows(args.pileup_vcf_fn), read_rows(args.full_alignment_vcf_fn),
+        contig=args.ctg_name, qual_cutoff=args.qual,
+        print_ref_calls=args.print_ref_calls,
+        haploid_precise=args.haploid_precise,
+        haploid_sensitive=args.haploid_sensitive)
+    merged = sort_rows(merged)
+    header = get_header(reference_file_path=args.ref_fn,
+                        sample_name=args.sample_name)
+    with VcfWriter(args.output_fn, header) as w:
+        for row in merged:
+            w.write(row)
+    if args.output_fn.endswith(".gz"):
+        from clair3_tpu.io.tabix import write_tabix_index
+
+        write_tabix_index(args.output_fn)
+    print(f"[INFO] wrote {len(merged)} rows to {args.output_fn}")
+    return 0
+
+
 def cmd_metrics(args: argparse.Namespace) -> int:
     """SNP/Indel precision-recall-F1 (GetOverallMetrics equivalent)."""
     from clair3_tpu.postprocess import parse_happy_vcf, variant_metrics
@@ -406,6 +463,26 @@ def main(argv=None) -> int:
     tr.add_argument("--use_class_weights", action="store_true",
                     help="effective-number class-balanced focal loss weights")
     tr.set_defaults(func=cmd_train)
+
+    sv = sub.add_parser("sort_vcf", help="sort/dedup VCFs into one indexed VCF")
+    sv.add_argument("--input_fn", nargs="+", required=True)
+    sv.add_argument("--output_fn", required=True)
+    sv.add_argument("--ref_fn", default=None)
+    sv.add_argument("--sample_name", default="SAMPLE")
+    sv.set_defaults(func=cmd_sort_vcf)
+
+    mv = sub.add_parser("merge_vcf", help="merge pileup + full-alignment VCFs")
+    mv.add_argument("--pileup_vcf_fn", required=True)
+    mv.add_argument("--full_alignment_vcf_fn", required=True)
+    mv.add_argument("--output_fn", required=True)
+    mv.add_argument("--ref_fn", default=None)
+    mv.add_argument("--sample_name", default="SAMPLE")
+    mv.add_argument("--ctg_name", default=None)
+    mv.add_argument("--qual", type=float, default=None)
+    mv.add_argument("--print_ref_calls", action="store_true")
+    mv.add_argument("--haploid_precise", action="store_true")
+    mv.add_argument("--haploid_sensitive", action="store_true")
+    mv.set_defaults(func=cmd_merge_vcf)
 
     dp = sub.add_parser("decode_probabilities",
                         help="re-decode dumped head probabilities to VCF rows")
