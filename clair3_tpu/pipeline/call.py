@@ -454,6 +454,13 @@ class VariantCaller:
         os.makedirs(cfg.output_dir, exist_ok=True)
         contigs = self.resolve_contigs()
         self._contigs = contigs  # for ##contig header lines
+        # overlap jit compilation of all batch buckets with extraction
+        if hasattr(self.pileup_engine, "warmup_async"):
+            self.pileup_engine.warmup_async((NO_OF_POSITIONS, 18), np.int32)
+        if self.fa_engine is not None and hasattr(self.fa_engine, "warmup_async"):
+            self.fa_engine.warmup_async(
+                (self.cfg.matrix_depth, NO_OF_POSITIONS, self.cfg.fa_channels),
+                np.int8)
         if cfg.platform == "ilmn":
             with _timed("realign"):
                 self._realign_illumina(contigs)

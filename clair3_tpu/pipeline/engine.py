@@ -56,6 +56,22 @@ class InferenceEngine:
 
         self._forward = _forward
 
+    def warmup(self, input_shape, dtype) -> None:
+        """Compile the forward program for every bucket size (call on a
+        background thread so compilation overlaps host-side extraction)."""
+        for b in self.buckets:
+            x = np.zeros((b,) + tuple(input_shape), dtype)
+            dev = jax.device_put(x, self._in_sharding)
+            self._forward(self.variables, dev)
+
+    def warmup_async(self, input_shape, dtype):
+        import threading
+
+        t = threading.Thread(target=self.warmup, args=(input_shape, dtype),
+                             daemon=True)
+        t.start()
+        return t
+
     def _bucket_for(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:

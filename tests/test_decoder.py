@@ -229,3 +229,38 @@ def test_single_base_reference_sequence():
     row = decode_candidate("chr1:1000:A", "30-XC 14 RA 16 ", probs, CFG)
     d = parse(row)
     assert (d["ref"], d["alt"]) == ("A", "C")
+
+
+def test_decoder_fuzz_never_raises():
+    """Robustness: random probability vectors over assorted alt-info shapes
+    must always decode or return None, never raise."""
+    import random as _r
+
+    rng = np.random.default_rng(0)
+    pyr = _r.Random(0)
+    alt_pool = [
+        "30-XC 14 RA 16 ",
+        "20-",
+        "1-RA 1 ",
+        "25-IATT 5 DGG 4 XG 3 RA 13 ",
+        "40-XT 2 XC 2 XG 2 RA 34 ",
+        "15-IA" + "T" * 60 + " 3 RA 12 ",   # insertion longer than max_infer
+        "33-D" + "G" * 55 + " 5 RA 28 ",
+        "10-XA 10 ",                        # alt == would-be ref
+    ]
+    for cfg in (CFG, CFG_P, DecodeConfig(add_indel_length=True, pileup=False,
+                                         gvcf=True, show_ref_calls=True)):
+        n = 24 if not cfg.add_indel_length else 90
+        for trial in range(300):
+            probs = rng.dirichlet(np.ones(21)).tolist()
+            probs += rng.dirichlet(np.ones(3)).tolist()
+            if cfg.add_indel_length:
+                probs += rng.dirichlet(np.ones(33)).tolist()
+                probs += rng.dirichlet(np.ones(33)).tolist()
+            alt_info = pyr.choice(alt_pool)
+            row = decode_candidate(f"chr1:{1000 + trial}:{REF_SEQ}", alt_info,
+                                   np.asarray(probs), cfg)
+            if row is not None:
+                cols = row.rstrip().split("\t")
+                assert len(cols) == 10
+                assert int(cols[1]) == 1000 + trial
