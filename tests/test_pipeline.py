@@ -262,3 +262,40 @@ def test_multi_contig_pipeline(tmp_path):
         assert ps == sorted(ps), f"unsorted gVCF rows in {c}"
     # both variants present in the gVCF
     assert sum(1 for l in body if ",<NON_REF>" in l.split("\t")[4]) == 2
+
+
+def test_haploid_precise_pipeline(case, tmp_path):
+    """--haploid_precise drops het calls end to end."""
+    cfg = CallConfig(
+        platform="ont", bam_fn=case["bam"], ref_fn=case["fasta"],
+        output_dir=str(tmp_path / "out"), pileup_only=True,
+        haploid_precise=True,
+    )
+    outputs = VariantCaller(cfg, pileup_engine=PileupOracleEngine()).run()
+    recs = _records(outputs["merge_output"])
+    gts = {r.sample.split(":")[0] for r in recs}
+    assert gts <= {"1"}  # hom calls rewritten to haploid; hets dropped
+    by_pos = {r.pos: r for r in recs}
+    assert 501 in by_pos and 1101 in by_pos      # hom SNP + hom ins kept
+    assert 801 not in by_pos and 1401 not in by_pos  # het calls dropped
+
+
+def test_long_indel_pipeline(tmp_path):
+    """--enable_long_indel calls a 60bp deletion (beyond the 50bp default)."""
+    ref = random_reference(2000, seed=13)
+    dlen = 60
+    v = SimVariant(800, ref[800:800 + dlen + 1], ref[800], (1, 1))
+    fasta, bam, _, _ = write_test_case(
+        str(tmp_path), ref_length=2000, variants=[v], coverage=25,
+        read_length=700, seed=13)
+    base = dict(platform="ont", bam_fn=bam, ref_fn=fasta, pileup_only=True)
+    # without the flag the deletion allele cannot be materialized
+    cfg0 = CallConfig(output_dir=str(tmp_path / "o0"), **base)
+    out0 = VariantCaller(cfg0, pileup_engine=PileupOracleEngine()).run()
+    assert all(len(r.ref) <= 51 for r in _records(out0["merge_output"]))
+    # with it, the 60bp deletion comes out
+    cfg1 = CallConfig(output_dir=str(tmp_path / "o1"), enable_long_indel=True, **base)
+    out1 = VariantCaller(cfg1, pileup_engine=PileupOracleEngine()).run()
+    by_pos = {r.pos: r for r in _records(out1["merge_output"])}
+    assert 801 in by_pos
+    assert by_pos[801].ref == v.ref and by_pos[801].alt == v.alt
