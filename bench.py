@@ -86,6 +86,28 @@ def main():
     fa_cps = bench_forward(fa, vf, fa_batch, B_F, ITERS_F)
     print(f"[bench] full-alignment: {fa_cps:,.0f} candidates/s", file=sys.stderr)
 
+    # host-side components (stderr info): extraction + decode throughput
+    import tempfile
+    from clair3_tpu.native import native_available, pileup_region_native
+    from clair3_tpu.testing import SimVariant, random_reference, write_test_case
+    if native_available():
+        import time as _t
+
+        d = tempfile.mkdtemp()
+        L = 100_000
+        _ref = random_reference(L, seed=1)
+        _vars = [SimVariant(p, _ref[p], "G" if _ref[p] != "G" else "T", (0, 1))
+                 for p in range(500, L - 500, 700)]
+        _fa_path, _bam, _, _ = write_test_case(
+            d, ref_length=L, variants=_vars, coverage=40, read_length=5000,
+            seed=1, error_rate=0.03)
+        pileup_region_native(_bam, _ref, 0, "chr1", 0, L)
+        t0 = _t.perf_counter()
+        pileup_region_native(_bam, _ref, 0, "chr1", 0, L)
+        dt = _t.perf_counter() - t0
+        print(f"[bench] native extraction: {40 * L / dt / 1e6:,.1f} Mbases(read)/s/thread",
+              file=sys.stderr)
+
     combined = 1.0 / (1.0 / pileup_cps + FA_ROUTING_FRACTION / fa_cps)
     per_chip = combined / n_dev
     print(

@@ -89,10 +89,16 @@ def iter_blocks(fh: BinaryIO) -> Iterator[bytes]:
             off += 4 + slen
         if bsize is None:
             raise ValueError("BGZF block missing BC subfield")
-        payload = fh.read(bsize - 12 - xlen - 8)
+        payload_len = bsize - 12 - xlen - 8
+        payload = fh.read(payload_len)
         footer = fh.read(8)
+        if len(payload) < payload_len or len(footer) < 8:
+            raise ValueError("truncated BGZF block")
         (_, isize) = struct.unpack("<II", footer)
-        data = zlib.decompress(payload, -15)
+        try:
+            data = zlib.decompress(payload, -15)
+        except zlib.error as e:
+            raise ValueError(f"corrupt BGZF block: {e}") from e
         if len(data) != isize:
             raise ValueError("BGZF block ISIZE mismatch")
         if data:
@@ -142,10 +148,16 @@ def decompress_range(path: str, coffset_begin: int, coffset_end: int) -> bytes:
                 off += 4 + slen
             if bsize is None:
                 raise ValueError("BGZF block missing BC subfield")
-            payload = fh.read(bsize - 12 - xlen - 8)
-            fh.read(8)
+            payload_len = bsize - 12 - xlen - 8
+            payload = fh.read(payload_len)
+            footer = fh.read(8)
+            if len(payload) < payload_len or len(footer) < 8:
+                raise ValueError("truncated BGZF block")
             if payload:
-                out += zlib.decompress(payload, -15)
+                try:
+                    out += zlib.decompress(payload, -15)
+                except zlib.error as e:
+                    raise ValueError(f"corrupt BGZF block: {e}") from e
             offset += bsize
     return bytes(out)
 

@@ -141,3 +141,29 @@ def test_parse_phased_gt():
     rec = parse_vcf_line("chr1\t5\t.\tA\tT\t30\tPASS\tP\tGT:PS\t1|0:1000")
     assert rec.genotype == (1, 0)
     assert rec.is_phased
+
+
+def test_bam_reader_rejects_garbage(tmp_path):
+    p = tmp_path / "junk.bam"
+    p.write_bytes(b"not a bam at all")
+    with pytest.raises(ValueError):
+        BamReader(str(p))
+
+
+def test_bam_reader_truncated_file(tmp_path):
+    from clair3_tpu.testing import random_reference, simulate_reads
+
+    ref = random_reference(2000, seed=55)
+    reads = simulate_reads(ref, [], coverage=10, read_length=400, seed=55)
+    full = tmp_path / "full.bam"
+    write_bam(str(full), ["chr1"], [2000], reads)
+    data = full.read_bytes()
+    trunc = tmp_path / "trunc.bam"
+    trunc.write_bytes(data[: len(data) * 2 // 3])  # cut mid-block
+    # header parse may succeed; record iteration must not crash or hang
+    try:
+        rd = BamReader(str(trunc))
+        n = sum(1 for _ in rd.fetch("chr1", 0, 2000))
+        assert n <= len(reads)
+    except ValueError:
+        pass  # acceptable: detected corruption

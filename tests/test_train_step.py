@@ -85,3 +85,26 @@ def test_graft_entry_contract():
     y = jax.jit(fn)(*args)
     assert y.shape == (256, 90)
     ge.dryrun_multichip(8)
+
+
+def test_trainer_with_mesh_pads_batches(tmp_path):
+    """train_model over the 8-device mesh: odd batch sizes must pad cleanly."""
+    import numpy as np
+    from clair3_tpu.config import TrainConfig
+    from clair3_tpu.parallel.mesh import get_mesh
+    from clair3_tpu.train.data import write_bin
+    from clair3_tpu.train.trainer import train_model
+
+    rng = np.random.default_rng(0)
+    n = 173  # deliberately not divisible by 8
+    x = rng.integers(-20, 20, (n, 33, 18)).astype(np.int32)
+    y = np.zeros((n, 90), np.float32)
+    y[:, 0] = y[:, 21] = y[:, 24 + 16] = y[:, 57 + 16] = 1
+    bin_path = str(tmp_path / "t.bin")
+    write_bin(bin_path, x, y, [f"chr1:{i}:A" for i in range(n)], ["1-"] * n)
+
+    cfg = TrainConfig(pileup=True, add_indel_length=False, batch_size=50,
+                      chunk_size_pileup=25, max_epoch=1)
+    result = train_model([bin_path], str(tmp_path / "m"), cfg,
+                         mesh=get_mesh(), max_steps=4)
+    assert np.isfinite(result["best_val_loss"])
