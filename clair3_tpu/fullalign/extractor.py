@@ -350,6 +350,8 @@ def fa_region(
     variants = sorted(variants, key=lambda v: v.position)
 
     for read in reads:
+        if not read.seq:  # SEQ '*' records carry no bases
+            continue
         if read.qname in seen_names:
             continue
         seen_names.add(read.qname)

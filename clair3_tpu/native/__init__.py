@@ -43,11 +43,15 @@ def _build() -> str:
     newest_src = max(os.path.getmtime(p) for p in _SRCS + _HDRS)
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= newest_src:
         return _SO
+    # compile to a temp path then rename: concurrent worker processes must
+    # never dlopen a half-written .so
+    tmp = _SO + f".tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        *_SRCS, "-o", _SO, "-lz",
+        *_SRCS, "-o", tmp, "-lz",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, _SO)
     return _SO
 
 
@@ -69,23 +73,44 @@ def get_lib():
     return _lib
 
 
+_meta_lock = threading.Lock()
+_header_cache: dict = {}   # (path, mtime) -> {name: tid}
+_bai_cache: dict = {}      # (path, mtime) -> BaiIndex | None
+
+
+def _bam_meta(bam_path: str):
+    """Cached (tid_map, BaiIndex|None); re-parsing headers and multi-MB BAI
+    indexes per chunk would dwarf the native extraction they gate."""
+    from clair3_tpu.io.bam import read_bam_header
+
+    key = (bam_path, os.path.getmtime(bam_path))
+    with _meta_lock:
+        if key not in _header_cache:
+            _, refs, _ = read_bam_header(bam_path)
+            _header_cache[key] = {n: i for i, n in enumerate(refs)}
+            bai_path = bam_path + ".bai"
+            bai = None
+            if os.path.exists(bai_path):
+                from clair3_tpu.io.bai import BaiIndex
+
+                try:
+                    bai = BaiIndex(bai_path)
+                except ValueError:
+                    bai = None
+            _bai_cache[key] = bai
+        return _header_cache[key], _bai_cache[key]
+
+
 def _bai_window(bam_path: str, ctg_name: str, start: int, end: int):
     """(tid, voff_begin, voff_end) from the .bai index, (tid, 0, 0) for a
     full scan, or (tid, None, None) when the region provably has no reads."""
-    import os
-
-    from clair3_tpu.io.bam import read_bam_header
-
-    _, refs, _ = read_bam_header(bam_path)
-    if ctg_name not in refs:
+    tid_map, bai = _bam_meta(bam_path)
+    if ctg_name not in tid_map:
         raise KeyError(f"contig {ctg_name!r} not in {bam_path}")
-    tid = refs.index(ctg_name)
-    bai_path = bam_path + ".bai"
-    if not os.path.exists(bai_path):
+    tid = tid_map[ctg_name]
+    if bai is None:
         return tid, 0, 0
-    from clair3_tpu.io.bai import BaiIndex
-
-    window = BaiIndex(bai_path).query_voff_range(tid, start, end)
+    window = bai.query_voff_range(tid, start, end)
     if window is None:
         return tid, None, None
     return tid, window[0], window[1]

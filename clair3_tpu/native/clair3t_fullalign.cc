@@ -181,8 +181,10 @@ int realign_allele(const Variant& v, const RecView& r, int cigar_index,
   int64_t ren = v.position + right_ref - ref_start;
   if (rst < 0) rst = 0;
   if (ren > ref_len) ren = ref_len;
+  if (rst > ren) rst = ren;  // variant outside the fetched window
   if (qst < 0) qst = 0;
   if (qen > r.l_seq) qen = r.l_seq;
+  if (qst > qen) qst = qen;
   std::string query = query_sub(r, qst, qen);
   std::string ref(ref_seq + rst, ref_seq + ren);
   std::string alt = ref;
@@ -382,6 +384,7 @@ FaOut* clair3t_fullalign(
     if (r.pos >= region_end) return false;
     if (r.flag & kFilterFlag) return true;
     if (r.mapq < min_mq) return true;
+    if (r.l_seq == 0) return true;  // SEQ '*' records carry no bases
     int64_t rend = r.pos + ref_span(r);
     if (rend <= region_start) return true;
     std::string qname(r.qname);

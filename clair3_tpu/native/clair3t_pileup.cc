@@ -118,6 +118,7 @@ PileupOut* clair3t_pileup(
     if (r.pos >= end) return false;         // coordinate-sorted early exit
     if (r.flag & kFilterFlag) return true;
     if (r.mapq < min_mq) return true;
+    if (r.l_seq == 0) return true;  // SEQ '*' records carry no bases
     int64_t rend = r.pos + ref_span(r);
     if (rend <= start) return true;
 

@@ -37,14 +37,14 @@ inline bool inflate_blocks_parallel(const uint8_t* comp,
       if (j.isize == 0) continue;
       z_stream zs;
       memset(&zs, 0, sizeof(zs));
-      inflateInit2(&zs, -15);
+      if (inflateInit2(&zs, -15) != Z_OK) { failed[t] = 1; continue; }
       zs.next_in = const_cast<uint8_t*>(comp + j.comp_off);
       zs.avail_in = (uInt)j.comp_len;
       zs.next_out = out + j.out_off;
       zs.avail_out = j.isize;
       int ret = inflate(&zs, Z_FINISH);
       inflateEnd(&zs);
-      if (ret != Z_STREAM_END) failed[t] = 1;
+      if (ret != Z_STREAM_END || zs.avail_out != 0) failed[t] = 1;
     }
   };
   if (n_threads == 1) {
@@ -89,6 +89,7 @@ inline bool bgzf_read_all(const char* path, std::vector<uint8_t>* out) {
     if (comp[off] != 0x1f || comp[off + 1] != 0x8b) return false;
     uint16_t xlen;
     memcpy(&xlen, comp.data() + off + 10, 2);
+    if (off + 12 + xlen + 8 > comp.size()) return false;  // truncated header
     size_t extra = off + 12;
     int bsize = -1;
     size_t eoff = 0;
@@ -103,7 +104,8 @@ inline bool bgzf_read_all(const char* path, std::vector<uint8_t>* out) {
       }
       eoff += 4 + slen;
     }
-    if (bsize < 0) return false;
+    if (bsize < (int)(12 + xlen + 8) || off + (size_t)bsize > comp.size())
+      return false;  // corrupt size / truncated block
     uint32_t isize;
     memcpy(&isize, comp.data() + off + bsize - 4, 4);
     jobs.push_back({off + 12 + xlen, (size_t)(bsize - 12 - xlen - 8), total, isize});
@@ -147,6 +149,7 @@ inline bool bgzf_read_range(const char* path, uint64_t coffset_begin,
     if (comp[off] != 0x1f || comp[off + 1] != 0x8b) return false;
     uint16_t xlen;
     memcpy(&xlen, comp.data() + off + 10, 2);
+    if (off + 12 + xlen + 8 > comp.size()) return false;  // truncated header
     int bsize = -1;
     size_t eoff = 0;
     while (eoff + 4 <= xlen) {
@@ -159,7 +162,8 @@ inline bool bgzf_read_range(const char* path, uint64_t coffset_begin,
       }
       eoff += 4 + slen;
     }
-    if (bsize < 0 || off + bsize > comp.size()) return false;
+    if (bsize < (int)(12 + xlen + 8) || off + (size_t)bsize > comp.size())
+      return false;
     uint32_t isize;
     memcpy(&isize, comp.data() + off + bsize - 4, 4);
     jobs.push_back({off + 12 + xlen, (size_t)(bsize - 12 - xlen - 8), total, isize});
@@ -243,7 +247,7 @@ void for_each_record(const BamView& bam, F cb) {
   while (off + 4 <= n) {
     int32_t block_size;
     memcpy(&block_size, d + off, 4);
-    if (off + 4 + (size_t)block_size > n) return;  // truncated range tail
+    if (block_size < 32 || off + 4 + (size_t)block_size > n) return;  // truncated
     size_t p = off + 4;
     RecView r;
     memcpy(&r.tid, d + p, 4);
@@ -253,6 +257,13 @@ void for_each_record(const BamView& bam, F cb) {
     memcpy(&r.n_cigar, d + p + 12, 2);
     memcpy(&r.flag, d + p + 14, 2);
     memcpy(&r.l_seq, d + p + 16, 4);
+    // validate the variable-length sections fit inside the record
+    size_t need = 32ull + l_qname + 4ull * r.n_cigar +
+                  ((size_t)r.l_seq + 1) / 2 + (size_t)r.l_seq;
+    if (r.l_seq < 0 || need > (size_t)block_size) {
+      off += 4 + block_size;  // skip malformed record
+      continue;
+    }
     size_t q = p + 32;
     r.qname = (const char*)(d + q);
     q += l_qname;

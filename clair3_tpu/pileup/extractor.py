@@ -88,6 +88,8 @@ def pileup_region(
     inss: Dict[int, Dict[str, List[int]]] = {}   # idx -> {ins_seq: [fwd, rev]}
 
     for read in reads:
+        if not read.seq:  # SEQ '*' records carry no bases
+            continue
         strand = _REV_OFFSET if read.is_reverse else 0
         rev = read.is_reverse
         rpos = read.pos
