@@ -1,0 +1,33 @@
+#!/usr/bin/env python
+"""Reference-style entry point: accepts the familiar run_clair3.py flag
+surface and dispatches to ``clair3_tpu call``.
+
+    python run_clair3_tpu.py --bam_fn in.bam --ref_fn ref.fa \
+        --output out/ --platform ont --model_path models/
+"""
+
+import sys
+
+
+def main() -> int:
+    from clair3_tpu.cli import main as cli_main
+
+    argv = sys.argv[1:]
+    # reference spellings that differ from the clair3_tpu CLI
+    renames = {
+        "--ctgName": "--ctg_name",
+        "--sampleName": "--sample_name",
+        "--threads_num": "--threads",
+    }
+    out = ["call"]
+    for arg in argv:
+        if "=" in arg and arg.startswith("--"):
+            key, val = arg.split("=", 1)
+            out.append(f"{renames.get(key, key)}={val}")
+        else:
+            out.append(renames.get(arg, arg))
+    return cli_main(out)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
