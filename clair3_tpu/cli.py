@@ -78,7 +78,10 @@ def _load_engine(path: str, kind: str, platform: str):
     else:
         in_ch = params["conv1"]["conv"]["kernel"].shape[2]
         model = FullAlignmentNet(add_indel_length=True, input_channels=in_ch)
-    return InferenceEngine(model, variables)
+    engine = InferenceEngine(model, variables)
+    if kind != "pileup":
+        engine.fa_input_channels = in_ch
+    return engine
 
 
 def _validate_call_inputs(args) -> Optional[str]:
@@ -190,6 +193,16 @@ def cmd_call(args: argparse.Namespace) -> int:
                       "(--full_alignment_model / --model_path)", file=sys.stderr)
                 return 1
             fa_engine = _load_engine(fa_path, "full_alignment", args.platform)
+            # reconcile the dwell flag with the checkpoint's input width
+            # (reference auto-detects dwell from '*_with_mv' model names,
+            # run_clair3.py:414-430; we read the conv1 kernel instead)
+            fa_in = getattr(fa_engine, "fa_input_channels", None)
+            if fa_in is not None and fa_in != cfg.fa_channels:
+                want_dwell = fa_in == 9
+                print(f"[INFO] full-alignment model expects {fa_in} input "
+                      f"channels; {'enabling' if want_dwell else 'disabling'} "
+                      "the dwell channel to match", file=sys.stderr)
+                cfg.enable_dwell_time = want_dwell
 
     phaser = None
     if fa_engine is not None and not cfg.no_phasing_for_fa:

@@ -433,6 +433,14 @@ class VariantCaller:
         logger.info("[realign] %d reads realigned -> %s", total, out_path)
         self.cfg = dataclasses.replace(self.cfg, bam_fn=out_path)
 
+    def _join_warmups(self) -> None:
+        """Join in-flight warmup_async compiles before returning: a daemon
+        thread killed mid-XLA-compile at interpreter exit aborts the
+        process (pthread cancel inside C++)."""
+        for eng in (self.pileup_engine, self.fa_engine):
+            if eng is not None and hasattr(eng, "wait_warmup"):
+                eng.wait_warmup()
+
     def run(self) -> Dict[str, str]:
         """Execute the cascade; returns paths of the written VCFs.  Stage
         wall-times land in ``self.stage_times`` (observability; the
@@ -487,6 +495,7 @@ class VariantCaller:
                 outputs["merge_output_gvcf"] = gvcf_path
             self._final_phasing(final_rows, contig_names, outputs)
             logger.info("[timing] %s", {k: round(v, 2) for k, v in self.stage_times.items()})
+            self._join_warmups()
             return outputs
 
         # --- full-alignment cascade ---
@@ -547,4 +556,5 @@ class VariantCaller:
             outputs["merge_output_gvcf"] = gvcf_path
         self._final_phasing(merged, contig_names, outputs)
         logger.info("[timing] %s", {k: round(v, 2) for k, v in self.stage_times.items()})
+        self._join_warmups()
         return outputs

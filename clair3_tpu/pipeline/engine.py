@@ -70,7 +70,17 @@ class InferenceEngine:
         t = threading.Thread(target=self.warmup, args=(input_shape, dtype),
                              daemon=True)
         t.start()
+        self._warmup_thread = t
         return t
+
+    def wait_warmup(self) -> None:
+        """Join an in-flight warmup_async thread.  Callers must invoke this
+        before process exit: a daemon thread killed mid-XLA-compile brings
+        the C++ runtime down with SIGABRT ("exception not rethrown")."""
+        t = getattr(self, "_warmup_thread", None)
+        if t is not None:
+            t.join()
+            self._warmup_thread = None
 
     def _bucket_for(self, n: int) -> int:
         for b in self.buckets:

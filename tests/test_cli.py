@@ -103,3 +103,43 @@ def test_run_clair3_tpu_shim(cli_case, tmp_path, monkeypatch):
     ])
     assert mod.main() == 0
     assert os.path.exists(os.path.join(out, "merge_output.vcf.gz"))
+
+
+@pytest.mark.slow
+def test_cli_dwell_autodetect_from_checkpoint(tmp_path):
+    """A 9-channel FA checkpoint must auto-enable the dwell channel even
+    without --enable_dwell_time (reference: run_clair3.py:414-430 detects
+    dwell models by the '*_with_mv' name)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clair3_tpu.models import FullAlignmentNet, PileupNet
+    from clair3_tpu.models.params_io import save_variables
+
+    model_dir = tmp_path / "models"
+    model_dir.mkdir()
+    rng = jax.random.PRNGKey(0)
+    pv = PileupNet(add_indel_length=True).init(
+        rng, jnp.zeros((1, 33, 18), jnp.int32), train=False)
+    save_variables(str(model_dir / "pileup.npz"), pv)
+    fv = FullAlignmentNet(add_indel_length=True, input_channels=9).init(
+        rng, jnp.zeros((1, 55, 33, 9), jnp.int8), train=False)
+    save_variables(str(model_dir / "full_alignment.npz"), fv)
+
+    d = tmp_path / "case"
+    d.mkdir()
+    ref = random_reference(1500, seed=5)
+    fasta, bam, _, _ = write_test_case(
+        str(d), ref_length=1500,
+        variants=[SimVariant(700, ref[700], "C" if ref[700] != "C" else "G", (1, 1))],
+        coverage=15, read_length=500, seed=5, error_rate=0.01,
+        with_mv_tags=True)
+    out = str(tmp_path / "out")
+    # no --enable_dwell_time: channel width must come from the checkpoint
+    rc = cli_main([
+        "call", "--bam_fn", bam, "--ref_fn", fasta, "--output", out,
+        "--model_path", str(model_dir), "--platform", "hifi",
+        "--no_phasing_for_fa", "--var_pct_full", "1.0", "--ref_pct_full", "1.0",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "merge_output.vcf.gz"))
