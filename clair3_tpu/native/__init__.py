@@ -18,7 +18,8 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, "clair3t_pileup.cc"),
          os.path.join(_DIR, "clair3t_fullalign.cc"),
-         os.path.join(_DIR, "clair3t_align.cc")]
+         os.path.join(_DIR, "clair3t_align.cc"),
+         os.path.join(_DIR, "clair3t_dbg.cc")]
 _HDRS = [os.path.join(_DIR, "common.h")]
 _SO = os.path.join(_DIR, "libclair3t.so")
 _lock = threading.Lock()
@@ -286,3 +287,52 @@ def fa_region_native(
         return matrix, cand_pos, alt_infos
     finally:
         lib.clair3t_fullalign_free(out_p)
+
+
+class _DbgOut(ctypes.Structure):
+    _fields_ = [
+        ("haps", ctypes.c_char_p),
+        ("n_haps", ctypes.c_int32),
+        ("error", ctypes.c_int32),
+    ]
+
+
+def _bind_dbg(lib):
+    if getattr(lib, "_dbg_bound", False):
+        return
+    lib.clair3t_dbg.restype = ctypes.POINTER(_DbgOut)
+    lib.clair3t_dbg.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.clair3t_dbg_free.argtypes = [ctypes.POINTER(_DbgOut)]
+    lib._dbg_bound = True
+
+
+def dbg_consensus_native(
+    reads,
+    ref_window: str,
+    k_range,
+    min_edge_weight: int,
+    max_haplotypes: int,
+) -> Optional[List[str]]:
+    """Native counterpart of clair3_tpu.realign.dbg.consensus_haplotypes
+    (set-identical haplotypes; order may differ).  Returns None when the
+    native path cannot serve the request (k > 31 exceeds 2-bit packing)."""
+    lib = get_lib()
+    _bind_dbg(lib)
+    n = len(reads)
+    read_arr = (ctypes.c_char_p * max(n, 1))(*[r.encode() for r in reads])
+    ks = list(k_range)
+    k_arr = (ctypes.c_int32 * max(len(ks), 1))(*ks)
+    out_p = lib.clair3t_dbg(read_arr, n, ref_window.encode(),
+                            k_arr, len(ks), min_edge_weight, max_haplotypes)
+    out = out_p.contents
+    try:
+        if out.error:
+            return None
+        blob = out.haps.decode() if out.haps else ""
+        return blob.split("\n") if blob else []
+    finally:
+        lib.clair3t_dbg_free(out_p)

@@ -55,12 +55,32 @@ def _is_acyclic_from(source: str, edges: Dict[str, Dict[str, int]]) -> bool:
     return True
 
 
+_native_checked = False
+_native_fn = None
+
+
+def _get_native():
+    global _native_checked, _native_fn
+    if _native_checked:
+        return _native_fn
+    _native_checked = True
+    try:
+        from clair3_tpu.native import dbg_consensus_native, get_lib
+
+        get_lib()  # compile eagerly so failures fall back once, not per call
+        _native_fn = dbg_consensus_native
+    except Exception:
+        _native_fn = None
+    return _native_fn
+
+
 def consensus_haplotypes(
     reads: Sequence[str],
     ref_window: str,
     k_range: Sequence[int] = DEFAULT_K_RANGE,
     min_edge_weight: int = 2,
     max_haplotypes: int = MAX_HAPLOTYPES,
+    use_native: Optional[bool] = None,
 ) -> List[str]:
     """Candidate haplotype sequences spanning ``ref_window``.
 
@@ -69,7 +89,23 @@ def consensus_haplotypes(
     sequence contributes weight ``min_edge_weight`` so a ref path always
     survives pruning.  Returns haplotypes (always including the reference
     window), capped at ``max_haplotypes``.
+
+    The C++ fast path (clair3t_dbg.cc, 2-bit packed k-mers) is used when
+    available and every k <= 31; results are set-identical to this Python
+    implementation (differential-tested), though path order may differ.
     """
+    if use_native is None:
+        fn = _get_native()
+    elif use_native:
+        fn = _get_native()
+        if fn is None:
+            raise RuntimeError("native DBG unavailable")
+    else:
+        fn = None
+    if fn is not None and max(k_range, default=0) <= 31:
+        haps = fn(reads, ref_window, k_range, min_edge_weight, max_haplotypes)
+        if haps is not None:
+            return haps
     for k in k_range:
         if len(ref_window) <= k:
             break

@@ -167,3 +167,65 @@ def test_ilmn_pipeline_with_realignment(tmp_path):
     rec = by_pos[anchor1]
     assert rec.ref == ref[del_start - 1: del_start + del_len]
     assert rec.alt == ref[del_start - 1]
+
+
+def test_dbg_native_matches_python():
+    """Native DBG (clair3t_dbg.cc) must return set-identical haplotypes to
+    the Python implementation across random windows with SNVs and indels."""
+    import random
+
+    from clair3_tpu.native import native_available
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = random.Random(33)
+    for trial in range(30):
+        n = rng.randint(80, 200)
+        ref = "".join(rng.choice("ACGT") for _ in range(n))
+        # plant a variant
+        pos = rng.randint(25, n - 25)
+        kind = rng.choice(["snv", "ins", "del"])
+        if kind == "snv":
+            alt_hap = ref[:pos] + rng.choice([b for b in "ACGT" if b != ref[pos]]) + ref[pos + 1:]
+        elif kind == "ins":
+            alt_hap = ref[:pos] + "".join(rng.choice("ACGT") for _ in range(rng.randint(1, 6))) + ref[pos:]
+        else:
+            alt_hap = ref[:pos] + ref[pos + rng.randint(1, 6):]
+        reads = []
+        for _ in range(rng.randint(4, 14)):
+            src = alt_hap if rng.random() < 0.5 else ref
+            s = rng.randint(0, max(0, len(src) - 60))
+            e = min(len(src), s + rng.randint(40, 80))
+            seq = list(src[s:e])
+            if rng.random() < 0.3 and seq:  # sprinkle a sequencing error
+                i = rng.randrange(len(seq))
+                seq[i] = rng.choice("ACGTN")
+            reads.append("".join(seq))
+        py = consensus_haplotypes(reads, ref, use_native=False)
+        nat = consensus_haplotypes(reads, ref, use_native=True)
+        assert sorted(py) == sorted(nat), f"trial {trial} kind {kind}"
+
+
+def test_dbg_native_k_escalation_and_ref_only():
+    from clair3_tpu.native import native_available
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    # window shorter than the smallest k: both return just the reference
+    short = "ACGTACGTACGT"
+    assert consensus_haplotypes([], short, use_native=True) == [short]
+    assert consensus_haplotypes([], short, use_native=False) == [short]
+    # a tandem repeat forces a cycle at small k -> escalation to larger k
+    ref = "ACGTTGCA" + "AT" * 20 + "GGCTTACG" + "ACGTTGCAGGCTAACG" * 3
+    reads = [ref[5:60], ref[20:90], ref[40:]]
+    py = consensus_haplotypes(reads, ref, use_native=False)
+    nat = consensus_haplotypes(reads, ref, use_native=True)
+    assert sorted(py) == sorted(nat)
+    # k > 31 cannot be 2-bit packed: wrapper must fall back, not crash
+    big_k = consensus_haplotypes(reads, ref, k_range=(35,), use_native=None)
+    assert sorted(big_k) == sorted(
+        consensus_haplotypes(reads, ref, k_range=(35,), use_native=False))
