@@ -869,3 +869,83 @@ def batch_decode(
         if row is not None:
             rows.append(row)
     return rows
+
+
+# ---------------------------------------------------------------------------
+# parallel decode: a persistent process pool fans candidate chunks across
+# cores (reference: CallVariantsFromCffi.py:299-353 fans GPU-batch decoding
+# to a ProcessPoolExecutor over POSIX shared memory; here plain pickling of
+# small chunks suffices).  The decode chain imports no jax, and the pool
+# uses the spawn context so workers never inherit XLA runtime threads.
+
+_POOL = None
+_POOL_PROCS = 0
+_DECODE_CHUNK = 2048
+
+
+def _decode_chunk_task(args):
+    pos_infos, alt_infos, probs, config = args
+    return batch_decode(pos_infos, alt_infos, probs, config)
+
+
+def _get_pool(processes: int, force: bool = False):
+    global _POOL, _POOL_PROCS
+    import os
+
+    if processes <= 1:
+        return None
+    if not force and (os.cpu_count() or 1) < 2:
+        return None  # single-core host: spawn overhead with zero parallelism
+    if _POOL is None or _POOL_PROCS != processes:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        if _POOL is not None:
+            _POOL.shutdown(wait=False, cancel_futures=True)
+        _POOL = ProcessPoolExecutor(
+            max_workers=processes, mp_context=mp.get_context("spawn"))
+        _POOL_PROCS = processes
+    return _POOL
+
+
+def shutdown_decode_pool() -> None:
+    global _POOL, _POOL_PROCS
+    if _POOL is not None:
+        _POOL.shutdown(wait=True)
+        _POOL = None
+        _POOL_PROCS = 0
+
+
+def batch_decode_parallel(
+    position_infos: Sequence[str],
+    alt_infos: Sequence,
+    batch_probabilities: np.ndarray,
+    config: DecodeConfig,
+    processes: int = 1,
+    force_pool: bool = False,
+) -> List[str]:
+    """batch_decode fanned over a persistent worker pool.  Small batches,
+    processes=1, and single-core hosts decode inline — pool dispatch
+    overhead would dominate (force_pool is for tests)."""
+    n = len(position_infos)
+    pool = _get_pool(processes, force_pool) if (
+        n >= 2 * _DECODE_CHUNK or (force_pool and processes > 1)) else None
+    if pool is None:
+        return batch_decode(position_infos, alt_infos, batch_probabilities, config)
+    tasks = [
+        (list(position_infos[lo: lo + _DECODE_CHUNK]),
+         list(alt_infos[lo: lo + _DECODE_CHUNK]),
+         batch_probabilities[lo: lo + _DECODE_CHUNK],
+         config)
+        for lo in range(0, n, _DECODE_CHUNK)
+    ]
+    try:
+        rows: List[str] = []
+        for part in pool.map(_decode_chunk_task, tasks):
+            rows.extend(part)
+        return rows
+    except Exception:
+        # a broken pool (spawn from a non-importable __main__, OOM-killed
+        # worker, ...) must degrade to serial decode, not kill the run
+        shutdown_decode_pool()
+        return batch_decode(position_infos, alt_infos, batch_probabilities, config)

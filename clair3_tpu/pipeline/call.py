@@ -27,7 +27,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from clair3_tpu.config import CallConfig, NO_OF_POSITIONS
-from clair3_tpu.decode import DecodeConfig, batch_decode
+from clair3_tpu.decode import (DecodeConfig, batch_decode,
+                               batch_decode_parallel, shutdown_decode_pool)
 from clair3_tpu.io.bam import BamReader
 from clair3_tpu.io.fasta import FastaFile
 from clair3_tpu.io.vcf import VcfReader, VcfWriter, get_header, parse_vcf_line
@@ -220,7 +221,9 @@ class VariantCaller:
         if not hasattr(engine, "predict_async"):
             probs = engine.predict(tensors)
             self._dump_probabilities(pos_infos, alt_infos, probs)
-            rows.extend(batch_decode(pos_infos, alt_infos, probs, decode_cfg))
+            rows.extend(batch_decode_parallel(
+                pos_infos, alt_infos, probs, decode_cfg,
+                processes=self.cfg.threads))
             return None
         handles = engine.predict_async(tensors)
         if pending is not None:
@@ -233,7 +236,8 @@ class VariantCaller:
         pos_infos, alt_infos, handles = pending
         probs = engine.gather(handles)
         self._dump_probabilities(pos_infos, alt_infos, probs)
-        return batch_decode(pos_infos, alt_infos, probs, decode_cfg)
+        return batch_decode_parallel(pos_infos, alt_infos, probs, decode_cfg,
+                                     processes=self.cfg.threads)
 
     def _dump_probabilities(self, pos_infos, alt_infos, probs) -> None:
         """Debug hook: append raw head probabilities per candidate
@@ -440,6 +444,7 @@ class VariantCaller:
         for eng in (self.pileup_engine, self.fa_engine):
             if eng is not None and hasattr(eng, "wait_warmup"):
                 eng.wait_warmup()
+        shutdown_decode_pool()
 
     def run(self) -> Dict[str, str]:
         """Execute the cascade; returns paths of the written VCFs.  Stage

@@ -264,3 +264,46 @@ def test_decoder_fuzz_never_raises():
                 cols = row.rstrip().split("\t")
                 assert len(cols) == 10
                 assert int(cols[1]) == 1000 + trial
+
+
+def test_batch_decode_parallel_matches_serial():
+    """Process-pool decode must emit byte-identical rows in the same order
+    as the serial path (and actually engage the pool above the threshold)."""
+    import random as _r
+
+    from clair3_tpu.decode import batch_decode, batch_decode_parallel, shutdown_decode_pool
+    from clair3_tpu.decode.decoder import _DECODE_CHUNK
+
+    rng = np.random.default_rng(3)
+    pyr = _r.Random(3)
+    alt_pool = [
+        "30-XC 14 RA 16 ",
+        "25-IATT 5 DGG 4 XG 3 RA 13 ",
+        "40-XT 2 XC 2 XG 2 RA 34 ",
+        "20-",
+        "18-DG 6 RA 12 ",
+    ]
+    n = 2 * _DECODE_CHUNK + 123  # force the pool path
+    pos_infos, alt_infos, probs = [], [], []
+    for i in range(n):
+        pos_infos.append(f"chr1:{1000 + i}:{REF_SEQ}")
+        alt_infos.append(pyr.choice(alt_pool))
+        v = rng.dirichlet(np.ones(21)).tolist()
+        v += rng.dirichlet(np.ones(3)).tolist()
+        v += rng.dirichlet(np.ones(33)).tolist()
+        v += rng.dirichlet(np.ones(33)).tolist()
+        probs.append(v)
+    probs = np.asarray(probs)
+    cfg = DecodeConfig(add_indel_length=True, pileup=False, show_ref_calls=True)
+    serial = batch_decode(pos_infos, alt_infos, probs, cfg)
+    try:
+        par = batch_decode_parallel(pos_infos, alt_infos, probs, cfg,
+                                    processes=4, force_pool=True)
+    finally:
+        shutdown_decode_pool()
+    assert par == serial
+    # small batches stay inline (no pool respawn cost)
+    small = batch_decode_parallel(pos_infos[:10], alt_infos[:10], probs[:10],
+                                  cfg, processes=4)
+    assert small == batch_decode(pos_infos[:10], alt_infos[:10], probs[:10], cfg)
+    shutdown_decode_pool()
