@@ -11,7 +11,14 @@ long-read chain reduction both tools rely on:
 3. sweep left to right assigning haplotypes greedily from the accumulated
    votes; SNPs with no read connection to the growing block open a new
    phase set (PS = 1-based position of the set's first variant, the
-   whatshap convention the FA extractor consumes).
+   whatshap convention the FA extractor consumes),
+4. MEC refinement: alternate between assigning each read fragment to the
+   haplotype it mismatches least and re-setting each SNP's phase to the
+   majority among its assigned fragments, until a fixed point.  Each half
+   step minimizes the minimum-error-correction objective exactly given the
+   other, so the MEC score is non-increasing and the loop terminates; this
+   repairs greedy mistakes at SNPs whose consecutive edge was noisy but
+   whose long-range fragment support is clear.
 
 Output rows carry ``GT:PS`` with ``0|1`` meaning hap1=ref (genotype code 1
 in the FA extractor) and ``1|0`` meaning hap1=alt (code 2).
@@ -59,6 +66,42 @@ def read_alleles_at_snps(
     return out
 
 
+def refine_mec(
+    hap: List[int],
+    fragments: Sequence[Sequence[Tuple[int, int]]],
+    max_iters: int = 20,
+) -> List[int]:
+    """Alternating MEC local search (HapCUT-style heuristic).
+
+    ``hap[i]`` encodes SNP i's orientation (0 = ``0|1``: haplotype A carries
+    the ref allele).  ``fragments`` are per-read [(snp_index, allele)] lists.
+    Returns the (possibly) improved orientation vector.
+    """
+    hap = list(hap)
+    for _ in range(max_iters):
+        # (a) assign each fragment to its best haplotype
+        sides: List[int] = []
+        for frag in fragments:
+            mis_a = sum(1 for i, a in frag if a != hap[i])
+            mis_b = len(frag) - mis_a
+            sides.append(0 if mis_a <= mis_b else 1)
+        # (b) per SNP, majority vote among assigned fragments (tie: keep)
+        votes: Dict[int, int] = defaultdict(int)
+        for frag, side in zip(fragments, sides):
+            for i, a in frag:
+                want = a if side == 0 else 1 - a
+                votes[i] += 1 if want == 1 else -1
+        changed = False
+        for i, v in votes.items():
+            new = hap[i] if v == 0 else (1 if v > 0 else 0)
+            if new != hap[i]:
+                hap[i] = new
+                changed = True
+        if not changed:
+            break
+    return hap
+
+
 class ReadBackedPhaser:
     """Phases pileup het SNPs per contig directly from the BAM."""
 
@@ -78,8 +121,10 @@ class ReadBackedPhaser:
         snp_ref = {r.pos - 1: r.ref for r in snps}
         snp_alt = {r.pos - 1: r.alt for r in snps}
 
-        # accumulate relative-phase votes on consecutive-SNP edges
+        # accumulate relative-phase votes on consecutive-SNP edges, keeping
+        # the full fragments for the MEC refinement pass
         edge_votes: Dict[Tuple[int, int], int] = defaultdict(int)
+        fragments: List[List[Tuple[int, int]]] = []
         bam = BamReader(self.bam_fn)
         for read in bam.fetch(ctg_name, positions[0], positions[-1] + 1,
                               min_mq=self.min_mq):
@@ -87,6 +132,8 @@ class ReadBackedPhaser:
             for (p1, a1), (p2, a2) in zip(alleles, alleles[1:]):
                 i, j = index[p1], index[p2]
                 edge_votes[(i, j)] += 1 if a1 == a2 else -1
+            if len(alleles) >= 2:
+                fragments.append([(index[p], a) for p, a in alleles])
 
         # incoming edges per SNP for the left-to-right sweep
         incoming: Dict[int, List[Tuple[int, int]]] = defaultdict(list)
@@ -110,6 +157,8 @@ class ReadBackedPhaser:
             else:
                 hap[j] = 0 if vote > 0 else 1
             phase_set[j] = current_ps
+
+        hap = refine_mec(hap, fragments)
 
         out: List[VcfRecord] = []
         for rec, h, ps in zip(snps, hap, phase_set):

@@ -137,3 +137,63 @@ def test_final_phasing_and_haplotagging(phased_case, tmp_path):
     tagged = [t for t in tags if t]
     assert len(tagged) > len(tags) * 0.5
     assert set(tagged) == {1, 2}
+
+
+def test_refine_mec_repairs_greedy_flip():
+    from clair3_tpu.phase.phaser import refine_mec
+
+    # 5 co-phased SNPs; greedy got SNP 2 wrong.  Fragments (long-range,
+    # all consistent with one orientation) must flip it back.
+    hap = [0, 0, 1, 0, 0]
+    frags = [
+        [(0, 0), (1, 0), (2, 0)],
+        [(1, 0), (2, 0), (3, 0)],
+        [(2, 1), (3, 1), (4, 1)],
+        [(0, 1), (1, 1), (2, 1), (3, 1)],
+    ]
+    assert refine_mec(hap, frags) == [0, 0, 0, 0, 0]
+
+
+def test_refine_mec_keeps_fixed_point_and_ties():
+    from clair3_tpu.phase.phaser import refine_mec
+
+    # already optimal: unchanged
+    hap = [0, 1, 0]
+    frags = [[(0, 0), (1, 1)], [(1, 0), (2, 1)]]  # consistent with [0,1,0]
+    assert refine_mec(hap, frags) == [0, 1, 0]
+    # no fragments: unchanged
+    assert refine_mec([1, 0, 1], []) == [1, 0, 1]
+    # perfectly conflicting evidence at a SNP: tie keeps the current value
+    hap = [0, 0]
+    frags = [[(0, 0), (1, 0)], [(0, 0), (1, 1)]]
+    out = refine_mec(hap, frags)
+    assert out[0] == 0
+
+
+def test_refine_mec_mixed_error_reads():
+    """Noisy fragments (one flipped observation each) must not defeat the
+    consensus orientation; MEC refinement converges to the clean phasing."""
+    import random
+
+    from clair3_tpu.phase.phaser import refine_mec
+
+    rng = random.Random(11)
+    n = 12
+    truth = [rng.randint(0, 1) for _ in range(n)]
+    frags = []
+    for _ in range(60):
+        s = rng.randint(0, n - 4)
+        span = list(range(s, min(n, s + rng.randint(2, 5))))
+        side = rng.randint(0, 1)
+        frag = [(i, truth[i] if side == 0 else 1 - truth[i]) for i in span]
+        if rng.random() < 0.25:  # one sequencing error
+            k = rng.randrange(len(frag))
+            frag[k] = (frag[k][0], 1 - frag[k][1])
+        frags.append(frag)
+    # start from a corrupted orientation (3 wrong SNPs)
+    start = list(truth)
+    for i in (2, 5, 9):
+        start[i] = 1 - start[i]
+    refined = refine_mec(start, frags)
+    # global inversion is an equivalent phasing; accept either
+    assert refined == truth or refined == [1 - h for h in truth]
