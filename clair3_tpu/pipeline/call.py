@@ -158,6 +158,31 @@ class VariantCaller:
             head_tail=self.cfg.enable_variant_calling_at_sequence_head_and_tail,
         )
 
+    @staticmethod
+    def _bounded_map(pool, fn, items, window: int):
+        """Ordered pool.map with a bounded submission window.  Eager
+        ``pool.map`` schedules every chunk up front, so on a whole genome
+        the extracted-but-unconsumed tensors of hundreds of chunks pile up
+        in completed futures; this caps in-flight work at ``window``."""
+        from collections import deque
+
+        futs = deque()
+        it = iter(items)
+
+        def fill():
+            while len(futs) < window:
+                try:
+                    item = next(it)
+                except StopIteration:
+                    return
+                futs.append((item, pool.submit(fn, item)))
+
+        fill()
+        while futs:
+            item, fut = futs.popleft()
+            fill()  # keep workers busy while we block on the head
+            yield item, fut.result()
+
     def run_pileup(self, tasks: Sequence[ChunkTask]) -> List[str]:
         """Pileup-call all chunks; returns unsorted VCF body rows.  When
         gVCF is enabled, non-variant blocks accumulate in
@@ -176,8 +201,9 @@ class VariantCaller:
                 p_err=self.cfg.base_err, gq_bin_size=self.cfg.gq_bin_size,
                 contig_lengths={n: fa.contig_length(n) for n in fa.references})
         with ThreadPoolExecutor(max_workers=max(1, self.cfg.threads)) as pool:
-            for task, (tensors, pos_infos, alt_infos, res) in zip(
-                tasks, pool.map(self._extract_pileup_chunk, tasks)
+            for task, (tensors, pos_infos, alt_infos, res) in self._bounded_map(
+                pool, self._extract_pileup_chunk, tasks,
+                window=max(2, self.cfg.threads + 1),
             ):
                 if gvcf_writer is not None and res.pos_ref_count is not None:
                     ref_seq = fa.fetch(task.contig, task.start - 1, task.end)
@@ -302,7 +328,9 @@ class VariantCaller:
 
         pending = None
         with ThreadPoolExecutor(max_workers=max(1, self.cfg.threads)) as pool:
-            for tensors, pos_infos, alt_infos in pool.map(_extract, batches):
+            for _, (tensors, pos_infos, alt_infos) in self._bounded_map(
+                pool, _extract, batches, window=max(2, self.cfg.threads + 1),
+            ):
                 if tensors.shape[0] == 0:
                     continue
                 pending = self._submit(self.fa_engine, tensors, pos_infos,

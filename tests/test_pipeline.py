@@ -299,3 +299,34 @@ def test_long_indel_pipeline(tmp_path):
     by_pos = {r.pos: r for r in _records(out1["merge_output"])}
     assert 801 in by_pos
     assert by_pos[801].ref == v.ref and by_pos[801].alt == v.alt
+
+
+def test_bounded_map_order_and_window():
+    """_bounded_map must yield results in submission order while never
+    holding more than `window` futures in flight."""
+    import threading
+    import time as _t
+    from concurrent.futures import ThreadPoolExecutor
+
+    from clair3_tpu.pipeline.call import VariantCaller
+
+    in_flight = 0
+    peak = 0
+    lock = threading.Lock()
+
+    def work(x):
+        nonlocal in_flight, peak
+        with lock:
+            in_flight += 1
+            peak = max(peak, in_flight)
+        _t.sleep(0.01 * ((x % 3) + 1))  # jitter completion order
+        with lock:
+            in_flight -= 1
+        return x * x
+
+    items = list(range(20))
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        got = list(VariantCaller._bounded_map(pool, work, items, window=5))
+    assert [i for i, _ in got] == items
+    assert [r for _, r in got] == [i * i for i in items]
+    assert peak <= 5
