@@ -1,1 +1,1 @@
-from clair3_tpu.phase.phaser import ReadBackedPhaser  # noqa: F401
+from clair3_tpu.phase.phaser import ReadBackedPhaser, refine_mec  # noqa: F401
