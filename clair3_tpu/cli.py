@@ -42,6 +42,10 @@ def _add_call_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--enable_long_indel", action="store_true")
     p.add_argument("--enable_dwell_time", action="store_true")
     p.add_argument("--call_snp_only", action="store_true")
+    p.add_argument("--call_low_seq_entropy", action="store_true",
+                   help="also route the lowest-entropy (repetitive) windows "
+                        "to full-alignment re-calling")
+    p.add_argument("--seq_entropy_pro", type=float, default=0.05)
     p.add_argument("--no_phasing_for_fa", action="store_true")
     p.add_argument("--keep_iupac_bases", action="store_true")
     p.add_argument("--enable_variant_calling_at_sequence_head_and_tail",
@@ -156,6 +160,8 @@ def cmd_call(args: argparse.Namespace) -> int:
         enable_long_indel=args.enable_long_indel,
         enable_dwell_time=args.enable_dwell_time,
         call_snp_only=args.call_snp_only,
+        call_low_seq_entropy=args.call_low_seq_entropy,
+        seq_entropy_pro=args.seq_entropy_pro,
         no_phasing_for_fa=args.no_phasing_for_fa,
         keep_iupac_bases=args.keep_iupac_bases,
         enable_variant_calling_at_sequence_head_and_tail=(

@@ -125,6 +125,8 @@ class CallConfig:
     enable_long_indel: bool = False
     enable_dwell_time: bool = False
     call_snp_only: bool = False
+    call_low_seq_entropy: bool = False  # route low-entropy windows to FA
+    seq_entropy_pro: float = 0.05
     enable_variant_calling_at_sequence_head_and_tail: bool = False
     no_phasing_for_fa: bool = False
     keep_iupac_bases: bool = False

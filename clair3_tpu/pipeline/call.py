@@ -546,11 +546,21 @@ class VariantCaller:
                     phased_by_contig[ctg] = self.phaser.phase(ctg, het_snps)
 
         fa_rows: List[str] = []
+        _ent_fa = FastaFile(cfg.ref_fn) if cfg.call_low_seq_entropy else None
         with self._timed("full_alignment"):
             for ctg in contig_names:
+                fetch_window = None
+                if _ent_fa is not None:
+                    def fetch_window(pos1, _ctg=ctg, _fa=_ent_fa):
+                        return _fa.fetch(_ctg, max(0, pos1 - 17), pos1 + 16)
+
                 batches = select_candidates(
                     pileup_records, ctg, var_qual, ref_qual,
                     phased_rows=phased_by_contig.get(ctg, ()),
+                    call_low_seq_entropy=cfg.call_low_seq_entropy,
+                    seq_entropy_pro=cfg.seq_entropy_pro,
+                    var_pct_full=cfg.var_pct_full,
+                    fetch_window=fetch_window,
                 )
                 if batches:
                     fa_rows.extend(self.run_full_alignment(batches))

@@ -68,6 +68,47 @@ def select_het_snps(
     return out
 
 
+def sequence_entropy(seq: str, k: int = 5) -> float:
+    """Normalized k-mer Shannon entropy of a window (0 = homopolymer,
+    -> 1 = maximally diverse).  Low-complexity regions (homopolymers,
+    tandem repeats) score low; the reference routes such candidates to
+    full-alignment re-calling (SelectCandidates.py:41-125 computes the
+    same k-mer-distribution entropy with an incremental slide)."""
+    import math
+
+    n = len(seq) - k + 1
+    if n <= 1:
+        return 0.0
+    counts: Dict[str, int] = {}
+    for i in range(n):
+        kmer = seq[i: i + k]
+        counts[kmer] = counts.get(kmer, 0) + 1
+    h = -sum((c / n) * math.log(c / n) for c in counts.values())
+    return h / math.log(n)
+
+
+def low_entropy_candidates(
+    ref_calls: Sequence[Tuple[int, float]],
+    var_calls: Sequence[Tuple[int, float]],
+    fetch_window,
+    var_pct_full: float,
+    seq_entropy_pro: float,
+) -> List[int]:
+    """Positions whose flanking reference window has the lowest sequence
+    entropy, drawn from the lowest-QUAL (var_pct_full + seq_entropy_pro)
+    fraction of both call lists (SelectCandidates.py:222-233).
+
+    ``fetch_window(pos1)`` returns the 33bp reference window centered on
+    the 1-based position."""
+    frac = var_pct_full + seq_entropy_pro
+    pool = [p for p, _ in sorted(ref_calls, key=lambda x: x[1])[: int(frac * len(ref_calls))]]
+    pool += [p for p, _ in sorted(var_calls, key=lambda x: x[1])[: int(frac * len(var_calls))]]
+    pool = sorted(set(pool))
+    scored = [(p, sequence_entropy(fetch_window(p))) for p in pool]
+    scored.sort(key=lambda x: x[1])
+    return [p for p, _ in scored[: int(seq_entropy_pro * len(scored))]]
+
+
 @dataclass
 class CandidateBatch:
     """One full-alignment work unit: candidate positions (1-based) plus the
@@ -87,8 +128,14 @@ def select_candidates(
     phased_rows: Sequence[VcfRecord] = (),
     split_bed_size: int = 10_000,
     phasing_window_size: int = 100_000,
+    call_low_seq_entropy: bool = False,
+    seq_entropy_pro: float = 0.05,
+    var_pct_full: float = 0.3,
+    fetch_window=None,
 ) -> List[CandidateBatch]:
-    """Split low-quality pileup calls into FA candidate batches."""
+    """Split low-quality pileup calls into FA candidate batches.  With
+    ``call_low_seq_entropy`` (needs ``fetch_window``), the lowest-entropy
+    candidates are routed to full alignment as well."""
     variant_dict: Dict[int, str] = {}
     for rec in phased_rows:
         if rec.chrom != contig:
@@ -112,7 +159,12 @@ def select_candidates(
 
     low_ref = [p for p, q in ref_calls if q < ref_qual_cutoff]
     low_var = [p for p, q in var_calls if q < var_qual_cutoff]
-    positions = sorted(set(low_ref) | set(low_var))
+    extra: List[int] = []
+    if call_low_seq_entropy and fetch_window is not None:
+        extra = low_entropy_candidates(
+            ref_calls, var_calls, fetch_window,
+            var_pct_full=var_pct_full, seq_entropy_pro=seq_entropy_pro)
+    positions = sorted(set(low_ref) | set(low_var) | set(extra))
     if not positions:
         return []
 

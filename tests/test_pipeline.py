@@ -330,3 +330,46 @@ def test_bounded_map_order_and_window():
     assert [i for i, _ in got] == items
     assert [r for _, r in got] == [i * i for i in items]
     assert peak <= 5
+
+
+def test_sequence_entropy_scoring():
+    from clair3_tpu.pipeline.select import sequence_entropy
+
+    homopolymer = "A" * 33
+    repeat = "AT" * 16 + "A"
+    complex_seq = "ACGTTGCAGGCTAACGTAGCTTAGCAACGGTCA"
+    assert sequence_entropy(homopolymer) == 0.0
+    assert sequence_entropy(repeat) < 0.3
+    assert sequence_entropy(complex_seq) > 0.8
+    assert sequence_entropy("ACG") == 0.0  # shorter than one k-mer pair
+
+
+def test_select_candidates_low_entropy_routing():
+    """--call_low_seq_entropy must add the lowest-entropy candidate windows
+    to the FA set even when their QUAL clears the cutoffs
+    (reference: SelectCandidates.py:222-233)."""
+    from clair3_tpu.pipeline.select import select_candidates
+
+    # high-qual variants (above cutoff -> not routed by qual) at positions
+    # with contrasting window complexity; the homopolymer is slightly
+    # lower-qual so it lands in the entropy-scoring pool
+    import random as _r
+
+    rng = _r.Random(4)
+    windows = {300: "A" * 33}
+    quals = {300: 29.0}
+    for p in range(400, 1000, 100):
+        windows[p] = "".join(rng.choice("ACGT") for _ in range(33))
+        quals[p] = 30.0
+    rows = [
+        parse_vcf_line(f"chr1\t{p}\t.\tA\tT\t{quals[p]:.2f}\tPASS\tP\tGT:GQ:DP:AD:AF\t0/1:30:30:15,15:0.5")
+        for p in windows
+    ]
+    batches = select_candidates(
+        rows, "chr1", var_qual_cutoff=5.0, ref_qual_cutoff=5.0,
+        call_low_seq_entropy=True, seq_entropy_pro=0.34, var_pct_full=0.3,
+        fetch_window=lambda p: windows[p])
+    assert len(batches) == 1
+    assert batches[0].positions == [300]  # only the homopolymer window
+    # off: nothing routed (all quals above cutoff)
+    assert select_candidates(rows, "chr1", 5.0, 5.0) == []
