@@ -440,6 +440,10 @@ def main(argv=None) -> int:
         prog="clair3_tpu",
         description="TPU-native germline small-variant caller",
     )
+    from clair3_tpu import __version__
+
+    parser.add_argument("--version", action="version",
+                        version=f"clair3_tpu {__version__}")
     sub = parser.add_subparsers(dest="command", required=True)
     call_p = sub.add_parser("call", help="Run the two-stage calling cascade")
     _add_call_args(call_p)

@@ -13,6 +13,8 @@ def main() -> int:
     from clair3_tpu.cli import main as cli_main
 
     argv = sys.argv[1:]
+    if "--version" in argv:
+        return cli_main(["--version"])
     # reference spellings that differ from the clair3_tpu CLI
     renames = {
         "--ctgName": "--ctg_name",
