@@ -157,6 +157,12 @@ class CallConfig:
             raise ValueError(f"unknown platform {self.platform!r}; expected one of {sorted(PLATFORMS)}")
         p = PLATFORMS[self.platform]
         out = dataclasses.replace(self)
+        if out.vcf_fn:
+            # Genotyping-at-known-sites mode: zero the AF thresholds so every
+            # known site is tensorized and model-genotyped, never silently
+            # dropped by the platform AF gates (run_clair3.py:393-395).
+            out.snp_min_af = 0.0
+            out.indel_min_af = 0.0
         if out.snp_min_af is None:
             out.snp_min_af = p.snp_min_af
         if out.indel_min_af is None:

@@ -279,8 +279,10 @@ class VariantCaller:
         keep = []
         for i, pos_info in enumerate(pos_infos):
             pos1 = int(pos_info.split(":")[-2])
+            # reference window is [pos-1, pos+1) 0-based
+            # (CreateTensorPileupFromCffi.py:349-352 is_region_in)
             if self._bed_tree is not None and not self._bed_tree.overlaps(
-                    ctg, pos1 - 2, pos1 + 1):
+                    ctg, pos1 - 1, pos1 + 1):
                 continue
             if self._known_sites is not None and (ctg, pos1) not in self._known_sites:
                 continue
@@ -477,7 +479,17 @@ class VariantCaller:
     def run(self) -> Dict[str, str]:
         """Execute the cascade; returns paths of the written VCFs.  Stage
         wall-times land in ``self.stage_times`` (observability; the
-        reference only had per-job logs from GNU parallel)."""
+        reference only had per-job logs from GNU parallel).
+
+        Warmup threads are joined even on failure: a daemon thread killed
+        mid-XLA-compile at interpreter exit SIGABRTs and masks the real
+        error."""
+        try:
+            return self._run_impl()
+        finally:
+            self._join_warmups()
+
+    def _run_impl(self) -> Dict[str, str]:
         self.stage_times: Dict[str, float] = {}
 
         def _timed(name):
@@ -528,7 +540,6 @@ class VariantCaller:
                 outputs["merge_output_gvcf"] = gvcf_path
             self._final_phasing(final_rows, contig_names, outputs)
             logger.info("[timing] %s", {k: round(v, 2) for k, v in self.stage_times.items()})
-            self._join_warmups()
             return outputs
 
         # --- full-alignment cascade ---
@@ -547,23 +558,27 @@ class VariantCaller:
 
         fa_rows: List[str] = []
         _ent_fa = FastaFile(cfg.ref_fn) if cfg.call_low_seq_entropy else None
-        with self._timed("full_alignment"):
-            for ctg in contig_names:
-                fetch_window = None
-                if _ent_fa is not None:
-                    def fetch_window(pos1, _ctg=ctg, _fa=_ent_fa):
-                        return _fa.fetch(_ctg, max(0, pos1 - 17), pos1 + 16)
+        try:
+            with self._timed("full_alignment"):
+                for ctg in contig_names:
+                    fetch_window = None
+                    if _ent_fa is not None:
+                        def fetch_window(pos1, _ctg=ctg, _fa=_ent_fa):
+                            return _fa.fetch(_ctg, max(0, pos1 - 17), pos1 + 16)
 
-                batches = select_candidates(
-                    pileup_records, ctg, var_qual, ref_qual,
-                    phased_rows=phased_by_contig.get(ctg, ()),
-                    call_low_seq_entropy=cfg.call_low_seq_entropy,
-                    seq_entropy_pro=cfg.seq_entropy_pro,
-                    var_pct_full=cfg.var_pct_full,
-                    fetch_window=fetch_window,
-                )
-                if batches:
-                    fa_rows.extend(self.run_full_alignment(batches))
+                    batches = select_candidates(
+                        pileup_records, ctg, var_qual, ref_qual,
+                        phased_rows=phased_by_contig.get(ctg, ()),
+                        call_low_seq_entropy=cfg.call_low_seq_entropy,
+                        seq_entropy_pro=cfg.seq_entropy_pro,
+                        var_pct_full=cfg.var_pct_full,
+                        fetch_window=fetch_window,
+                    )
+                    if batches:
+                        fa_rows.extend(self.run_full_alignment(batches))
+        finally:
+            if _ent_fa is not None:
+                _ent_fa.close()
         fa_rows = sort_rows(fa_rows, contig_names)
         fa_path = os.path.join(cfg.output_dir, "full_alignment.vcf.gz")
         self._write_vcf(fa_path, fa_rows, contigs)
@@ -599,5 +614,4 @@ class VariantCaller:
             outputs["merge_output_gvcf"] = gvcf_path
         self._final_phasing(merged, contig_names, outputs)
         logger.info("[timing] %s", {k: round(v, 2) for k, v in self.stage_times.items()})
-        self._join_warmups()
         return outputs

@@ -181,6 +181,62 @@ def test_pipeline_genotyping_mode(tmp_path):
     assert by_pos[1201].sample == "./."
 
 
+def test_genotyping_mode_zeroes_af_thresholds():
+    """--vcf_fn forces snp/indel min AF to 0 so every known site is
+    tensorized and model-genotyped (run_clair3.py:393-395)."""
+    cfg = CallConfig(platform="ont", bam_fn="x.bam", ref_fn="x.fa",
+                     output_dir="o", vcf_fn="known.vcf").resolved()
+    assert cfg.snp_min_af == 0.0
+    assert cfg.indel_min_af == 0.0
+    # without vcf_fn the platform presets apply
+    cfg2 = CallConfig(platform="ont", bam_fn="x.bam", ref_fn="x.fa",
+                      output_dir="o").resolved()
+    assert cfg2.snp_min_af == 0.08
+
+
+def test_genotyping_mode_low_af_known_site_is_genotyped(tmp_path):
+    """A known site whose AF is below the platform gate (0.05 < 0.08) must
+    still be tensorized and decoded by the model — not silently dropped and
+    re-added as a blind ./. row (reference issue #261)."""
+    from clair3_tpu.io.bam import BamRead, write_bam
+
+    ref = random_reference(400, seed=77)
+    pos0 = 200
+    alt = "T" if ref[pos0] != "T" else "A"
+    reads = []
+    for i in range(20):
+        seq = list(ref[50:350])
+        if i == 0:  # exactly 1/20 reads carry the alt: AF 0.05
+            seq[pos0 - 50] = alt
+        reads.append(BamRead(
+            f"r{i}", 0 if i % 2 == 0 else 16, 0, 50, 60, [(0, 300)],
+            "".join(seq), np.full(300, 30, np.uint8)))
+    bam = str(tmp_path / "lowaf.bam")
+    write_bam(bam, ["chr1"], [400], reads)
+    fasta = str(tmp_path / "ref.fa")
+    with open(fasta, "w") as f:
+        f.write(">chr1\n" + ref + "\n")
+
+    known = tmp_path / "known.vcf"
+    header = get_header(reference_file_path=fasta, sample_name="K")
+    with VcfWriter(str(known), header) as w:
+        w.write(f"chr1\t{pos0 + 1}\t.\t{ref[pos0]}\t{alt}\t60\tPASS\t.\tGT\t0/1")
+
+    cfg = CallConfig(
+        platform="ont", bam_fn=bam, ref_fn=fasta, vcf_fn=str(known),
+        output_dir=str(tmp_path / "out"), pileup_only=True,
+    )
+    # oracle het threshold below 0.05 so the model-decoded genotype is 0/1
+    engine = PileupOracleEngine(het_threshold=0.03)
+    outputs = VariantCaller(cfg, pileup_engine=engine).run()
+    recs = list(VcfReader(outputs["merge_output"]))
+    assert len(recs) == 1
+    rec = recs[0]
+    assert rec.pos == pos0 + 1
+    assert rec.alt == alt            # decoded from read evidence
+    assert rec.genotype == (0, 1)    # model call, not a ./. add-back
+
+
 def test_add_pairend_allele_depth(tmp_path):
     from clair3_tpu.io.bam import BamRead, write_bam
     from clair3_tpu.postprocess import add_pairend_allele_depth
