@@ -1,19 +1,30 @@
 #!/usr/bin/env python
-"""Benchmark: model-inference candidates/sec/chip (pileup + full-alignment).
+"""Benchmark: END-TO-END cascade throughput (extraction -> inference ->
+decode) plus device-resident forward capacity.
 
-Measures the jit-compiled bf16 forward throughput of both networks with a
-device-resident loop: inputs are generated on-device from a PRNG key inside
-one jitted ``lax.scan`` whose carry depends on every iteration's output, so
-nothing can be elided/deduplicated, and exactly one scalar returns to host.
-(This matches production, where candidate tensors stream from host extractors
-over local DMA — not over this sandbox's slow network tunnel.)
+Two phases:
 
-Reports the combined cascade throughput: every candidate scored by the
-pileup net, a `var_pct_full`-sized fraction (0.3) re-scored by the
-full-alignment net, mirroring the reference's two-stage routing.
+1. **Forward capacity** — jit-compiled bf16 forward throughput of both
+   networks with a device-resident loop: inputs are generated on-device from
+   a PRNG key inside one jitted ``lax.scan`` whose carry depends on every
+   iteration's output, so nothing can be elided/deduplicated, and exactly one
+   scalar returns to host.  (Matches production, where candidate tensors
+   stream from host extractors over local DMA — not over this sandbox's slow
+   network tunnel.)
 
-Baseline: estimated reference combined throughput on one A100 (torch fp32
-pileup+FA cascade); north star is >= 2x (BASELINE.json).
+2. **End-to-end cascade** — a synthetic ONT-like workload (coverage x Mbases,
+   realistic error rate) runs the real pipeline stages serially on this
+   host + chip: native C++ pileup extraction, pileup-net scoring (at the
+   measured device rate for the real candidate count), native C++ decode of
+   every candidate, then the var_pct_full-sized candidate subset through
+   native full-alignment extraction, FA-net scoring, and FA decode.  Serial
+   composition is a conservative lower bound — the production pipeline
+   overlaps host extraction/decode with device compute.
+
+The JSON metric is the end-to-end cascade candidates/s/chip.  Baseline: the
+reference's fastest published configuration, ~20 min ONT WGS 30x on 32 CPU
+threads + RTX 4090 (docs/gpu_quick_start.md:3) ~= 3 Gb / 1200 s with ~5M
+pileup candidates -> ~4,200 candidates/s end-to-end.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -24,7 +35,8 @@ import time
 
 import numpy as np
 
-A100_BASELINE = 25_000.0
+E2E_4090_BASELINE = 4_200.0   # cand/s, reference WGS 30x on 32 cores + 4090
+FWD_A100_BASELINE = 25_000.0  # cand/s, estimated torch cascade forward on A100
 FA_ROUTING_FRACTION = 0.3
 
 
@@ -54,6 +66,81 @@ def bench_forward(model, variables, make_batch, batch: int, iters: int) -> float
     return batch * iters / best
 
 
+def bench_e2e(pileup_cps: float, fa_cps: float):
+    """End-to-end synthetic workload; returns (cand_per_s, mbases_per_s,
+    details dict).  All host stages actually run; forward time is the real
+    candidate count at the measured device-resident rate."""
+    import tempfile
+
+    from clair3_tpu.decode import DecodeConfig
+    from clair3_tpu.native import (decode_batch_native, fa_region_native,
+                                   pileup_region_native)
+    from clair3_tpu.pileup.extractor import candidate_tensors
+    from clair3_tpu.testing import (PileupOracleEngine, FullAlignmentOracleEngine,
+                                    SimVariant, random_reference, write_test_case)
+
+    GENOME_MB = 0.5
+    COVERAGE = 30
+    L = int(GENOME_MB * 1e6)
+    d = tempfile.mkdtemp()
+    ref = random_reference(L, seed=11)
+    variants = []
+    for p in range(500, L - 500, 700):
+        kind = p % 3
+        if kind == 0:
+            variants.append(SimVariant(p, ref[p], "G" if ref[p] != "G" else "T", (0, 1)))
+        elif kind == 1:
+            variants.append(SimVariant(p, ref[p], ref[p] + "AC", (0, 1)))
+        else:
+            variants.append(SimVariant(p, ref[p:p + 3], ref[p], (1, 1)))
+    _, bam, _, _ = write_test_case(
+        d, ref_length=L, variants=variants, coverage=COVERAGE,
+        read_length=5000, seed=11, error_rate=0.03)
+
+    # --- pileup extraction (native C++, auto threads) ---
+    pileup_region_native(bam, ref, 0, "chr1", 0, min(L, 10_000))  # warm build
+    t0 = time.perf_counter()
+    res = pileup_region_native(bam, ref, 0, "chr1", 0, L, threads=0)
+    tensors, pos_infos, alt_infos = candidate_tensors(res, "chr1")
+    t_ext = time.perf_counter() - t0
+    n = len(pos_infos)
+
+    # --- pileup forward (measured device-resident rate on the real count) ---
+    t_fwd = n / pileup_cps
+
+    # --- pileup decode (native C++, oracle-realistic probabilities) ---
+    probs = PileupOracleEngine().predict(tensors)
+    cfg_p = DecodeConfig(add_indel_length=False, pileup=True, show_ref_calls=True)
+    decode_batch_native(pos_infos[:64], alt_infos[:64], probs[:64], cfg_p)  # warm
+    t0 = time.perf_counter()
+    rows = decode_batch_native(pos_infos, alt_infos, probs, cfg_p)
+    t_dec = time.perf_counter() - t0
+
+    # --- full-alignment stage on the routed fraction ---
+    n_fa = max(1, int(n * FA_ROUTING_FRACTION))
+    fa_cands = sorted(int(p.split(":")[-2]) - 1 for p in pos_infos[:n_fa])
+    t0 = time.perf_counter()
+    fa_mat, fa_pos, fa_alts = fa_region_native(
+        bam, ref, 0, "chr1", fa_cands, need_haplotagging=False)
+    t_fa_ext = time.perf_counter() - t0
+    t_fa_fwd = len(fa_pos) / fa_cps
+    fa_probs = FullAlignmentOracleEngine().predict(fa_mat)
+    fa_pis = [f"chr1:{p + 1}:{ref[max(0, p - 16):p + 17]}" for p in fa_pos]
+    cfg_f = DecodeConfig(add_indel_length=True, pileup=False, show_ref_calls=True)
+    t0 = time.perf_counter()
+    decode_batch_native(fa_pis, fa_alts, fa_probs, cfg_f)
+    t_fa_dec = time.perf_counter() - t0
+
+    total = t_ext + t_fwd + t_dec + t_fa_ext + t_fa_fwd + t_fa_dec
+    details = {
+        "candidates": n, "fa_candidates": len(fa_pos), "rows": len(rows),
+        "t_extract": round(t_ext, 3), "t_forward": round(t_fwd, 3),
+        "t_decode": round(t_dec, 3), "t_fa_extract": round(t_fa_ext, 3),
+        "t_fa_forward": round(t_fa_fwd, 3), "t_fa_decode": round(t_fa_dec, 3),
+    }
+    return n / total, GENOME_MB / total, details
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -74,7 +161,7 @@ def main():
         return jax.random.randint(key, (B_P, 33, 18), -30, 30, jnp.int32)
 
     pileup_cps = bench_forward(pileup, vp, pileup_batch, B_P, ITERS_P)
-    print(f"[bench] pileup: {pileup_cps:,.0f} candidates/s", file=sys.stderr)
+    print(f"[bench] pileup forward: {pileup_cps:,.0f} candidates/s", file=sys.stderr)
 
     B_F, ITERS_F = 2048, 30
     fa = FullAlignmentNet(add_indel_length=True, compute_dtype=jnp.bfloat16)
@@ -84,43 +171,30 @@ def main():
         return jax.random.randint(key, (B_F, 89, 33, 8), -100, 100, jnp.int32).astype(jnp.int8)
 
     fa_cps = bench_forward(fa, vf, fa_batch, B_F, ITERS_F)
-    print(f"[bench] full-alignment: {fa_cps:,.0f} candidates/s", file=sys.stderr)
+    print(f"[bench] full-alignment forward: {fa_cps:,.0f} candidates/s", file=sys.stderr)
 
-    # host-side components (stderr info): extraction + decode throughput
-    import tempfile
-    from clair3_tpu.native import native_available, pileup_region_native
-    from clair3_tpu.testing import SimVariant, random_reference, write_test_case
-    if native_available():
-        import time as _t
-
-        d = tempfile.mkdtemp()
-        L = 100_000
-        _ref = random_reference(L, seed=1)
-        _vars = [SimVariant(p, _ref[p], "G" if _ref[p] != "G" else "T", (0, 1))
-                 for p in range(500, L - 500, 700)]
-        _fa_path, _bam, _, _ = write_test_case(
-            d, ref_length=L, variants=_vars, coverage=40, read_length=5000,
-            seed=1, error_rate=0.03)
-        pileup_region_native(_bam, _ref, 0, "chr1", 0, L)
-        t0 = _t.perf_counter()
-        pileup_region_native(_bam, _ref, 0, "chr1", 0, L)
-        dt = _t.perf_counter() - t0
-        print(f"[bench] native extraction: {40 * L / dt / 1e6:,.1f} Mbases(read)/s/thread",
-              file=sys.stderr)
-
-    combined = 1.0 / (1.0 / pileup_cps + FA_ROUTING_FRACTION / fa_cps)
-    per_chip = combined / n_dev
+    fwd_combined = 1.0 / (1.0 / pileup_cps + FA_ROUTING_FRACTION / fa_cps)
     print(
-        f"[bench] combined cascade: {combined:,.0f} candidates/s "
-        f"({per_chip:,.0f}/chip over {n_dev} chip(s))",
+        f"[bench] forward-only cascade capacity: {fwd_combined:,.0f} candidates/s "
+        f"({fwd_combined / n_dev:,.0f}/chip, {fwd_combined / n_dev / FWD_A100_BASELINE:.2f}x "
+        f"A100-forward estimate)",
         file=sys.stderr,
     )
 
+    e2e_cps, e2e_mbps, details = bench_e2e(pileup_cps, fa_cps)
+    print(f"[bench] e2e stage breakdown: {details}", file=sys.stderr)
+    print(
+        f"[bench] e2e cascade: {e2e_cps:,.0f} candidates/s, "
+        f"{e2e_mbps:.2f} Mbases/s (genome), serial composition",
+        file=sys.stderr,
+    )
+
+    per_chip = e2e_cps / n_dev
     print(json.dumps({
-        "metric": "cascade candidates/sec/chip (pileup + 0.3x full-alignment, bf16)",
+        "metric": "e2e cascade candidates/s/chip (native extract + bf16 infer + native decode, pileup + 0.3x FA)",
         "value": round(per_chip, 1),
         "unit": "candidates/s/chip",
-        "vs_baseline": round(per_chip / A100_BASELINE, 3),
+        "vs_baseline": round(per_chip / E2E_4090_BASELINE, 3),
     }))
 
 

@@ -50,7 +50,7 @@ def _build() -> str:
     tmp = _SO + f".tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        *_SRCS, "-o", tmp, "-lz",
+        "-pthread", *_SRCS, "-o", tmp, "-lz",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(tmp, _SO)
@@ -68,7 +68,7 @@ def get_lib():
                 ctypes.c_char_p, ctypes.c_int64,
                 ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
+                ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
             ]
             lib.clair3t_pileup_free.argtypes = [ctypes.POINTER(_PileupOut)]
             _lib = lib
@@ -142,6 +142,7 @@ def pileup_region_native(
     call_snp_only: bool = False,
     gvcf: bool = False,
     call_ht: bool = False,
+    threads: int = 1,
 ):
     """Native counterpart of clair3_tpu.pileup.extractor.pileup_region,
     returning a PileupResult with identical contents."""
@@ -161,7 +162,7 @@ def pileup_region_native(
         ref_seq.encode(), ref_offset,
         min_mq, min_depth, min_snp_af, min_indel_af,
         max_indel_length, int(call_snp_only), int(gvcf), int(call_ht),
-        voff_begin, voff_end, tid,
+        voff_begin, voff_end, tid, threads,
     )
     out = out_p.contents
     try:

@@ -21,6 +21,7 @@
 #include <cstring>
 #include <map>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -49,6 +50,10 @@ int base_index(char b) {
   }
 }
 
+// 4-bit BAM nibble ("=ACMGRSVTWYHKDBN") -> ACGT channel index, -1 otherwise
+constexpr int8_t kNt16ToIdx[16] = {
+    -1, 0, 1, -1, 2, -1, -1, -1, 3, -1, -1, -1, -1, -1, -1, -1};
+
 }  // namespace
 
 namespace {
@@ -74,6 +79,82 @@ struct ColIndels {
   std::map<std::string, int> ins_f, ins_r;    // ins_seq -> count
 };
 
+// Count one genome subrange [sub_s, sub_e) into the shared arrays.  Shards
+// write only their own disjoint column slice (counts/depth indexed by
+// global `start`), so no synchronization is needed; per-shard indel maps
+// have disjoint keys and are merged after the join.  A read spanning a
+// shard boundary is counted by every shard it overlaps, each clipping to
+// its own window — summing to exactly the single-thread result.
+//
+void count_subrange(const BamView& bam, int tid, int min_mq,
+                    int64_t start, int64_t sub_s, int64_t sub_e,
+                    int32_t* counts, int32_t* depth,
+                    std::unordered_map<int64_t, ColIndels>* indels) {
+  for_each_record(bam, [&](const RecView& r) -> bool {
+    if (r.tid != tid) return r.tid <= tid;  // stop once past our contig
+    if (r.pos >= sub_e) return false;       // coordinate-sorted early exit
+    if (r.flag & kFilterFlag) return true;
+    if (r.mapq < min_mq) return true;
+    if (r.l_seq == 0) return true;  // SEQ '*' records carry no bases
+    int64_t rend = r.pos + ref_span(r);
+    if (rend <= sub_s) return true;
+
+    bool rev = r.flag & 0x10;
+    int strand = rev ? kRevOff : 0;
+    int64_t rpos = r.pos;
+    int64_t qpos = 0;
+    for (int ci = 0; ci < r.n_cigar; ci++) {
+      uint32_t op = r.cigar[ci] & 0xF;
+      int64_t len = r.cigar[ci] >> 4;
+      if (op == 0 || op == 7 || op == 8) {  // M =X
+        int64_t lo = std::max(rpos, sub_s), hi = std::min(rpos + len, sub_e);
+        int32_t* cp = counts + (lo - start) * kFeat + strand;
+        int32_t* dp = depth + (lo - start);
+        int64_t qp = qpos + (lo - rpos);
+        for (int64_t p = lo; p < hi; p++, qp++, dp++, cp += kFeat) {
+          int bi = kNt16ToIdx[(r.seq[qp >> 1] >> ((~qp & 1) << 2)) & 0xF];
+          (*dp)++;
+          if (bi >= 0) cp[bi]++;
+        }
+        rpos += len;
+        qpos += len;
+      } else if (op == 1) {  // I at anchor rpos-1
+        int64_t anchor = rpos - 1;
+        if (anchor >= sub_s && anchor < sub_e && anchor >= r.pos) {
+          std::string seq;
+          seq.reserve(len);
+          for (int64_t k = 0; k < len; k++) {
+            int64_t qp = qpos + k;
+            seq.push_back(kSeqNt16[(r.seq[qp >> 1] >> ((~qp & 1) << 2)) & 0xF]);
+          }
+          auto& col = (*indels)[anchor - start];
+          (rev ? col.ins_r : col.ins_f)[seq]++;
+        }
+        qpos += len;
+      } else if (op == 2) {  // D
+        int64_t anchor = rpos - 1;
+        if (anchor >= sub_s && anchor < sub_e && anchor >= r.pos) {
+          auto& col = (*indels)[anchor - start];
+          (rev ? col.dels_r : col.dels_f)[(int)len]++;
+        }
+        int64_t lo = std::max(rpos, sub_s), hi = std::min(rpos + len, sub_e);
+        int32_t* cp = counts + (lo - start) * kFeat + kFwdDel + strand;
+        int32_t* dp = depth + (lo - start);
+        for (int64_t p = lo; p < hi; p++, dp++, cp += kFeat) {
+          (*dp)++;
+          (*cp)++;
+        }
+        rpos += len;
+      } else if (op == 3) {
+        rpos += len;
+      } else if (op == 4) {
+        qpos += len;
+      }
+    }
+    return true;
+  });
+}
+
 }  // namespace
 
 extern "C" {
@@ -83,7 +164,7 @@ PileupOut* clair3t_pileup(
     const char* ref_seq, int64_t ref_offset,
     int min_mq, int min_depth, double min_snp_af, double min_indel_af,
     int max_indel_length, int call_snp_only, int want_gvcf, int call_ht,
-    uint64_t voff_begin, uint64_t voff_end, int tid_hint) {
+    uint64_t voff_begin, uint64_t voff_end, int tid_hint, int n_threads) {
   auto* out = new PileupOut();
   memset(out, 0, sizeof(PileupOut));
   const int64_t L = end - start;
@@ -109,70 +190,34 @@ PileupOut* clair3t_pileup(
     }
   }
 
-  std::vector<int64_t> counts((size_t)L * kFeat, 0);
+  std::vector<int32_t> counts((size_t)L * kFeat, 0);
   std::vector<int32_t> depth(L, 0);
   std::unordered_map<int64_t, ColIndels> indels;
 
-  for_each_record(bam, [&](const RecView& r) -> bool {
-    if (r.tid != tid) return r.tid <= tid;  // stop once past our contig
-    if (r.pos >= end) return false;         // coordinate-sorted early exit
-    if (r.flag & kFilterFlag) return true;
-    if (r.mapq < min_mq) return true;
-    if (r.l_seq == 0) return true;  // SEQ '*' records carry no bases
-    int64_t rend = r.pos + ref_span(r);
-    if (rend <= start) return true;
-
-    bool rev = r.flag & 0x10;
-    int strand = rev ? kRevOff : 0;
-    int64_t rpos = r.pos;
-    int64_t qpos = 0;
-    for (int ci = 0; ci < r.n_cigar; ci++) {
-      uint32_t op = r.cigar[ci] & 0xF;
-      int64_t len = r.cigar[ci] >> 4;
-      if (op == 0 || op == 7 || op == 8) {  // M =X
-        int64_t lo = std::max(rpos, start), hi = std::min(rpos + len, end);
-        for (int64_t p = lo; p < hi; p++) {
-          int64_t qp = qpos + (p - rpos);
-          char b = kSeqNt16[(r.seq[qp >> 1] >> ((~qp & 1) << 2)) & 0xF];
-          depth[p - start]++;
-          int bi = base_index(b);
-          if (bi >= 0) counts[(p - start) * kFeat + bi + strand]++;
-        }
-        rpos += len;
-        qpos += len;
-      } else if (op == 1) {  // I at anchor rpos-1
-        int64_t anchor = rpos - 1;
-        if (anchor >= start && anchor < end && anchor >= r.pos) {
-          std::string seq;
-          seq.reserve(len);
-          for (int64_t k = 0; k < len; k++) {
-            int64_t qp = qpos + k;
-            seq.push_back(kSeqNt16[(r.seq[qp >> 1] >> ((~qp & 1) << 2)) & 0xF]);
-          }
-          auto& col = indels[anchor - start];
-          (rev ? col.ins_r : col.ins_f)[seq]++;
-        }
-        qpos += len;
-      } else if (op == 2) {  // D
-        int64_t anchor = rpos - 1;
-        if (anchor >= start && anchor < end && anchor >= r.pos) {
-          auto& col = indels[anchor - start];
-          (rev ? col.dels_r : col.dels_f)[(int)len]++;
-        }
-        int64_t lo = std::max(rpos, start), hi = std::min(rpos + len, end);
-        for (int64_t p = lo; p < hi; p++) {
-          depth[p - start]++;
-          counts[(p - start) * kFeat + kFwdDel + strand]++;
-        }
-        rpos += len;
-      } else if (op == 3) {
-        rpos += len;
-      } else if (op == 4) {
-        qpos += len;
-      }
+  if (n_threads <= 0) {
+    unsigned hw = std::thread::hardware_concurrency();
+    n_threads = hw ? (int)hw : 1;
+  }
+  // genome-subrange sharding; below ~64kb per shard the re-scan of record
+  // headers outweighs the counting win
+  int shards = (int)std::min<int64_t>(n_threads, std::max<int64_t>(1, L / 65536));
+  if (shards <= 1) {
+    count_subrange(bam, tid, min_mq, start, start, end,
+                   counts.data(), depth.data(), &indels);
+  } else {
+    std::vector<std::unordered_map<int64_t, ColIndels>> shard_indels(shards);
+    std::vector<std::thread> workers;
+    for (int t = 0; t < shards; t++) {
+      int64_t sub_s = start + L * t / shards;
+      int64_t sub_e = start + L * (t + 1) / shards;
+      workers.emplace_back(count_subrange, std::cref(bam), tid, min_mq,
+                           start, sub_s, sub_e, counts.data(),
+                           depth.data(), &shard_indels[t]);
     }
-    return true;
-  });
+    for (auto& w : workers) w.join();
+    for (auto& m : shard_indels)
+      for (auto& [idx, col] : m) indels[idx] = std::move(col);
+  }
 
   // finalize indel summary channels
   for (auto& [idx, col] : indels) {
@@ -216,7 +261,7 @@ PileupOut* clair3t_pileup(
     bool ref_in_acgt = ref_idx_raw >= 0;
     int ref_idx = ref_in_acgt ? ref_idx_raw : 0;
 
-    int64_t* row = counts.data() + idx * kFeat;
+    int32_t* row = counts.data() + idx * kFeat;
     int64_t forward_sum = row[0] + row[1] + row[2] + row[3];
     int64_t reverse_sum = row[kRevOff] + row[kRevOff + 1] + row[kRevOff + 2] + row[kRevOff + 3];
     int64_t ref_count = 0, alt_count = 0, all_alt_count = 0;
@@ -242,8 +287,8 @@ PileupOut* clair3t_pileup(
     for (auto& [s, c] : col.ins_r) ins_count += c;
 
     // negate the ref-base columns
-    row[ref_idx] = -forward_sum;
-    row[ref_idx + kRevOff] = -reverse_sum;
+    row[ref_idx] = (int32_t)-forward_sum;
+    row[ref_idx + kRevOff] = (int32_t)-reverse_sum;
 
     int64_t col_depth = std::max<int32_t>(1, depth[idx]);
     bool pass_min_depth = col_depth >= min_depth;
@@ -328,7 +373,7 @@ PileupOut* clair3t_pileup(
   }
 
   out->counts = new int32_t[(size_t)L * kFeat];
-  for (size_t i = 0; i < (size_t)L * kFeat; i++) out->counts[i] = (int32_t)counts[i];
+  memcpy(out->counts, counts.data(), (size_t)L * kFeat * sizeof(int32_t));
   out->depth = new int32_t[L];
   memcpy(out->depth, depth.data(), L * sizeof(int32_t));
   out->n_candidates = (int32_t)alt_infos.size();

@@ -328,6 +328,7 @@ def create_pileup_tensors(
     gvcf: bool = False,
     head_tail: bool = False,
     use_native: Optional[bool] = None,
+    threads: int = 1,
 ) -> Tuple[np.ndarray, List[str], List[str], PileupResult]:
     """End-to-end tensor creation for a 1-based inclusive region
     [ctg_start, ctg_end], expanding by the window size like the reference
@@ -362,6 +363,7 @@ def create_pileup_tensors(
             min_mq=min_mq, min_depth=min_depth, min_snp_af=min_snp_af,
             min_indel_af=min_indel_af, max_indel_length=max_indel_length,
             call_snp_only=call_snp_only, gvcf=gvcf, call_ht=head_tail,
+            threads=threads,
         )
     else:
         from clair3_tpu.io.bam import BamReader

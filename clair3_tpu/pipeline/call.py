@@ -142,6 +142,9 @@ class VariantCaller:
         )
 
     def _extract_pileup_chunk(self, task: ChunkTask):
+        # split cores between chunk-level workers and the in-call C++
+        # counting shards (native counting threads over genome subranges)
+        per_call = max(1, (os.cpu_count() or 1) // max(1, self.cfg.threads))
         return create_pileup_tensors(
             self.cfg.bam_fn,
             self.cfg.ref_fn,
@@ -156,6 +159,7 @@ class VariantCaller:
             call_snp_only=self.cfg.call_snp_only,
             gvcf=self.cfg.gvcf,
             head_tail=self.cfg.enable_variant_calling_at_sequence_head_and_tail,
+            threads=per_call,
         )
 
     @staticmethod

@@ -98,3 +98,32 @@ def test_native_speedup(tmp_path):
     native.pileup_region_native(bam, ref_seq, 0, "chr1", 0, 20_000)
     t_nat = time.perf_counter() - t0
     assert t_nat < t_py / 3, f"native {t_nat:.3f}s vs python {t_py:.3f}s"
+
+
+def test_threaded_counting_identical_to_single_thread(tmp_path):
+    """Genome-subrange sharded counting (threads>1) must be bit-identical to
+    the single-thread pass: shard-boundary-spanning reads, indel anchors at
+    boundaries, counts/depth/candidates/alt-infos/gVCF counts."""
+    L = 400_000  # > 64kb/shard floor so 4 shards actually engage
+    ref = random_reference(L, seed=91)
+    variants = []
+    for p in range(500, L - 500, 900):
+        kind = p % 3
+        if kind == 0:
+            variants.append(SimVariant(p, ref[p], "G" if ref[p] != "G" else "T", (0, 1)))
+        elif kind == 1:
+            variants.append(SimVariant(p, ref[p], ref[p] + "AC", (0, 1)))
+        else:
+            variants.append(SimVariant(p, ref[p:p + 3], ref[p], (1, 1)))
+    fasta, bam, _, _ = write_test_case(
+        str(tmp_path), ref_length=L, variants=variants, coverage=12,
+        read_length=3000, seed=91, error_rate=0.03)
+    fa = FastaFile(fasta)
+    ref_seq = fa.fetch("chr1", 0, L)
+    fa.close()
+    one = native.pileup_region_native(
+        bam, ref_seq, 0, "chr1", 0, L, gvcf=True, threads=1)
+    four = native.pileup_region_native(
+        bam, ref_seq, 0, "chr1", 0, L, gvcf=True, threads=4)
+    _assert_identical(one, four)
+    assert len(one.candidates) > 100
