@@ -99,8 +99,18 @@ struct ReadInfo {
   uint8_t mapq;
   bool rev;
   int haplotype = 0;
-  std::unordered_map<int64_t, PosEntry> entries;
+  // flanking-position entries in ascending key order: the CIGAR walk visits
+  // reference positions monotonically, so append/back-update replaces the
+  // per-position hash map (which dominated the extraction profile)
+  std::vector<std::pair<int64_t, PosEntry>> entries;
   std::vector<std::pair<std::string, int32_t>> ins_seqs;  // (seq, signal sum)
+
+  PosEntry& entry_at(int64_t p) {
+    if (!entries.empty() && entries.back().first == p)
+      return entries.back().second;
+    entries.emplace_back(p, PosEntry{});
+    return entries.back().second;
+  }
 };
 
 struct CandStats {
@@ -364,16 +374,29 @@ FaOut* clair3t_fullalign(
 
   std::vector<int64_t> cands(candidates, candidates + n_cand);
   std::sort(cands.begin(), cands.end());
-  std::unordered_set<int64_t> flanking;
-  std::unordered_map<int64_t, int> cand_index;
+  // flanking-position membership and candidate lookup as flat bitmaps over
+  // the covered span: the per-base hash probes in the CIGAR walk dominated
+  // the extraction profile
+  const int64_t flank_lo =
+      n_cand ? std::max<int64_t>(0, cands.front() - kFlank) : 0;
+  const int64_t flank_hi = n_cand ? cands.back() + kFlank + 1 : 0;
+  std::vector<uint8_t> in_flank(flank_hi - flank_lo, 0);
+  std::vector<int32_t> cand_at(flank_hi - flank_lo, -1);
   for (int i = 0; i < n_cand; i++) {
-    cand_index[cands[i]] = i;
     for (int64_t p = std::max<int64_t>(0, cands[i] - kFlank);
          p <= cands[i] + kFlank; p++)
-      flanking.insert(p);
+      in_flank[p - flank_lo] = 1;
+    cand_at[cands[i] - flank_lo] = i;
   }
+  auto is_flank = [&](int64_t p) -> bool {
+    return p >= flank_lo && p < flank_hi && in_flank[p - flank_lo];
+  };
+  auto cand_of = [&](int64_t p) -> int {
+    return (p >= flank_lo && p < flank_hi) ? cand_at[p - flank_lo] : -1;
+  };
 
   std::vector<CandStats> stats(n_cand);
+  std::vector<std::vector<int>> cand_overlaps(n_cand);
   std::vector<ReadInfo> infos;
   std::unordered_set<std::string> seen_names;
   const int64_t region_start = n_cand ? cands.front() - kFlank : 0;
@@ -393,6 +416,11 @@ FaOut* clair3t_fullalign(
     // overlap any candidate window [c-kFlank, c+kFlank]?
     auto it = std::lower_bound(cands.begin(), cands.end(), r.pos - kFlank);
     if (it == cands.end() || *it - kFlank >= rend) return true;
+    {  // record this read against every candidate window it overlaps
+      int j = (int)infos.size();
+      for (auto c = it; c != cands.end() && *c - kFlank < rend; ++c)
+        cand_overlaps[c - cands.begin()].push_back(j);
+    }
 
     ReadInfo info;
     info.pos = r.pos;
@@ -413,38 +441,37 @@ FaOut* clair3t_fullalign(
       if (op == 0 || op == 7 || op == 8) {
         for (int64_t k = 0; k < length; k++) {
           int64_t p = ref_pos + k;
-          if (!flanking.count(p)) continue;
+          if (!is_flank(p)) continue;
           int64_t qp = query_pos + k;
-          PosEntry& e = info.entries[p];
+          PosEntry& e = info.entry_at(p);
           e.base = seq_base(r, qp);
           e.bq = (int8_t)norm_bq(r.qual[qp]);
           e.signal = (have_signals && qp < (int64_t)signals.size()) ? signals[qp] : 0;
-          auto ci2 = cand_index.find(p);
-          if (ci2 != cand_index.end()) {
-            stats[ci2->second].acgt[acgt_idx(e.base)]++;
-            stats[ci2->second].depth++;
+          int ci2 = cand_of(p);
+          if (ci2 >= 0) {
+            stats[ci2].acgt[acgt_idx(e.base)]++;
+            stats[ci2].depth++;
           }
         }
         ref_pos += length;
         query_pos += length;
       } else if (op == 2) {
         int64_t anchor = ref_pos - 1;
-        if (anchor >= r.pos && flanking.count(anchor)) {
-          info.entries[anchor].del_len = (int32_t)length;
-          auto ci2 = cand_index.find(anchor);
-          if (ci2 != cand_index.end())
-            stats[ci2->second].del_counter[(int)length]++;
+        if (anchor >= r.pos && is_flank(anchor)) {
+          info.entry_at(anchor).del_len = (int32_t)length;
+          int ci2 = cand_of(anchor);
+          if (ci2 >= 0) stats[ci2].del_counter[(int)length]++;
         }
         for (int64_t p = ref_pos; p < ref_pos + length; p++) {
-          if (!flanking.count(p)) continue;
-          info.entries[p].base = '-';  // deleted marker
-          auto ci2 = cand_index.find(p);
-          if (ci2 != cand_index.end()) stats[ci2->second].depth++;
+          if (!is_flank(p)) continue;
+          info.entry_at(p).base = '-';  // deleted marker
+          int ci2 = cand_of(p);
+          if (ci2 >= 0) stats[ci2].depth++;
         }
         ref_pos += length;
       } else if (op == 1) {
         int64_t anchor = ref_pos - 1;
-        if (anchor >= r.pos && flanking.count(anchor)) {
+        if (anchor >= r.pos && is_flank(anchor)) {
           std::string seq = query_sub(r, query_pos, query_pos + length);
           int32_t sig = 0;
           if (have_signals) {
@@ -452,9 +479,9 @@ FaOut* clair3t_fullalign(
             for (int64_t q = query_pos; q < hi; q++) sig += signals[q];
           }
           info.ins_seqs.emplace_back(seq, sig);
-          info.entries[anchor].ins_idx = (int32_t)info.ins_seqs.size();  // 1-based
-          auto ci2 = cand_index.find(anchor);
-          if (ci2 != cand_index.end()) stats[ci2->second].ins_counter[seq]++;
+          info.entry_at(anchor).ins_idx = (int32_t)info.ins_seqs.size();  // 1-based
+          int ci2 = cand_of(anchor);
+          if (ci2 >= 0) stats[ci2].ins_counter[seq]++;
         }
         query_pos += length;
       } else if (op == 3) {
@@ -479,11 +506,7 @@ FaOut* clair3t_fullalign(
     cand_pos_out[i] = cand;
     int64_t start_pos = cand - kFlank;
     int64_t end_pos = cand + kFlank + 1;
-    overlaps.clear();
-    for (size_t j = 0; j < infos.size(); j++) {
-      if (infos[j].pos < end_pos && infos[j].read_end > start_pos)
-        overlaps.push_back((int)j);
-    }
+    overlaps = cand_overlaps[i];
     if ((int)overlaps.size() > matrix_depth) {
       uint64_t cseed = seed ^ (uint64_t)((uint64_t)cand * 0x100000001B3ull);
       XorShift64 rng(cseed);
@@ -521,10 +544,14 @@ FaOut* clair3t_fullalign(
       int8_t mq_v = (int8_t)norm_mq(info.mapq);
       int8_t* rmat = cmat + (size_t)d * kPositions * channels;
 
-      for (int p = 0; p < kPositions; p++) {
-        int64_t cp = start_pos + p;
-        auto eit = info.entries.find(cp);
-        if (eit == info.entries.end()) continue;
+      auto eit = std::lower_bound(
+          info.entries.begin(), info.entries.end(), start_pos,
+          [](const std::pair<int64_t, PosEntry>& a, int64_t v) {
+            return a.first < v;
+          });
+      for (; eit != info.entries.end() && eit->first < end_pos; ++eit) {
+        int p = (int)(eit->first - start_pos);
+        int64_t cp = eit->first;
         const PosEntry& e = eit->second;
         if (e.base == '-') continue;  // deleted columns stay all-zero
         if (e.base == 0) continue;
