@@ -94,11 +94,16 @@ def _validate_call_inputs(args) -> Optional[str]:
     import os
 
     if not os.path.exists(args.bam_fn):
-        return f"BAM file not found: {args.bam_fn}"
+        return f"BAM/CRAM file not found: {args.bam_fn}"
     if not os.path.exists(args.ref_fn):
         return f"reference FASTA not found: {args.ref_fn}"
+    is_cram = args.bam_fn.lower().endswith(".cram")
     with open(args.bam_fn, "rb") as fh:
-        if fh.read(2) != b"\x1f\x8b":
+        magic = fh.read(4)
+        if is_cram:
+            if magic != b"CRAM":
+                return f"{args.bam_fn} is not a CRAM file"
+        elif magic[:2] != b"\x1f\x8b":
             return f"{args.bam_fn} is not a BGZF/BAM file"
     if args.bed_fn and not os.path.exists(args.bed_fn):
         return f"BED file not found: {args.bed_fn}"
@@ -111,7 +116,12 @@ def _validate_call_inputs(args) -> Optional[str]:
         from clair3_tpu.io.fasta import FastaFile
 
         fa = FastaFile(args.ref_fn)
-        bam = BamReader(args.bam_fn)
+        if is_cram:
+            from clair3_tpu.io.cram import CramReader
+
+            bam = CramReader(args.bam_fn, ref_fn=args.ref_fn)
+        else:
+            bam = BamReader(args.bam_fn)
         shared = set(fa.references) & set(bam.references)
         fa.close()
         if args.ctg_name and args.ctg_name not in shared:

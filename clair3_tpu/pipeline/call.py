@@ -87,6 +87,17 @@ class VariantCaller:
         phaser=None,
     ):
         self.cfg = config.resolved()
+        if self.cfg.bam_fn and self.cfg.bam_fn.lower().endswith(".cram"):
+            # CRAM input (reference: README.md:127): decode once into an
+            # indexed BAM so the native extractors and .bai windowed loads
+            # run unchanged; outputs are byte-identical to BAM input.
+            from clair3_tpu.io.cram import cram_to_bam
+
+            os.makedirs(self.cfg.output_dir, exist_ok=True)
+            converted = os.path.join(self.cfg.output_dir, "input_from_cram.bam")
+            logger.info("[cram] decoding %s -> %s", self.cfg.bam_fn, converted)
+            cram_to_bam(self.cfg.bam_fn, converted, self.cfg.ref_fn)
+            self.cfg = dataclasses.replace(self.cfg, bam_fn=converted)
         self.pileup_engine = pileup_engine
         self.fa_engine = fa_engine
         self.phaser = phaser
