@@ -293,7 +293,12 @@ def cmd_tensor2bin(args: argparse.Namespace) -> int:
         _fa = _FF(args.ref_fn)
         ref_seq = _fa.fetch(ctg, 0, _fa.contig_length(ctg))
         _fa.close()
-        truths = unify_representation(truths, cands, ref_seq, 0)
+        # read-level support gates relabeling (find_read_support semantics)
+        from clair3_tpu.io.bam import BamReader as _BR
+
+        _bam = _BR(args.bam_fn)
+        _reads = list(_bam.fetch(ctg, max(0, args.ctg_start - 1), end))
+        truths = unify_representation(truths, cands, ref_seq, 0, reads=_reads)
     labels, keep = build_labels(
         pos_infos, truths, maximum_non_variant_ratio=args.maximum_non_variant_ratio)
     write_bin(args.bin_fn, tensors[keep], labels[keep],

@@ -12,12 +12,14 @@ truth's haplotype pair, and re-emit the truth in candidate coordinates.
 from __future__ import annotations
 
 import itertools
+from collections import Counter
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from clair3_tpu.train.data import TruthVariant
 
-MAX_CLUSTER_CANDIDATES = 4
+MAX_CLUSTER_CANDIDATES = 10
+MAX_CALCULATE_COUNT = 10_000   # combination budget (UnifyRepresentation.py:1409)
 WINDOW_PAD = 16
 _GT_OPTIONS = ((0, 1), (1, 0), (1, 1))
 
@@ -71,6 +73,63 @@ def _haplotype_pair(
     return tuple(sorted((h1, h2)))
 
 
+def read_window_sequence(
+    read, window_start: int, window_end: int, ref_window: str,
+) -> Optional[str]:
+    """The read's implied haplotype over [window_start, window_end] (1-based
+    inclusive): read bases where the read covers the window, reference bases
+    elsewhere (reference: UnifyRepresentation.py find_read_support 'extended
+    the reference sequence with the alternative base').  None when the read
+    doesn't overlap the window at all."""
+    w0 = window_start - 1  # 0-based window start
+    w1 = window_end        # 0-based exclusive end
+    if read.pos >= w1:
+        return None
+    out: List[str] = []
+    cursor = w0  # next reference position to fill
+    ref_i = read.pos
+    read_i = 0
+    for op, ln in read.cigar:
+        if op in (0, 7, 8):  # M =X
+            lo, hi = max(ref_i, w0), min(ref_i + ln, w1)
+            if lo < hi:
+                if lo > cursor:
+                    out.append(ref_window[cursor - w0: lo - w0])
+                out.append(read.seq[read_i + (lo - ref_i): read_i + (hi - ref_i)])
+                cursor = hi
+            ref_i += ln
+            read_i += ln
+        elif op == 1:  # I anchored at ref_i - 1
+            if w0 < ref_i <= w1 and ref_i - 1 >= read.pos and cursor >= ref_i:
+                out.append(read.seq[read_i: read_i + ln])
+            read_i += ln
+        elif op == 2 or op == 3:  # D / N consume reference without output
+            lo, hi = max(ref_i, w0), min(ref_i + ln, w1)
+            if lo < hi:
+                if lo > cursor:
+                    out.append(ref_window[cursor - w0: lo - w0])
+                cursor = hi
+            ref_i += ln
+        elif op == 4:  # S
+            read_i += ln
+    if cursor == w0:
+        return None  # no overlap
+    if cursor < w1:
+        out.append(ref_window[cursor - w0: w1 - w0])
+    return "".join(out).upper()
+
+
+def _read_support_counter(
+    reads, window_start: int, window_end: int, ref_window: str,
+) -> Counter:
+    c: Counter = Counter()
+    for r in reads:
+        seq = read_window_sequence(r, window_start, window_end, ref_window)
+        if seq:
+            c[seq] += 1
+    return c
+
+
 def _cluster(items: Sequence, pos_of, gap: int) -> List[List]:
     clusters: List[List] = []
     for item in sorted(items, key=pos_of):
@@ -89,10 +148,18 @@ def unify_representation(
     *,
     window_pad: int = WINDOW_PAD,
     max_candidates: int = MAX_CLUSTER_CANDIDATES,
+    max_calculate_count: int = MAX_CALCULATE_COUNT,
+    reads: Optional[Sequence] = None,
 ) -> List[TruthVariant]:
     """Re-express truth variants using candidate alleles where the local
     haplotypes match; truths with no matching candidate combination pass
-    through unchanged."""
+    through unchanged.
+
+    When ``reads`` (BamRead-likes over the region) are given, competing
+    matches are ranked by read-level haplotype support and relabeling onto
+    alleles with zero read support is refused — the reference's guard
+    against relabeling onto low-AF systematic errors
+    (UnifyRepresentation.py:115-145, 855-875)."""
     out: List[TruthVariant] = []
     cand_sorted = sorted(candidates, key=lambda c: c.pos)
 
@@ -157,28 +224,80 @@ def unify_representation(
             continue
 
         near = [c for c in cand_sorted if lo <= c.pos <= hi]
-        if not near or len(near) > max_candidates:
+        if len(near) > max_candidates:
+            # keep the alleles nearest to any truth position (the reference
+            # partitions oversized clusters; proximity pruning bounds the
+            # same combinatorial blow-up)
+            t_pos = [t.pos for t in cluster]
+            near = sorted(near, key=lambda c: min(abs(c.pos - p) for p in t_pos))
+            near = sorted(near[:max_candidates], key=lambda c: c.pos)
+        if not near:
             out.extend(cluster)
             continue
 
-        matched: Optional[List[TruthVariant]] = None
-        # search subsets x genotype assignments of candidate alleles
+        support: Optional[Counter] = None
+        if reads is not None:
+            support = _read_support_counter(
+                reads, window_start, window_start + len(ref_window) - 1,
+                ref_window)
+
+        # search subsets x genotype assignments of candidate alleles under a
+        # combination budget; collect every haplotype-matching assignment
+        matches: List[Tuple[int, int, int, List[TruthVariant]]] = []
+        tried = 0
+        order = 0
         for r in range(1, len(near) + 1):
-            if matched:
+            if tried >= max_calculate_count:
                 break
             for subset in itertools.combinations(near, r):
-                if matched:
+                if tried >= max_calculate_count:
                     break
                 for gts in itertools.product(_GT_OPTIONS, repeat=r):
+                    tried += 1
+                    if tried > max_calculate_count:
+                        break
                     edits = [(c.pos, c.ref, c.alt, gt) for c, gt in zip(subset, gts)]
                     pair = _haplotype_pair(ref_window, window_start, edits)
-                    if pair is not None and pair in target_pairs:
-                        matched = [
-                            TruthVariant(ctg, c.pos, c.ref, c.alt,
-                                         *sorted((min(gt[0], 1), min(gt[1], 1))))
-                            for c, gt in zip(subset, gts)
-                        ]
-                        break
-        out.extend(matched if matched else cluster)
+                    if pair is None or pair not in target_pairs:
+                        continue
+                    sup = (support[pair[0]] + support[pair[1]]) if support is not None else 0
+                    rows = _emit_matched(ctg, subset, gts)
+                    if rows is None:
+                        continue
+                    matches.append((-sup, r, order, rows))
+                    order += 1
+        if not matches:
+            out.extend(cluster)
+            continue
+        matches.sort(key=lambda m: m[:3])
+        best_neg_sup, _, _, best_rows = matches[0]
+        if support is not None and best_neg_sup == 0:
+            # no read carries either matched haplotype: refuse to relabel
+            out.extend(cluster)
+            continue
+        out.extend(best_rows)
     out.sort(key=lambda t: (t.ctg, t.pos))
     return out
+
+
+def _emit_matched(ctg, subset, gts) -> Optional[List[TruthVariant]]:
+    """Matched candidate alleles -> truth rows, merging two alleles at the
+    same position into one multiallelic 1/2 row."""
+    by_pos: Dict[Tuple[int, str], List[Tuple[CandidateAllele, Tuple[int, int]]]] = {}
+    for c, gt in zip(subset, gts):
+        by_pos.setdefault((c.pos, c.ref), []).append((c, gt))
+    rows: List[TruthVariant] = []
+    for (pos, ref), items in sorted(by_pos.items()):
+        if len(items) == 1:
+            c, gt = items[0]
+            rows.append(TruthVariant(ctg, c.pos, c.ref, c.alt,
+                                     *sorted((min(gt[0], 1), min(gt[1], 1)))))
+        elif len(items) == 2:
+            (c1, g1), (c2, g2) = items
+            # the two alts must live on opposite haplotypes
+            if g1 == (1, 1) or g2 == (1, 1) or g1 == g2:
+                return None
+            rows.append(TruthVariant(ctg, pos, ref, f"{c1.alt},{c2.alt}", 1, 2))
+        else:
+            return None  # >2 alleles at one site cannot be diploid
+    return rows
