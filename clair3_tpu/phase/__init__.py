@@ -1,1 +1,5 @@
-from clair3_tpu.phase.phaser import ReadBackedPhaser, refine_mec  # noqa: F401
+from clair3_tpu.phase.phaser import (  # noqa: F401
+    ReadBackedPhaser,
+    refine_mec,
+    rescue_phase_sets,
+)

@@ -102,6 +102,61 @@ def refine_mec(
     return hap
 
 
+def rescue_phase_sets(
+    hap: List[int],
+    phase_set: List[int],
+    fragments: Sequence[Sequence[Tuple[int, int]]],
+) -> Tuple[List[int], List[int]]:
+    """Cross-phase-set read rescue: merge adjacent phase sets whose relative
+    orientation is pinned by fragments spanning the boundary.
+
+    The greedy sweep opens a new set whenever SNP j's incoming edge votes
+    cancel — but fragments reaching PAST j (coverage gaps, one noisy SNP)
+    can still fix the relative orientation of the two blocks.  For every
+    adjacent block pair we vote over all spanning fragment allele pairs:
+    agreement of (allele_i == allele_j) with (hap_i == hap_j) keeps block B,
+    net disagreement flips it; zero net vote leaves the split in place
+    (longphase/whatshap behave the same way on truly unlinked blocks)."""
+    hap = list(hap)
+    phase_set = list(phase_set)
+    n = len(hap)
+    if n == 0:
+        return hap, phase_set
+    # contiguous blocks in SNP order
+    k = 0
+    while True:
+        # find current block boundaries each iteration (merges shift them)
+        blocks: List[Tuple[int, int]] = []  # [start, end) index ranges
+        s = 0
+        for i in range(1, n + 1):
+            if i == n or phase_set[i] != phase_set[s]:
+                blocks.append((s, i))
+                s = i
+        if k >= len(blocks) - 1:
+            break
+        a_lo, a_hi = blocks[k]
+        b_lo, b_hi = blocks[k + 1]
+        vote = 0
+        for frag in fragments:
+            in_a = [(i, a) for i, a in frag if a_lo <= i < a_hi]
+            in_b = [(i, a) for i, a in frag if b_lo <= i < b_hi]
+            for i, ai in in_a:
+                for j, aj in in_b:
+                    same_alleles = ai == aj
+                    same_hap = hap[i] == hap[j]
+                    vote += 1 if same_alleles == same_hap else -1
+        if vote == 0:
+            k += 1
+            continue
+        if vote < 0:
+            for j in range(b_lo, b_hi):
+                hap[j] = 1 - hap[j]
+        for j in range(b_lo, b_hi):
+            phase_set[j] = phase_set[a_lo]
+        # stay on block k: the merged block may now link to the next one
+    return hap, phase_set
+
+
 class ReadBackedPhaser:
     """Phases pileup het SNPs per contig directly from the BAM."""
 
@@ -158,6 +213,8 @@ class ReadBackedPhaser:
                 hap[j] = 0 if vote > 0 else 1
             phase_set[j] = current_ps
 
+        hap = refine_mec(hap, fragments)
+        hap, phase_set = rescue_phase_sets(hap, phase_set, fragments)
         hap = refine_mec(hap, fragments)
 
         out: List[VcfRecord] = []

@@ -197,3 +197,141 @@ def test_refine_mec_mixed_error_reads():
     refined = refine_mec(start, frags)
     # global inversion is an equivalent phasing; accept either
     assert refined == truth or refined == [1 - h for h in truth]
+
+
+def _switch_flip_errors(phased, truth_hap_of_pos1):
+    """(switch_errors, compared_pairs): consecutive-pair orientation
+    mismatches within each predicted phase set vs truth haplotypes."""
+    by_ps = {}
+    for r in phased:
+        gt, ps = r.sample.split(":")
+        by_ps.setdefault(ps, []).append((r.pos, 0 if gt == "0|1" else 1))
+    switches = 0
+    pairs = 0
+    for ps, items in by_ps.items():
+        items.sort()
+        for (p1, h1), (p2, h2) in zip(items, items[1:]):
+            pred_same = h1 == h2
+            true_same = truth_hap_of_pos1[p1] == truth_hap_of_pos1[p2]
+            pairs += 1
+            if pred_same != true_same:
+                switches += 1
+    return switches, pairs
+
+
+@pytest.mark.parametrize("error_rate,max_switch_rate", [(0.02, 0.0), (0.06, 0.05)])
+def test_phaser_switch_error_benchmark(tmp_path, error_rate, max_switch_rate):
+    """Synthetic switch-error benchmark: truth haplotypes -> noisy reads ->
+    phase -> switch rate (the accuracy evidence the reference gets from
+    whatshap/longphase)."""
+    import random
+
+    rng = random.Random(17)
+    L = 30_000
+    ref = random_reference(L, seed=41)
+    het_pos = list(range(400, L - 400, 700))
+    truth_hap = {}
+    variants = []
+    for p in het_pos:
+        hap = rng.randint(0, 1)
+        gt = (1, 0) if hap == 0 else (0, 1)
+        alt = "A" if ref[p] != "A" else "T"
+        variants.append(SimVariant(p, ref[p], alt, gt))
+        truth_hap[p + 1] = hap
+    fasta, bam, _, _ = write_test_case(
+        str(tmp_path), ref_length=L, variants=variants, coverage=24,
+        read_length=3000, seed=41, error_rate=error_rate)
+    het_snps = [_het_record(v.pos + 1, v.ref, v.alt) for v in variants]
+    phased = ReadBackedPhaser(bam).phase("chr1", het_snps)
+    assert len(phased) == len(variants)
+    switches, pairs = _switch_flip_errors(phased, truth_hap)
+    assert pairs >= len(variants) - 3  # essentially one phase set
+    rate = switches / max(pairs, 1)
+    assert rate <= max_switch_rate, f"switch rate {rate:.3f} ({switches}/{pairs})"
+
+
+def test_rescue_merges_ambiguous_boundary():
+    """A SNP whose direct edges cancel opens a new phase set; fragments
+    reaching past it must merge the blocks with the right orientation."""
+    from clair3_tpu.io.bam import write_bam, BamRead
+    from clair3_tpu.phase.phaser import rescue_phase_sets
+
+    # direct unit test of the rescue: blocks {0,1} and {2,3}; every spanning
+    # fragment says equal alleles across the boundary, but the current
+    # orientation puts them on opposite haplotypes -> flip B and merge
+    hap = [0, 1, 0, 1]
+    ps = [100, 100, 300, 300]
+    fragments = [
+        [(1, 1), (2, 1)],   # alleles equal, hap 1 vs 0 -> disagree (flip)
+        [(1, 1), (2, 1)],
+        [(0, 0), (3, 1)],   # alleles differ, hap 0 vs 1 differ -> agree...
+        [(0, 0), (2, 0)],   # alleles equal, hap 0 vs 0 -> agree (keep)
+    ]
+    # net vote: -1 -1 +1 +1 = 0 -> stays split
+    new_hap, new_ps = rescue_phase_sets(hap, ps, fragments)
+    assert set(new_ps) == {100, 300}
+    # add one more flip fragment to break the tie
+    fragments.append([(1, 1), (3, 0)])  # alleles differ, hap 1 vs 1 equal -> flip
+    new_hap, new_ps = rescue_phase_sets(hap, ps, fragments)
+    assert len(set(new_ps)) == 1
+    assert new_hap[:2] == [0, 1]          # block A untouched
+    assert new_hap[2:] == [1, 0]          # block B flipped
+
+
+def test_rescue_leaves_unlinked_blocks_split():
+    from clair3_tpu.phase.phaser import rescue_phase_sets
+
+    hap = [0, 0, 0, 0]
+    ps = [100, 100, 300, 300]
+    fragments = [[(0, 0), (1, 0)], [(2, 1), (3, 1)]]  # nothing spans
+    new_hap, new_ps = rescue_phase_sets(hap, ps, fragments)
+    assert set(new_ps) == {100, 300}
+
+
+def test_rescue_end_to_end_gapped_coverage(tmp_path):
+    """Reads with a coverage hole at one SNP: the greedy sweep splits there,
+    rescue re-joins the blocks using reads that skip the hole."""
+    import numpy as np
+    from clair3_tpu.io.bam import BamRead, write_bam
+
+    ref = random_reference(1200, seed=43)
+    p1, p2, p3 = 200, 500, 800
+    alts = {p: ("A" if ref[p] != "A" else "T") for p in (p1, p2, p3)}
+
+    def read_with(alleles, pos, end, qname):
+        seq = list(ref[pos:end])
+        for p, a in alleles.items():
+            if pos <= p < end:
+                seq[p - pos] = alts[p] if a else ref[p]
+        return BamRead(qname, 0, 0, pos, 60, [(0, end - pos)], "".join(seq),
+                       np.full(end - pos, 30, np.uint8))
+
+    reads = []
+    # haplotype 0 carries alt at all three SNPs, hap 1 carries ref
+    for i in range(8):
+        # reads covering p1..p2 with a DELETION over p2 (no allele there)
+        r = read_with({p1: i % 2}, 100, 450, f"ab{i}")
+        reads.append(r)
+        # reads covering p2..p3
+        reads.append(read_with({p2: i % 2, p3: i % 2}, 460, 900, f"bc{i}"))
+        # long reads covering p1 and p3 but with p2 masked to 'N' (no vote
+        # at p2, so the p1-block link must come from the p1-p3 pair)
+    for i in range(6):
+        seq = list(ref[150:850])
+        a = i % 2
+        seq[p1 - 150] = alts[p1] if a else ref[p1]
+        seq[p3 - 150] = alts[p3] if a else ref[p3]
+        seq[p2 - 150] = "N"
+        reads.append(BamRead(f"ac{i}", 0, 0, 150, 60, [(0, 700)],
+                             "".join(seq), np.full(700, 30, np.uint8)))
+    reads.sort(key=lambda r: r.pos)
+    bam = str(tmp_path / "resc.bam")
+    write_bam(bam, ["chr1"], [1200], reads)
+
+    het_snps = [_het_record(p + 1, ref[p], alts[p]) for p in (p1, p2, p3)]
+    phased = ReadBackedPhaser(bam).phase("chr1", het_snps)
+    ps = [r.sample.split(":")[1] for r in phased]
+    assert len(set(ps)) == 1, f"expected one rescued phase set, got {ps}"
+    # p1 and p3 must end up co-oriented (alt alleles together on one hap)
+    gts = {r.pos: r.sample.split(":")[0] for r in phased}
+    assert gts[p1 + 1] == gts[p3 + 1]
