@@ -116,11 +116,41 @@ def full_alignment_variables_from_torch(sd: Dict[str, np.ndarray]) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
-def convert_checkpoint(path: str, kind: str) -> Dict:
-    """kind: 'pileup' | 'full_alignment'."""
-    sd = load_torch_state_dict(path)
+class _TrackingDict(dict):
+    """State-dict wrapper recording which keys the converter consumed."""
+
+    def __init__(self, d):
+        super().__init__(d)
+        self.used = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return super().__getitem__(k)
+
+
+# keys that are legitimately unused by inference
+_IGNORABLE = ("num_batches_tracked",)
+
+
+def convert_checkpoint(path: str, kind: str, strict: bool = True) -> Dict:
+    """kind: 'pileup' | 'full_alignment'.
+
+    With ``strict`` (default), every checkpoint tensor must be consumed by
+    the layout mapping (BatchNorm ``num_batches_tracked`` counters aside) —
+    a published ``.pt`` either loads completely or fails loudly instead of
+    silently dropping weights."""
+    sd = _TrackingDict(load_torch_state_dict(path))
     if kind == "pileup":
-        return pileup_variables_from_torch(sd)
-    if kind == "full_alignment":
-        return full_alignment_variables_from_torch(sd)
-    raise ValueError(f"unknown checkpoint kind {kind!r}")
+        out = pileup_variables_from_torch(sd)
+    elif kind == "full_alignment":
+        out = full_alignment_variables_from_torch(sd)
+    else:
+        raise ValueError(f"unknown checkpoint kind {kind!r}")
+    if strict:
+        unused = [k for k in sd if k not in sd.used
+                  and not k.endswith(_IGNORABLE)]
+        if unused:
+            raise ValueError(
+                f"{path}: {len(unused)} checkpoint tensors not consumed by "
+                f"the {kind} layout mapping: {sorted(unused)[:10]}...")
+    return out
