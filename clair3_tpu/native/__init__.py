@@ -42,6 +42,11 @@ class _PileupOut(ctypes.Structure):
 
 
 def _build() -> str:
+    # CLAIR3T_NATIVE_SO overrides the library (e.g. an ASan build from
+    # build_sanitizer(); the preloading subprocess test uses this)
+    override = os.environ.get("CLAIR3T_NATIVE_SO")
+    if override:
+        return override
     newest_src = max(os.path.getmtime(p) for p in _SRCS + _HDRS)
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= newest_src:
         return _SO
@@ -55,6 +60,24 @@ def _build() -> str:
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(tmp, _SO)
     return _SO
+
+
+def build_sanitizer(kind: str = "address") -> str:
+    """Build an AddressSanitizer/UBSan instrumented copy of the native
+    library (CI-style memory-safety check; run the consuming python under
+    LD_PRELOAD=libasan.so)."""
+    so = os.path.join(_DIR, f"libclair3t_{kind[:4]}.so")
+    newest_src = max(os.path.getmtime(p) for p in _SRCS + _HDRS)
+    if os.path.exists(so) and os.path.getmtime(so) >= newest_src:
+        return so
+    tmp = so + f".tmp.{os.getpid()}"
+    cmd = [
+        "g++", "-O1", "-g", f"-fsanitize={kind}", "-fno-omit-frame-pointer",
+        "-std=c++17", "-shared", "-fPIC", "-pthread", *_SRCS, "-o", tmp, "-lz",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, so)
+    return so
 
 
 def get_lib():
