@@ -47,7 +47,27 @@ def reference_likelihood(
     n_ref: int, n_total: int, p_err: float = 0.001, gq_bin_size: int = 5,
     max_gq: int = 50,
 ) -> Tuple[bool, int, int, List[int]]:
-    """(validPL, gq, binned_gq, phred_PLs) for a non-variant site."""
+    """(validPL, gq, binned_gq, phred_PLs) for a non-variant site.
+
+    Memoized on the full argument tuple: a 30x genome has only a few
+    thousand distinct (n_ref, n_total) pairs but tens of millions of
+    sites — the binomial math dominated the gVCF stage otherwise."""
+    key = (n_ref, n_total, p_err, gq_bin_size, max_gq)
+    hit = _REFLIK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _reference_likelihood_uncached(n_ref, n_total, p_err, gq_bin_size, max_gq)
+    if len(_REFLIK_CACHE) < 2_000_000:
+        _REFLIK_CACHE[key] = out
+    return out
+
+
+_REFLIK_CACHE: dict = {}
+
+
+def _reference_likelihood_uncached(
+    n_ref: int, n_total: int, p_err: float, gq_bin_size: int, max_gq: int,
+) -> Tuple[bool, int, int, List[int]]:
     if n_total == 0:
         log10_probs = _normalize_log10([-1.0, -1.0, -1.0])
     else:
@@ -108,44 +128,49 @@ class NonVariantBlockWriter:
         gt = "0/0" if valid_pl else "./."
         if ref not in "ACGT":
             ref, gq, binned_gq, pls = "N", 1, 1, [0, 0, 0]
-        site = _Site(chrom, pos, ref, gt, gq, binned_gq, pls, n_total)
 
-        if not self._block:
-            self._start_block(site)
-            return
-        head = self._block[0]
-        cur = self._block[-1]
-        if (site.binned_gq != head.binned_gq or site.gt != head.gt
-                or site.chrom != head.chrom
-                or (site.ref != cur.ref and (site.ref == "N" or cur.ref == "N"))):
-            self.flush()
-            self._start_block(site)
-            return
-        # DP drift rule (+-30% of block min)
-        if site.dp < self._min_dp:
-            if self._max_dp > math.ceil(site.dp + site.dp * 0.3):
-                self.flush()
-                self._start_block(site)
+        head = self._block[0] if self._block else None
+        if head is not None:
+            # extension fast path: only the head site, the last pos/ref and
+            # the dp/gq aggregates are needed unless per-site rows will be
+            # emitted (bp_resolution or ./. blocks) — creating and retaining
+            # a _Site per genome position dominated WGS-scale gVCF runs
+            if not (binned_gq != head.binned_gq or gt != head.gt
+                    or chrom != head.chrom
+                    or (ref != self._last_ref
+                        and (ref == "N" or self._last_ref == "N"))):
+                dp = n_total
+                if dp < self._min_dp:
+                    if self._max_dp > math.ceil(dp + dp * 0.3):
+                        self.flush()
+                        head = None
+                    else:
+                        self._min_dp = dp
+                elif dp > self._max_dp:
+                    if dp <= math.ceil(self._min_dp + self._min_dp * 0.3):
+                        self._max_dp = dp
+                    else:
+                        self.flush()
+                        head = None
+                if head is not None:
+                    self._min_raw_gq = min(self._min_raw_gq, gq)
+                    self._last_pos = pos
+                    self._last_ref = ref
+                    if self._retain:
+                        self._block.append(
+                            _Site(chrom, pos, ref, gt, gq, binned_gq, pls, n_total))
+                    return
             else:
-                self._min_dp = site.dp
-                self._min_raw_gq = min(self._min_raw_gq, site.gq)
-                self._block.append(site)
-        elif site.dp > self._max_dp:
-            if site.dp <= math.ceil(self._min_dp + self._min_dp * 0.3):
-                self._max_dp = site.dp
-                self._min_raw_gq = min(self._min_raw_gq, site.gq)
-                self._block.append(site)
-            else:
                 self.flush()
-                self._start_block(site)
-        else:
-            self._min_raw_gq = min(self._min_raw_gq, site.gq)
-            self._block.append(site)
+        self._start_block(_Site(chrom, pos, ref, gt, gq, binned_gq, pls, n_total))
 
     def _start_block(self, site: _Site) -> None:
         self._block = [site]
         self._min_dp = self._max_dp = site.dp
         self._min_raw_gq = site.gq
+        self._last_pos = site.pos
+        self._last_ref = site.ref
+        self._retain = self.bp_resolution or site.gt == "./."
 
     def _row(self, site: _Site, end: int, gq_field: int, min_dp: int) -> str:
         end_str = str(end)
@@ -164,7 +189,7 @@ class NonVariantBlockWriter:
             for site in self._block:
                 self.rows.append(self._row(site, site.pos, site.binned_gq, site.dp))
         else:
-            end = self._block[-1].pos
+            end = self._last_pos
             if head.ref == "N":
                 row_site = _Site(head.chrom, head.pos, "N", "./.", 1, 1, [0, 0, 0], self._min_dp)
                 self.rows.append(self._row(row_site, end, 1, self._min_dp))

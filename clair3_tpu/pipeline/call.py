@@ -222,13 +222,23 @@ class VariantCaller:
             ):
                 if gvcf_writer is not None and res.pos_ref_count is not None:
                     ref_seq = fa.fetch(task.contig, task.start - 1, task.end)
-                    for pos0 in range(task.start - 1, task.end):
-                        idx = pos0 - res.start
-                        n_ref = int(res.pos_ref_count[idx]) if 0 <= idx < len(res.pos_ref_count) else 0
-                        n_tot = int(res.pos_total_count[idx]) if 0 <= idx < len(res.pos_total_count) else 0
-                        gvcf_writer.add_site(
-                            task.contig, pos0 + 1,
-                            ref_seq[pos0 - (task.start - 1)], n_ref, n_tot)
+                    # slice + tolist once: per-position numpy indexing and
+                    # int() conversions dominated the gVCF stage at scale
+                    lo = (task.start - 1) - res.start
+                    hi = task.end - res.start
+                    n = len(res.pos_ref_count)
+                    pad_l = max(0, -lo)
+                    ref_counts = res.pos_ref_count[max(0, lo): max(0, hi)].tolist()
+                    tot_counts = res.pos_total_count[max(0, lo): max(0, hi)].tolist()
+                    span = task.end - (task.start - 1)
+                    add_site = gvcf_writer.add_site
+                    ctg = task.contig
+                    base1 = task.start  # 1-based position of ref_seq[0]
+                    for k in range(span):
+                        in_arr = k >= pad_l and (k - pad_l) < len(ref_counts)
+                        add_site(ctg, base1 + k, ref_seq[k],
+                                 int(ref_counts[k - pad_l]) if in_arr else 0,
+                                 int(tot_counts[k - pad_l]) if in_arr else 0)
                 if self._bed_tree is not None or self._known_sites is not None:
                     tensors, pos_infos, alt_infos = self._filter_candidates(
                         task.contig, tensors, pos_infos, alt_infos)
