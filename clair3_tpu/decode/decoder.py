@@ -295,7 +295,10 @@ def enumerate_outcomes(gt21, genotype, vl1, vl2, reference_base, add_indel_lengt
     o.het_acgt_ins_bases = _ACGT_LEN_BASES
     o.het_acgt_ins_lengths = _ACGT_LEN_LENGTHS
     het_ins_len = vl1[_VL_OFF] * v2p                        # (16,)
-    o.het_acgt_ins = (het_ins_len[:, None] * (gt21[_INS_GT21_IDX] * p_het)[None, :]).ravel()
+    # grouping matches the reference exactly — ((len_p * gt21) * p_het),
+    # CallVariants.py:600-607 — so ULP-level float equality decisions in
+    # the fallback loop agree bit-for-bit
+    o.het_acgt_ins = ((het_ins_len[:, None] * gt21[_INS_GT21_IDX][None, :]) * p_het).ravel()
 
     o.homo_del_lengths = _HOMO_LENGTHS
     o.homo_del = v1n * v2n * (p_hom * gt21[GT21.DelDel])
@@ -304,7 +307,7 @@ def enumerate_outcomes(gt21, genotype, vl1, vl2, reference_base, add_indel_lengt
     o.het_acgt_del_bases = _ACGT_LEN_BASES
     o.het_acgt_del_lengths = _ACGT_LEN_LENGTHS
     het_del_len = v1n * vl2[_VL_OFF]
-    o.het_acgt_del = (het_del_len[:, None] * (gt21[_DEL_GT21_IDX] * p_het)[None, :]).ravel()
+    o.het_acgt_del = ((het_del_len[:, None] * gt21[_DEL_GT21_IDX][None, :]) * p_het).ravel()
 
     o.het_insdel_lengths = _INSDEL_PAIRS
     o.het_insdel = (v1n[:, None] * v2p[None, :]).ravel() * (p_het * gt21[GT21.InsDel])
@@ -342,6 +345,11 @@ def select_output(
     flags = None
     maximum_probability = 0.0
 
+    # NOTE the reference quirk this loop preserves exactly
+    # (CallVariants.py:722-1012): reference_base/alternate_base are loop
+    # state that is NEVER reset — a failure `continue` that happens AFTER a
+    # branch assigned both variables terminates the loop with that partial
+    # (e.g. single-alt) result, because the while condition sees them set.
     while reference_base is None or alternate_base is None:
         fam_max = {
             name: (float(arr.max()) if arr.size else 0.0)
@@ -382,7 +390,6 @@ def select_output(
             _, alternate_base = find_alt_base(alt_info_dict, alternate_base)
             if alternate_base is None or alternate_base == reference_base:
                 o.homo_snp[idx] = 0
-                reference_base = alternate_base = None
                 continue
 
         elif is_hetero_SNP:
@@ -394,7 +401,6 @@ def select_output(
                 sorted_bases, _ = find_alt_base(alt_info_dict)
                 if len(sorted_bases) < 2:
                     o.hetero_snp[idx] = 0
-                    reference_base = alternate_base = None
                     continue
                 alternate_base = ",".join(sorted_bases[:2])
             else:
@@ -402,7 +408,6 @@ def select_output(
                 _, alternate_base = find_alt_base(alt_info_dict, alternate_base)
                 if alternate_base is None or alternate_base == reference_base:
                     o.hetero_snp[idx] = 0
-                    reference_base = alternate_base = None
                     continue
 
         elif is_homo_insertion:
@@ -416,7 +421,6 @@ def select_output(
             )
             if len(insertion_bases) == 0:
                 o.homo_ins[idx] = 0
-                reference_base = alternate_base = None
                 continue
             reference_base = reference_sequence[tensor_position_center]
             alternate_base = insertion_bases
@@ -437,15 +441,15 @@ def select_output(
             )
             if len(insertion_bases) == 0:
                 o.het_acgt_ins[idx] = 0
-                reference_base = alternate_base = None
                 continue
             reference_base = reference_sequence[tensor_position_center]
             alternate_base = insertion_bases
             if hetero_ins_base != reference_base:
                 sorted_bases, _ = find_alt_base(alt_info_dict)
                 if len(sorted_bases) == 0:
+                    # quirk: ref/alt already assigned -> the loop exits with
+                    # the single-insertion result
                     o.het_acgt_ins[idx] = 0
-                    reference_base = alternate_base = None
                     continue
                 alternate_base = f"{sorted_bases[0]},{alternate_base}"
 
@@ -480,17 +484,17 @@ def select_output(
                 )
             if len(insertion_bases_list) < 2:
                 o.het_insins[idx] = 0
-                reference_base = alternate_base = None
                 continue
             insertion_bases, another_insertion_bases = insertion_bases_list
             reference_base = reference_sequence[tensor_position_center]
+            alternate_base = insertion_bases
             alternate_base_1 = another_insertion_bases
-            alternate_base_2 = insertion_bases
+            alternate_base_2 = alternate_base
             if alternate_base_1 != alternate_base_2:
                 alternate_base = f"{alternate_base_1},{alternate_base_2}"
             else:
+                # quirk: alternate_base stays the single insertion -> exit
                 o.het_insins[idx] = 0
-                reference_base = alternate_base = None
                 continue
 
         elif is_homo_deletion:
@@ -504,7 +508,6 @@ def select_output(
             )
             if len(deletion_bases) == 0:
                 o.homo_del[idx] = 0
-                reference_base = alternate_base = None
                 continue
             reference_base = reference_sequence[tensor_position_center] + deletion_bases
             alternate_base = reference_base[0]
@@ -525,7 +528,6 @@ def select_output(
             )
             if len(deletion_bases) == 0:
                 o.het_acgt_del[idx] = 0
-                reference_base = alternate_base = None
                 continue
             reference_base = reference_sequence[tensor_position_center] + deletion_bases
             alternate_base = reference_base[0]
@@ -565,11 +567,11 @@ def select_output(
                 )
             if len(deletion_bases_list) < 2:
                 o.het_deldel[idx] = 0
-                reference_base = alternate_base = None
                 continue
             deletion_bases, deletion_bases1 = deletion_bases_list
             reference_base = reference_sequence[tensor_position_center] + deletion_bases
-            alternate_base_1 = reference_base[0]
+            alternate_base = reference_base[0]
+            alternate_base_1 = alternate_base
             alternate_base_2 = reference_base[0] + reference_base[len(deletion_bases1) + 1:]
             if (
                 alternate_base_1 != alternate_base_2
@@ -578,8 +580,8 @@ def select_output(
             ):
                 alternate_base = f"{alternate_base_1},{alternate_base_2}"
             else:
+                # quirk: alternate_base stays reference_base[0] -> exit
                 o.het_deldel[idx] = 0
-                reference_base = alternate_base = None
                 continue
 
         elif is_insertion_and_deletion:
@@ -600,7 +602,6 @@ def select_output(
             )
             if len(insertion_bases) == 0 or len(deletion_bases) == 0:
                 o.het_insdel[idx] = 0
-                reference_base = alternate_base = None
                 continue
             reference_base = reference_sequence[tensor_position_center] + deletion_bases
             alternate_base = f"{reference_base[0]},{insertion_bases + reference_base[1:]}"

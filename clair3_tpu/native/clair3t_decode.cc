@@ -433,11 +433,12 @@ void enumerate_outcomes(const double* gt21, const double* genotype,
       o->het_insins.push_back((v1p(p.first - 1) * v2p(p.second - 1)) * c);
   }
   {
-    // (vl1[VL_OFF] * v2p[l]) * (gt21[idx_b] * p_het), length-major ravel
+    // ((vl1[VL_OFF] * v2p[l]) * gt21[idx_b]) * p_het — grouping matches the
+    // reference (CallVariants.py:600-607) for bitwise float parity
     for (int l = 0; l < VL_MAX; l++) {
       double a = vl1[VL_OFF] * v2p(l);
       for (int b = 0; b < 4; b++)
-        o->het_acgt_ins.push_back(a * (gt21[INS_GT21_IDX[b]] * p_het));
+        o->het_acgt_ins.push_back((a * gt21[INS_GT21_IDX[b]]) * p_het);
     }
   }
   {
@@ -453,7 +454,7 @@ void enumerate_outcomes(const double* gt21, const double* genotype,
     for (int l = 0; l < VL_MAX; l++) {
       double a = v1n(l) * vl2[VL_OFF];
       for (int b = 0; b < 4; b++)
-        o->het_acgt_del.push_back(a * (gt21[DEL_GT21_IDX[b]] * p_het));
+        o->het_acgt_del.push_back((a * gt21[DEL_GT21_IDX[b]]) * p_het);
     }
   }
   {
@@ -497,6 +498,10 @@ void select_output(const std::string& reference_sequence, int center,
   }
 
   long long max_infer = cfg.max_infer;
+  // reference quirk preserved (CallVariants.py:722-1012): reference_base /
+  // alternate_base are LOOP STATE that is never reset — a failure `continue`
+  // after a branch assigned both terminates the loop with that partial
+  // (single-alt) result, because the while condition sees them set.
   bool have_ref = false, have_alt = false;
   std::string reference_base, alternate_base;
   double maximum_probability = 0.0;
@@ -513,6 +518,7 @@ void select_output(const std::string& reference_sequence, int center,
       maximum_probability = std::max(maximum_probability, v);
 
     if (maximum_probability == o.homo_ref) {
+      *sel = Selection{};  // clear flags assigned by earlier iterations
       sel->is_reference = true;
       sel->reference_base = std::string(1, reference_base_acgt);
       sel->alternate_base = std::string(1, reference_base_acgt);
@@ -541,28 +547,29 @@ void select_output(const std::string& reference_sequence, int center,
     sel->is_hetero_DelDel = is_hetero_DelDel;
     sel->is_insertion_and_deletion = is_insertion_and_deletion;
 
-    have_ref = have_alt = false;
-
     if (is_homo_SNP) {
       int idx = argmax_first(o.homo_snp);
       reference_base = std::string(1, reference_sequence[center]);
+      have_ref = true;
       const char* bases = HOMO_SNP_LABELS[idx];
       std::string alt_b(1, bases[0] != reference_base[0] ? bases[0] : bases[1]);
       std::vector<std::string> sb;
       bool has;
       find_alt_base(alt, alt_b, true, &sb, &alt_b, &has);
-      if (!has || (alt_b.size() == 1 && alt_b == reference_base)) {
+      // alternate_base is reassigned even when find_alt_base returned None
+      have_alt = has;
+      if (has) alternate_base = alt_b;
+      if (!has || alt_b == reference_base) {
         o.homo_snp[idx] = 0;
         continue;
       }
-      alternate_base = alt_b;
-      have_ref = have_alt = true;
 
     } else if (is_hetero_SNP) {
       int idx = argmax_first(o.hetero_snp);
       const char* bases = HETERO_SNP_LABELS[idx];
       char base1 = bases[0], base2 = bases[1];
       reference_base = std::string(1, reference_sequence[center]);
+      have_ref = true;
       if (base1 != reference_base[0] && base2 != reference_base[0]) {
         std::vector<std::string> sb;
         std::string dummy;
@@ -573,18 +580,19 @@ void select_output(const std::string& reference_sequence, int center,
           continue;
         }
         alternate_base = sb[0] + "," + sb[1];
+        have_alt = true;
       } else {
         std::string alt_b(1, base1 != reference_base[0] ? base1 : base2);
         std::vector<std::string> sb;
         bool has;
         find_alt_base(alt, alt_b, true, &sb, &alt_b, &has);
+        have_alt = has;
+        if (has) alternate_base = alt_b;
         if (!has || alt_b == reference_base) {
           o.hetero_snp[idx] = 0;
           continue;
         }
-        alternate_base = alt_b;
       }
-      have_ref = have_alt = true;
 
     } else if (is_homo_insertion) {
       int idx = argmax_first(o.homo_ins);
@@ -600,7 +608,7 @@ void select_output(const std::string& reference_sequence, int center,
       alternate_base = r.one;
       have_ref = have_alt = true;
 
-    } else if (is_hetero_ACGT_Ins) {
+    } else if (is_hetero_ACGT_Ins) {  // NOLINT
       int idx = argmax_first(o.het_acgt_ins);
       char hetero_ins_base;
       long long variant_length;
@@ -620,18 +628,19 @@ void select_output(const std::string& reference_sequence, int center,
       }
       reference_base = std::string(1, reference_sequence[center]);
       alternate_base = r.one;
+      have_ref = have_alt = true;
       if (hetero_ins_base != reference_base[0]) {
         std::vector<std::string> sb;
         std::string dummy;
         bool has;
         find_alt_base(alt, "", false, &sb, &dummy, &has);
         if (sb.empty()) {
+          // quirk: ref/alt already set -> loop exits with single-ins result
           o.het_acgt_ins[idx] = 0;
           continue;
         }
         alternate_base = sb[0] + "," + alternate_base;
       }
-      have_ref = have_alt = true;
 
     } else if (is_hetero_InsIns) {
       int idx = argmax_first(o.het_insins);
@@ -660,13 +669,15 @@ void select_output(const std::string& reference_sequence, int center,
       const std::string& insertion_bases = ins_list[0];
       const std::string& another = ins_list[1];
       reference_base = std::string(1, reference_sequence[center]);
+      alternate_base = insertion_bases;
+      have_ref = have_alt = true;
       if (another != insertion_bases) {
         alternate_base = another + "," + insertion_bases;
       } else {
+        // quirk: alternate_base stays the single insertion -> loop exits
         o.het_insins[idx] = 0;
         continue;
       }
-      have_ref = have_alt = true;
 
     } else if (is_homo_deletion) {
       int idx = argmax_first(o.homo_del);
@@ -682,7 +693,7 @@ void select_output(const std::string& reference_sequence, int center,
       alternate_base = std::string(1, reference_base[0]);
       have_ref = have_alt = true;
 
-    } else if (is_hetero_ACGT_Del) {
+    } else if (is_hetero_ACGT_Del) {  // NOLINT
       int idx = argmax_first(o.het_acgt_del);
       char hetero_del_base;
       long long variant_length;
@@ -702,11 +713,11 @@ void select_output(const std::string& reference_sequence, int center,
       }
       reference_base = std::string(1, reference_sequence[center]) + r.one;
       alternate_base = std::string(1, reference_base[0]);
+      have_ref = have_alt = true;
       if (hetero_del_base != reference_base[0]) {
         alternate_base +=
             "," + (std::string(1, hetero_del_base) + reference_base.substr(1));
       }
-      have_ref = have_alt = true;
 
     } else if (is_hetero_DelDel) {
       int idx = argmax_first(o.het_deldel);
@@ -742,16 +753,18 @@ void select_output(const std::string& reference_sequence, int center,
       const std::string& deletion_bases1 = del_list[1];
       reference_base =
           std::string(1, reference_sequence[center]) + deletion_bases;
-      std::string alt1(1, reference_base[0]);
+      alternate_base = std::string(1, reference_base[0]);
+      have_ref = have_alt = true;
+      std::string alt1 = alternate_base;
       std::string alt2 = std::string(1, reference_base[0]) +
                          reference_base.substr(deletion_bases1.size() + 1);
       if (alt1 != alt2 && reference_base != alt1 && reference_base != alt2) {
         alternate_base = alt1 + "," + alt2;
       } else {
+        // quirk: alternate_base stays reference_base[0] -> loop exits
         o.het_deldel[idx] = 0;
         continue;
       }
-      have_ref = have_alt = true;
 
     } else if (is_insertion_and_deletion) {
       int idx = argmax_first(o.het_insdel);

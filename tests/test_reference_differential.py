@@ -1,0 +1,171 @@
+"""Differential decode parity against the REFERENCE'S OWN implementation.
+
+/root/reference's pure-Python decode core (clair3/CallVariants.py
+output_with) runs directly as an oracle: for fuzzed (position, alt-info,
+probabilities) triples, our decoder (Python and native C++) must emit
+byte-identical VCF rows — the strongest parity evidence available without
+real-genome data.  Skipped when the reference tree is absent.
+"""
+
+import os
+import random
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "clair3")), reason="no reference tree")
+
+
+@pytest.fixture(scope="module")
+def ref_decode():
+    sys.path.insert(0, REF)
+    import clair3.CallVariants as cv  # noqa: E402
+
+    yield cv
+    sys.path.remove(REF)
+
+
+REF_SEQ = "G" * 16 + "A" + "G" * 16
+
+ALT_POOL = [
+    "30-XC 14 RA 16 ",
+    "20-",
+    "1-RA 1 ",
+    "25-IATT 5 DGG 4 XG 3 RA 13 ",
+    "40-XT 2 XC 2 XG 2 RA 34 ",
+    "15-IA" + "T" * 60 + " 3 RA 12 ",
+    "33-D" + "G" * 55 + " 5 RA 28 ",
+    "10-XA 10 ",
+    "28-IAT 6 IATG 6 RA 16 ",
+    "28-DT 5 DTG 5 DTGC 2 RA 16 ",
+    "12-IAC 4 DC 3 RA 5 ",
+    "50-XC 20 XT 11 RA 19 ",
+]
+
+
+def _fuzz_probs(rng, add_indel_length, alpha):
+    v = rng.dirichlet(np.full(21, alpha)).tolist()
+    v += rng.dirichlet(np.full(3, alpha)).tolist()
+    if add_indel_length:
+        v += rng.dirichlet(np.full(33, alpha)).tolist()
+        v += rng.dirichlet(np.full(33, alpha)).tolist()
+    return np.asarray(v)
+
+
+CASES = [
+    # (add_indel_length, pileup, show_ref, gvcf, qual_pass, hap_prec, hap_sens, long_indel)
+    (True, False, False, None, False, False, False),
+    (False, True, True, None, False, False, False),
+    (True, False, True, 15.0, False, False, False),
+    (True, False, True, None, True, False, False),
+    (True, False, True, None, False, True, False),
+    (True, False, True, None, False, False, True),
+]
+
+
+@pytest.mark.parametrize("case_idx", range(len(CASES)))
+def test_decode_matches_reference_fuzz(ref_decode, case_idx):
+    (add_indel_length, pileup, show_ref, qual_pass,
+     hap_prec, hap_sens, long_indel) = CASES[case_idx]
+    cv = ref_decode
+    import shared.param_f as param_f
+    import shared.param_p as param_p
+
+    cv.param = param_p if pileup else param_f
+
+    from clair3_tpu.decode import DecodeConfig, decode_candidate
+    from clair3_tpu.native import decode_batch_native, native_available
+
+    max_infer = 100_000 if long_indel else 50
+    ref_cfg = cv.OutputConfig(
+        is_show_reference=show_ref,
+        is_debug=False,
+        is_haploid_precise_mode_enabled=hap_prec,
+        is_haploid_sensitive_mode_enabled=hap_sens,
+        is_output_for_ensemble=False,
+        quality_score_for_pass=qual_pass,
+        tensor_fn="PIPE",
+        input_probabilities=False,
+        add_indel_length=add_indel_length,
+        gvcf=False,
+        pileup=pileup,
+        enable_long_indel=long_indel,
+        maximum_variant_length_that_need_infer=max_infer,
+        keep_iupac_bases=False,
+    )
+    my_cfg = DecodeConfig(
+        add_indel_length=add_indel_length, pileup=pileup,
+        show_ref_calls=show_ref, gvcf=False,
+        quality_score_for_pass=qual_pass,
+        haploid_precise=hap_prec, haploid_sensitive=hap_sens,
+        enable_long_indel=long_indel,
+        maximum_variant_length_that_need_infer=max_infer,
+    )
+
+    rng = np.random.default_rng(500 + case_idx)
+    pyr = random.Random(500 + case_idx)
+    pos_infos, alt_infos, probs = [], [], []
+    for i in range(400):
+        pos_infos.append(f"chr1:{1000 + i}:{REF_SEQ}")
+        alt_infos.append(pyr.choice(ALT_POOL))
+        probs.append(_fuzz_probs(rng, add_indel_length, (1.0, 0.05, 0.2)[i % 3]))
+
+    expected, mine = [], []
+    for pi, ai, pv in zip(pos_infos, alt_infos, probs):
+        gt21 = pv[:21]
+        zyg = pv[21:24]
+        vl1 = pv[24:57] if add_indel_length else np.zeros(33)
+        vl2 = pv[57:90] if add_indel_length else np.zeros(33)
+        row = cv.output_with(pi, ai, gt21, zyg, vl1, vl2, ref_cfg, None)
+        if row is not None:
+            expected.append(row)
+        row2 = decode_candidate(pi, ai, pv, my_cfg)
+        if row2 is not None:
+            mine.append(row2)
+    assert mine == expected
+
+    if native_available():
+        width = 90 if add_indel_length else 24
+        mat = np.stack([p[:width] for p in probs])
+        native_rows = decode_batch_native(pos_infos, alt_infos, mat, my_cfg)
+        assert native_rows == expected
+
+
+def test_task_label_spaces_match_reference(ref_decode):
+    """gt21 labels, genotype strings, and PL genotype orderings agree."""
+    sys.path.insert(0, REF)
+    try:
+        from clair3.task.gt21 import GT21_LABELS as REF_GT21  # noqa: E402
+        from clair3.task.genotype import Genotype as RefGenotype  # noqa: E402
+    finally:
+        sys.path.remove(REF)
+    from clair3_tpu.task.labels import GT21_LABELS, Genotype
+
+    assert tuple(REF_GT21) == tuple(GT21_LABELS)
+    assert RefGenotype.homo_reference == Genotype.homo_reference
+    assert RefGenotype.homo_variant == Genotype.homo_variant
+    assert RefGenotype.hetero_variant == Genotype.hetero_variant
+
+
+def test_compute_pl_matches_reference(ref_decode):
+    cv = ref_decode
+    from clair3_tpu.decode import compute_pl
+
+    rng = np.random.default_rng(9)
+    for trial in range(200):
+        gt21 = rng.dirichlet(np.full(21, 0.3))
+        zyg = rng.dirichlet(np.full(3, 0.3))
+        ref_base = "ACGT"[trial % 4]
+        alts = [
+            "A" if ref_base != "A" else "C",
+            f"{ref_base}TT",
+            ".",
+            "C,G" if ref_base not in "CG" else "A,T",
+        ][trial % 4]
+        gt_string = ("0/0", "1/1", "0/1", "1/2")[trial % 4]
+        mine = compute_pl(gt_string, zyg, gt21, ref_base, alts)
+        theirs = cv.compute_PL(gt_string, zyg, gt21, ref_base, alts)
+        assert mine == theirs, (trial, ref_base, alts)
