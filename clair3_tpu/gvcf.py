@@ -27,8 +27,17 @@ _LOG_2 = math.log(2) / _LOG_10
 
 
 def _log10sumexp(values: Sequence[float]) -> float:
-    m = max(values)
-    return m + math.log(sum(pow(10.0, v - m) for v in values)) / _LOG_10
+    # The reference's production (CFFI) log10sumexp reads one element past
+    # the array in its max scan (preprocess/utils.py getMyMaxItem
+    # `i<=n_list`), which lands on a zeroed heap double — so with all-
+    # negative log probabilities the scaling max is effectively pinned to
+    # 0.0.  Confident sites then normalize to exactly 0.0 and cap at GQ 50.
+    # We reproduce the effective m=0 behavior for row-identical gVCF output
+    # (verified against the reference in tests/test_reference_differential.py).
+    s = sum(pow(10.0, v) for v in values)
+    if s == 0.0:
+        return float("-inf")
+    return math.log(s) / _LOG_10
 
 
 def _normalize_log10(values: Sequence[float]) -> List[float]:

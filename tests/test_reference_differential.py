@@ -169,3 +169,56 @@ def test_compute_pl_matches_reference(ref_decode):
         mine = compute_pl(gt_string, zyg, gt21, ref_base, alts)
         theirs = cv.compute_PL(gt_string, zyg, gt21, ref_base, alts)
         assert mine == theirs, (trial, ref_base, alts)
+
+
+def test_gvcf_blocks_match_reference(tmp_path):
+    """Non-variant gVCF block construction matches the reference's
+    variantInfoCalculator row-for-row on fuzzed depth/ref streams."""
+    import contextlib
+    import io
+
+    sys.path.insert(0, REF)
+    try:
+        from preprocess.utils import variantInfoCalculator  # noqa: E402
+    finally:
+        sys.path.remove(REF)
+    from clair3_tpu.gvcf import NonVariantBlockWriter
+
+    # a tiny FASTA (+ .fai, which the reference's get_header requires) for
+    # the reference's header construction
+    fasta = tmp_path / "r.fa"
+    fasta.write_text(">chr1\n" + "ACGT" * 300 + "\n")
+    (tmp_path / "r.fa.fai").write_text("chr1\t1200\t6\t1200\t1201\n")
+
+    rng = np.random.default_rng(21)
+    for trial in range(5):
+        with contextlib.redirect_stdout(io.StringIO()):
+            calc = variantInfoCalculator(
+                gvcfWritePath="PIPE", ref_path=str(fasta), p_err=0.001,
+                gq_bin_size=5, ctgName="chr1", sample_name="S", mode="L")
+        out = io.StringIO()
+        calc.vcf_writer = out
+        mine = NonVariantBlockWriter(
+            p_err=0.001, gq_bin_size=5,
+            contig_lengths=dict(calc.contig_length_dict))
+
+        ref_seq = "ACGT" * 300
+        pos = 1
+        depth_walk = 20
+        for step in range(600):
+            depth_walk = max(0, depth_walk + int(rng.integers(-3, 4)))
+            n_total = depth_walk
+            n_ref = max(0, n_total - int(rng.integers(0, 4)))
+            # occasional N reference patches and zero-coverage holes
+            ref_base = "N" if 180 <= step < 190 else ref_seq[(pos - 1) % len(ref_seq)]
+            if 300 <= step < 305:
+                n_total = n_ref = 0
+            calc.make_gvcf_online({
+                "chr": "chr1", "pos": pos, "ref": ref_base,
+                "n_total": n_total, "n_ref": n_ref})
+            mine.add_site("chr1", pos, ref_base, n_ref, n_total)
+            pos += 1
+        calc.make_gvcf_online({}, push_current=True)
+        ref_rows = [l for l in out.getvalue().splitlines() if l]
+        my_rows = [r.rstrip("\n") for r in mine.finish()]
+        assert my_rows == ref_rows, f"trial {trial}"
