@@ -132,7 +132,7 @@ class CallConfig:
     keep_iupac_bases: bool = False
     use_phasing_for_final_output: bool = False
     use_haplotagging_for_final_output: bool = False
-    qual: Optional[int] = None         # QUAL cutoff marking LowQual
+    qual: Optional[int] = 2            # QUAL cutoff marking LowQual (run_clair3.py --qual default 2)
     output_probabilities_fn: Optional[str] = None  # debug: dump raw head probs
     base_err: float = 0.001            # gVCF (param_p.py:27)
     gq_bin_size: int = 5               # gVCF (param_p.py:28)

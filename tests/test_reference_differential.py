@@ -222,3 +222,104 @@ def test_gvcf_blocks_match_reference(tmp_path):
         ref_rows = [l for l in out.getvalue().splitlines() if l]
         my_rows = [r.rstrip("\n") for r in mine.finish()]
         assert my_rows == ref_rows, f"trial {trial}"
+
+
+def _synth_pileup_vcf_rows(rng, n=500):
+    rows = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.4:
+            gt = "0/0"
+            ref, alt = "A", "."
+        elif r < 0.75:
+            gt = "0/1"
+            ref, alt = ("A", "C") if rng.random() < 0.8 else ("AT", "A")
+        else:
+            gt = "1/1"
+            ref, alt = "G", "T"
+        qual = round(rng.random() * 40, 2)
+        rows.append(f"chr1\t{100 + i}\t.\t{ref}\t{alt}\t{qual:.2f}\tPASS\tP\t"
+                    f"GT:GQ:DP:AD:AF\t{gt}:{int(qual)}:30:15,15:0.5")
+    return rows
+
+
+def test_select_qual_matches_reference(tmp_path):
+    """Quality-cutoff selection (full-alignment routing + phasing) matches
+    the reference SelectQual submodule run on the same pileup VCF."""
+    import random as _r
+    import subprocess
+
+    from clair3_tpu.io.vcf import parse_vcf_line
+    from clair3_tpu.pipeline.select import select_phase_qual, select_qual
+
+    rng = _r.Random(77)
+    rows = _synth_pileup_vcf_rows(rng)
+    vcf_text = "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n" \
+        + "\n".join(rows) + "\n"
+    recs = [parse_vcf_line(r + "\n") for r in rows]
+
+    env = dict(os.environ, PYTHONPATH=REF)
+    out_dir = tmp_path / "q"
+    out_dir.mkdir()
+    subprocess.run(
+        [sys.executable, os.path.join(REF, "preprocess", "SelectQual.py"),
+         "--output_fn", str(out_dir), "--var_pct_full", "0.3",
+         "--ref_pct_full", "0.1"],
+        input=vcf_text, text=True, env=env, check=True, capture_output=True)
+    ref_var, ref_ref = map(float, (out_dir / "qual").read_text().split())
+    my_var, my_ref = select_qual(recs, var_pct_full=0.3, ref_pct_full=0.1)
+    assert (my_var, my_ref) == (ref_var, ref_ref)
+
+    subprocess.run(
+        [sys.executable, os.path.join(REF, "preprocess", "SelectQual.py"),
+         "--output_fn", str(out_dir), "--phase", "--var_pct_phasing", "0.7"],
+        input=vcf_text, text=True, env=env, check=True, capture_output=True)
+    ref_phase = float((out_dir / "phase_qual").read_text())
+    my_phase = select_phase_qual(recs, var_pct_phasing=0.7)
+    assert my_phase == ref_phase
+
+
+def test_merge_vcf_matches_reference(tmp_path):
+    """Pileup/full-alignment merge (FA wins at its positions, LowQual
+    marking, ref-call printing) matches the reference MergeVcf submodule."""
+    import gzip
+    import random as _r
+    import subprocess
+
+    from clair3_tpu.pipeline.merge_sort import merge_pileup_and_full_alignment
+
+    rng = _r.Random(88)
+    pileup_rows = _synth_pileup_vcf_rows(rng, 300)
+    # FA re-calls a subset of positions (some overlapping, some new)
+    fa_rows = []
+    for i in range(0, 300, 3):
+        qual = round(rng.random() * 35, 2)
+        gt = rng.choice(["0/0", "0/1", "1/1"])
+        ref, alt = ("A", ".") if gt == "0/0" else ("A", "T")
+        fa_rows.append(f"chr1\t{100 + i}\t.\t{ref}\t{alt}\t{qual:.2f}\tPASS\tF\t"
+                       f"GT:GQ:DP:AD:AF\t{gt}:{int(qual)}:30:15,15:0.5")
+
+    header = "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"
+    p_vcf = tmp_path / "pileup.vcf.gz"
+    f_vcf = tmp_path / "fa.vcf.gz"
+    with gzip.open(p_vcf, "wt") as f:
+        f.write(header + "\n".join(pileup_rows) + "\n")
+    with gzip.open(f_vcf, "wt") as f:
+        f.write(header + "\n".join(fa_rows) + "\n")
+
+    for qual_cut, print_ref in ((2, False), (11, True)):
+        out_fn = tmp_path / f"merged_{print_ref}.vcf"
+        cmd = [sys.executable, os.path.join(REF, "preprocess", "MergeVcf.py"),
+               "--pileup_vcf_fn", str(p_vcf),
+               "--full_alignment_vcf_fn", str(f_vcf),
+               "--output_fn", str(out_fn), "--ctgName", "chr1",
+               "--platform", "ont", "--qual", str(qual_cut),
+               "--print_ref_calls", str(print_ref)]
+        subprocess.run(cmd, env=dict(os.environ, PYTHONPATH=REF),
+                       check=True, capture_output=True)
+        ref_out = [l for l in out_fn.read_text().splitlines()
+                   if l and not l.startswith("#")]
+        mine = merge_pileup_and_full_alignment(
+            [r + "\n" for r in pileup_rows], [r + "\n" for r in fa_rows],
+            contig="chr1", qual_cutoff=qual_cut, print_ref_calls=print_ref)
+        assert [m.rstrip("\n") for m in mine] == ref_out, f"print_ref={print_ref}"
