@@ -323,3 +323,47 @@ def test_merge_vcf_matches_reference(tmp_path):
             [r + "\n" for r in pileup_rows], [r + "\n" for r in fa_rows],
             contig="chr1", qual_cutoff=qual_cut, print_ref_calls=print_ref)
         assert [m.rstrip("\n") for m in mine] == ref_out, f"print_ref={print_ref}"
+
+
+def test_select_candidates_matches_reference(tmp_path):
+    """Low-qual candidate routing to full-alignment (positions + batch
+    splitting) matches the reference SelectCandidates submodule."""
+    import gzip
+    import random as _r
+    import subprocess
+
+    from clair3_tpu.io.vcf import parse_vcf_line
+    from clair3_tpu.pipeline.select import select_candidates
+
+    rng = _r.Random(99)
+    rows = _synth_pileup_vcf_rows(rng, 800)
+    header = "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"
+    p_vcf = tmp_path / "pileup.vcf.gz"
+    with gzip.open(p_vcf, "wt") as f:
+        f.write(header + "\n".join(rows) + "\n")
+    split = tmp_path / "split"
+    split.mkdir()
+    (split / "qual").write_text("18.0 12.0")
+
+    subprocess.run(
+        [sys.executable, os.path.join(REF, "preprocess", "SelectCandidates.py"),
+         "--pileup_vcf_fn", str(p_vcf), "--split_folder", str(split),
+         "--ctgName", "chr1", "--platform", "ont",
+         "--split_bed_size", "100"],  # phasing_info_in_bam defaults True
+        env=dict(os.environ, PYTHONPATH=REF), check=True, capture_output=True)
+
+    # parse the reference's split bed files: window start0 = pos1 - 16 - 1
+    ref_batches = []
+    index_file = split / "FULL_ALN_FILE_chr1"
+    for path in index_file.read_text().split():
+        batch = []
+        for line in open(path):
+            _, start0, _end0 = line.split("\t")
+            batch.append(int(start0) + 17)  # back to the 1-based center
+        ref_batches.append(batch)
+
+    recs = [parse_vcf_line(r + "\n") for r in rows]
+    mine = select_candidates(recs, "chr1", var_qual_cutoff=18.0,
+                             ref_qual_cutoff=12.0, split_bed_size=100)
+    my_batches = [b.positions for b in mine]
+    assert my_batches == ref_batches
