@@ -23,7 +23,7 @@ from dataclasses import dataclass
 from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 _LOG_10 = 2.3025  # truncated, matching the reference CFFI path
-_LOG_2 = math.log(2) / _LOG_10
+_LOG_2 = 0.3010  # truncated literal, matching preprocess/utils.py:19
 
 
 def _log10sumexp(values: Sequence[float]) -> float:
@@ -172,6 +172,16 @@ class NonVariantBlockWriter:
             else:
                 self.flush()
         self._start_block(_Site(chrom, pos, ref, gt, gq, binned_gq, pls, n_total))
+
+    def feed(self, chrom: str, start_pos1: int, ref_seq: str,
+             n_ref, n_total) -> None:
+        """Bulk per-position counts for [start_pos1, start_pos1 + n) —
+        same interface as native.NativeGvcfWriter."""
+        nr = list(n_ref)
+        nt = list(n_total)
+        add = self.add_site
+        for k in range(len(ref_seq)):
+            add(chrom, start_pos1 + k, ref_seq[k], int(nr[k]), int(nt[k]))
 
     def _start_block(self, site: _Site) -> None:
         self._block = [site]

@@ -20,7 +20,8 @@ _SRCS = [os.path.join(_DIR, "clair3t_pileup.cc"),
          os.path.join(_DIR, "clair3t_fullalign.cc"),
          os.path.join(_DIR, "clair3t_align.cc"),
          os.path.join(_DIR, "clair3t_dbg.cc"),
-         os.path.join(_DIR, "clair3t_decode.cc")]
+         os.path.join(_DIR, "clair3t_decode.cc"),
+         os.path.join(_DIR, "clair3t_gvcf.cc")]
 _HDRS = [os.path.join(_DIR, "common.h")]
 _SO = os.path.join(_DIR, "libclair3t.so")
 _lock = threading.Lock()
@@ -379,6 +380,89 @@ def decode_batch_native(position_infos, alt_infos, batch_probabilities,
         return [out.rows[i].decode() for i in range(out.n) if out.rows[i]]
     finally:
         lib.clair3t_decode_free(out_p)
+
+
+class _GvcfRows(ctypes.Structure):
+    _fields_ = [
+        ("rows", ctypes.POINTER(ctypes.c_char_p)),
+        ("n", ctypes.c_int32),
+    ]
+
+
+def _bind_gvcf(lib):
+    if getattr(lib, "_gvcf_bound", False):
+        return
+    lib.clair3t_gvcf_new.restype = ctypes.c_void_p
+    lib.clair3t_gvcf_new.argtypes = [ctypes.c_double, ctypes.c_int, ctypes.c_int]
+    lib.clair3t_gvcf_set_contig_length.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
+    lib.clair3t_gvcf_feed.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64]
+    lib.clair3t_gvcf_take_rows.restype = ctypes.POINTER(_GvcfRows)
+    lib.clair3t_gvcf_take_rows.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.clair3t_gvcf_rows_free.argtypes = [ctypes.POINTER(_GvcfRows)]
+    lib.clair3t_gvcf_free.argtypes = [ctypes.c_void_p]
+    lib._gvcf_bound = True
+
+
+class NativeGvcfWriter:
+    """Native counterpart of clair3_tpu.gvcf.NonVariantBlockWriter —
+    byte-identical rows (tests/test_native_gvcf.py), streaming across
+    chunk boundaries, built for WGS-scale position counts."""
+
+    def __init__(self, p_err: float = 0.001, gq_bin_size: int = 5,
+                 bp_resolution: bool = False, contig_lengths=None):
+        self._lib = get_lib()
+        _bind_gvcf(self._lib)
+        self._st = self._lib.clair3t_gvcf_new(p_err, gq_bin_size,
+                                              int(bp_resolution))
+        for name, length in (contig_lengths or {}).items():
+            self._lib.clair3t_gvcf_set_contig_length(
+                self._st, name.encode(), int(length))
+        self.rows: List[str] = []
+
+    def feed(self, chrom: str, start_pos1: int, ref_seq: str,
+             n_ref, n_total) -> None:
+        """Bulk per-position counts for [start_pos1, start_pos1 + n)."""
+        n = len(ref_seq)
+        ref_arr = np.ascontiguousarray(n_ref, np.int64)
+        tot_arr = np.ascontiguousarray(n_total, np.int64)
+        if len(ref_arr) != n or len(tot_arr) != n:
+            raise ValueError("count arrays must match ref_seq length")
+        self._lib.clair3t_gvcf_feed(
+            self._st, chrom.encode(), start_pos1, ref_seq.encode(),
+            ref_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            tot_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n)
+
+    def add_site(self, chrom: str, pos: int, ref: str, n_ref: int,
+                 n_total: int) -> None:
+        self.feed(chrom, pos, ref,
+                  np.array([n_ref], np.int64), np.array([n_total], np.int64))
+
+    def _take(self, finish: bool) -> List[str]:
+        out_p = self._lib.clair3t_gvcf_take_rows(self._st, int(finish))
+        out = out_p.contents
+        try:
+            return [out.rows[i].decode() for i in range(out.n)]
+        finally:
+            self._lib.clair3t_gvcf_rows_free(out_p)
+
+    def finish(self) -> List[str]:
+        self.rows.extend(self._take(True))
+        return self.rows
+
+    def close(self) -> None:
+        if self._st is not None:
+            self._lib.clair3t_gvcf_free(self._st)
+            self._st = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class _DbgOut(ctypes.Structure):
