@@ -367,3 +367,53 @@ def test_select_candidates_matches_reference(tmp_path):
                              ref_qual_cutoff=12.0, split_bed_size=100)
     my_batches = [b.positions for b in mine]
     assert my_batches == ref_batches
+
+
+def test_focal_loss_matches_reference():
+    """Training loss (per-task focal, class-balanced weights, mean-then-sum
+    reduction) matches the reference's torch FocalLoss numerically."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REF)
+    try:
+        from clair3.Train import FocalLoss, cal_class_weight  # noqa: E402
+    finally:
+        sys.path.remove(REF)
+    from clair3_tpu.train.loss import (effective_class_weights,
+                                       multitask_loss)
+
+    rng = np.random.default_rng(33)
+    B = 64
+    label_shapes = [21, 3, 33, 33]
+    # one-hot labels, softmax-like predictions
+    labels = np.zeros((B, 90), np.float32)
+    preds = []
+    start = 0
+    for size in label_shapes:
+        idx = rng.integers(0, size, B)
+        labels[np.arange(B), start + idx] = 1.0
+        p = rng.dirichlet(np.full(size, 0.5), B).astype(np.float32)
+        preds.append(p)
+        start += size
+    pred_cat = np.concatenate(preds, axis=1)
+
+    # reference: per-task FocalLoss(...).mean() summed (Train.py:236-240)
+    label_shape_cum = [21, 24, 57, 90]
+    ref_total = 0.0
+    start = 0
+    for task, size in enumerate(label_shapes):
+        lf = FocalLoss(label_shape_cum, task)
+        ref_total += float(lf(torch.from_numpy(labels[:, start:start + size]),
+                              torch.from_numpy(preds[task])).mean())
+        start += size
+
+    mine = float(multitask_loss(jnp.asarray(pred_cat), jnp.asarray(labels),
+                                add_indel_length=True))
+    assert abs(mine - ref_total) < 1e-4, (mine, ref_total)
+
+    # class-balanced weights match too
+    counts = rng.integers(1, 10_000, 21).astype(np.float64)
+    ref_w = cal_class_weight(counts, 21)
+    my_w = effective_class_weights(counts)
+    np.testing.assert_allclose(my_w, ref_w, rtol=1e-12)
