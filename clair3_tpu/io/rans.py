@@ -332,15 +332,26 @@ def rans_compress(data: bytes, order: int = 0) -> bytes:
 
 
 def rans_decompress(payload: bytes) -> bytes:
-    """Decompress a CRAM rANS 4x8 block payload."""
+    """Decompress a CRAM rANS 4x8 block payload (native C++ fast path when
+    available; this module's Python decoder is the oracle and fallback)."""
     if len(payload) < 9:
         raise ValueError("truncated rANS stream")
     order, comp_sz, out_sz = struct.unpack_from("<BII", payload, 0)
-    data = payload[9: 9 + comp_sz]
     if out_sz == 0:
         return b""
+    if order not in (0, 1):
+        raise ValueError(f"unknown rANS order {order}")
+    try:
+        from clair3_tpu.native import rans_decode_native
+
+        native = rans_decode_native(payload)
+        if native is not None:
+            return native
+    except ValueError:
+        raise
+    except Exception:
+        pass
+    data = payload[9: 9 + comp_sz]
     if order == 0:
         return _decode_o0(data, out_sz)
-    if order == 1:
-        return _decode_o1(data, out_sz)
-    raise ValueError(f"unknown rANS order {order}")
+    return _decode_o1(data, out_sz)

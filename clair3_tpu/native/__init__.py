@@ -21,7 +21,8 @@ _SRCS = [os.path.join(_DIR, "clair3t_pileup.cc"),
          os.path.join(_DIR, "clair3t_align.cc"),
          os.path.join(_DIR, "clair3t_dbg.cc"),
          os.path.join(_DIR, "clair3t_decode.cc"),
-         os.path.join(_DIR, "clair3t_gvcf.cc")]
+         os.path.join(_DIR, "clair3t_gvcf.cc"),
+         os.path.join(_DIR, "clair3t_rans.cc")]
 _HDRS = [os.path.join(_DIR, "common.h")]
 _SO = os.path.join(_DIR, "libclair3t.so")
 _lock = threading.Lock()
@@ -380,6 +381,31 @@ def decode_batch_native(position_infos, alt_infos, batch_probabilities,
         return [out.rows[i].decode() for i in range(out.n) if out.rows[i]]
     finally:
         lib.clair3t_decode_free(out_p)
+
+
+def rans_decode_native(payload: bytes) -> Optional[bytes]:
+    """Native rANS 4x8 decode of a CRAM block payload; None when the native
+    library is unavailable (caller falls back to io/rans.py)."""
+    try:
+        lib = get_lib()
+    except Exception:
+        return None
+    if not getattr(lib, "_rans_bound", False):
+        lib.clair3t_rans_decode.restype = ctypes.c_int
+        lib.clair3t_rans_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib._rans_bound = True
+    import struct
+
+    if len(payload) < 9:
+        raise ValueError("truncated rANS stream")
+    out_sz = struct.unpack_from("<I", payload, 5)[0]
+    out = (ctypes.c_uint8 * out_sz)()
+    rc = lib.clair3t_rans_decode(payload, len(payload), out, out_sz)
+    if rc != 0:
+        raise ValueError("native rANS decode failed")
+    return bytes(out)
 
 
 class _GvcfRows(ctypes.Structure):
