@@ -417,3 +417,36 @@ def test_focal_loss_matches_reference():
     ref_w = cal_class_weight(counts, 21)
     my_w = effective_class_weights(counts)
     np.testing.assert_allclose(my_w, ref_w, rtol=1e-12)
+
+
+def test_sort_vcf_matches_reference(tmp_path):
+    """Contig-ordered, position-sorted, position-deduplicated VCF sorting
+    matches the reference SortVcf (stdin mode) on shuffled multi-contig
+    input with major/minor contig names and duplicate positions."""
+    import random as _r
+    import subprocess
+
+    from clair3_tpu.pipeline.merge_sort import sort_rows
+
+    rng = _r.Random(101)
+    rows = []
+    for ctg in ("chr2", "chr10", "scaffold_7", "chr1"):
+        for i in range(60):
+            pos = rng.randrange(1, 5000)
+            rows.append(f"{ctg}\t{pos}\t.\tA\tC\t{rng.random()*40:.2f}\tPASS\tP\t"
+                        f"GT:GQ:DP:AD:AF\t0/1:20:30:15,15:0.5\n")
+    rows.append("chr1\t42\t.\tA\tC\t9.00\tPASS\tP\tGT\t0/1\n")
+    rows.append("chr1\t42\t.\tA\tG\t8.00\tPASS\tP\tGT\t0/1\n")  # dup position
+    rng.shuffle(rows)
+
+    out_fn = tmp_path / "sorted.vcf"
+    subprocess.run(
+        [sys.executable, os.path.join(REF, "preprocess", "SortVcf.py"),
+         "--output_fn", str(out_fn)],
+        input="".join(rows), text=True, check=True, capture_output=True,
+        env=dict(os.environ, PYTHONPATH=REF))
+    expected = [l + "\n" for l in out_fn.read_text().splitlines() if l]
+
+    contig_names = ["chr2", "chr10", "scaffold_7", "chr1"]
+    mine = sort_rows(rows, contig_names)
+    assert mine == expected
