@@ -336,14 +336,14 @@ def _bind_decode(lib):
         ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_double, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_int64, ctypes.c_int32,
     ]
     lib.clair3t_decode_free.argtypes = [ctypes.POINTER(_DecodeOut)]
     lib._decode_bound = True
 
 
 def decode_batch_native(position_infos, alt_infos, batch_probabilities,
-                        config) -> List[str]:
+                        config, threads: int = 0) -> List[str]:
     """Native counterpart of clair3_tpu.decode.decoder.batch_decode —
     byte-identical VCF rows (suppressed candidates omitted).
 
@@ -372,7 +372,7 @@ def decode_batch_native(position_infos, alt_infos, batch_probabilities,
         int(config.maximum_variant_length_that_need_infer),
         int(config.keep_iupac_bases), int(config.cal_precise_long_indel_af),
         float(config.long_indel_distance_proportion),
-        int(config.max_variant_length_infer_default),
+        int(config.max_variant_length_infer_default), int(threads),
     )
     out = out_p.contents
     try:

@@ -22,6 +22,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -1162,7 +1163,7 @@ DecodeOut* clair3t_decode(const char** pos_infos, const char** alt_infos,
                           int32_t enable_long_indel, int64_t max_infer,
                           int32_t keep_iupac, int32_t cal_precise_long_indel_af,
                           double long_indel_distance_proportion,
-                          int64_t max_infer_default) {
+                          int64_t max_infer_default, int32_t n_threads) {
   auto* out = new DecodeOut();
   out->n = n;
   out->error = 0;
@@ -1182,19 +1183,39 @@ DecodeOut* clair3t_decode(const char** pos_infos, const char** alt_infos,
   cfg.cal_precise_long_indel_af = cal_precise_long_indel_af;
   cfg.long_indel_distance_proportion = long_indel_distance_proportion;
   cfg.max_infer_default = max_infer_default;
-  try {
-    for (int32_t i = 0; i < n; i++) {
-      std::string row;
-      if (decode_candidate(pos_infos[i], alt_infos[i],
-                           probs + (size_t)i * prob_width, prob_width, cfg,
-                           &row)) {
-        out->rows[i] = new char[row.size() + 1];
-        memcpy(out->rows[i], row.c_str(), row.size() + 1);
-      }
-    }
-  } catch (...) {
-    out->error = 1;
+  if (n_threads <= 0) {
+    unsigned hw = std::thread::hardware_concurrency();
+    n_threads = hw ? (int32_t)hw : 1;
   }
+  // candidates are independent; shard [0, n) across a thread pool
+  int shards = (int)std::min<int64_t>(n_threads, std::max<int64_t>(1, n / 512));
+  std::vector<uint8_t> failed(std::max(shards, 1), 0);
+  auto work = [&](int t, int32_t lo, int32_t hi) {
+    try {
+      for (int32_t i = lo; i < hi; i++) {
+        std::string row;
+        if (decode_candidate(pos_infos[i], alt_infos[i],
+                             probs + (size_t)i * prob_width, prob_width, cfg,
+                             &row)) {
+          out->rows[i] = new char[row.size() + 1];
+          memcpy(out->rows[i], row.c_str(), row.size() + 1);
+        }
+      }
+    } catch (...) {
+      failed[t] = 1;
+    }
+  };
+  if (shards <= 1) {
+    work(0, 0, n);
+  } else {
+    std::vector<std::thread> workers;
+    for (int t = 0; t < shards; t++)
+      workers.emplace_back(work, t, (int32_t)((int64_t)n * t / shards),
+                           (int32_t)((int64_t)n * (t + 1) / shards));
+    for (auto& w : workers) w.join();
+  }
+  for (uint8_t f : failed)
+    if (f) out->error = 1;
   return out;
 }
 
