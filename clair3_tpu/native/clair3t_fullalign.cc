@@ -13,10 +13,12 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <map>
 #include <set>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -500,8 +502,10 @@ FaOut* clair3t_fullalign(
   char** alt_infos = new char*[n_cand];
   int64_t* cand_pos_out = new int64_t[n_cand];
 
-  std::vector<int> overlaps;
-  for (int i = 0; i < n_cand; i++) {
+  // per-candidate fill is independent (disjoint matrix slices, per-candidate
+  // RNG seed, read-only infos/stats) -> shard candidates across threads
+  auto fill_candidate = [&](int i) {
+    std::vector<int> overlaps;
     int64_t cand = cands[i];
     cand_pos_out[i] = cand;
     int64_t start_pos = cand - kFlank;
@@ -663,6 +667,29 @@ FaOut* clair3t_fullalign(
     char* cs = new char[s.size() + 1];
     memcpy(cs, s.c_str(), s.size() + 1);
     alt_infos[i] = cs;
+  };
+
+  {
+    unsigned hw = std::thread::hardware_concurrency();
+    int n_threads = hw ? (int)hw : 1;
+    if (const char* env = getenv("CLAIR3T_FA_THREADS")) {
+      int v = atoi(env);
+      if (v > 0) n_threads = v;
+    }
+    int shards = (int)std::min<long long>(n_threads,
+                                          std::max<long long>(1, n_cand / 64));
+    if (shards <= 1) {
+      for (int i = 0; i < n_cand; i++) fill_candidate(i);
+    } else {
+      std::vector<std::thread> workers;
+      for (int t = 0; t < shards; t++)
+        workers.emplace_back([&, t]() {
+          for (int i = (int)((long long)n_cand * t / shards);
+               i < (int)((long long)n_cand * (t + 1) / shards); i++)
+            fill_candidate(i);
+        });
+      for (auto& w : workers) w.join();
+    }
   }
 
   out->matrix = matrix;

@@ -139,3 +139,29 @@ def test_fa_native_speedup(tmp_path):
     native.fa_region_native(bam, ref_seq, 0, "chr1", cands, phased, matrix_depth=55)
     t_nat = time.perf_counter() - t0
     assert t_nat < t_py / 3, f"native {t_nat:.3f}s vs python {t_py:.3f}s"
+
+
+def test_fa_threaded_fill_identical(tmp_path, monkeypatch):
+    """The per-candidate fill sharded over 4 threads must be bit-identical
+    to the single-thread result (forced via CLAIR3T_FA_THREADS; the env is
+    read per call, so both runs happen in this process)."""
+    import os
+
+    ref = random_reference(60_000, seed=77)
+    variants = [SimVariant(p, ref[p], "G" if ref[p] != "G" else "T", (0, 1))
+                for p in range(500, 59_500, 300)]
+    fasta, bam, _, _ = write_test_case(
+        str(tmp_path), ref_length=60_000, variants=variants, coverage=20,
+        read_length=2000, seed=77, error_rate=0.03)
+    fa = FastaFile(fasta)
+    ref_seq = fa.fetch("chr1", 0, 60_000)
+    fa.close()
+    cands = [v.pos for v in variants]
+    monkeypatch.setenv("CLAIR3T_FA_THREADS", "1")
+    one = native.fa_region_native(bam, ref_seq, 0, "chr1", cands, seed=5)
+    monkeypatch.setenv("CLAIR3T_FA_THREADS", "4")
+    four = native.fa_region_native(bam, ref_seq, 0, "chr1", cands, seed=5)
+    import numpy as np
+    np.testing.assert_array_equal(one[0], four[0])
+    assert one[1] == four[1]
+    assert one[2] == four[2]
