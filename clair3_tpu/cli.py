@@ -27,13 +27,24 @@ def _add_call_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--bed_fn", default=None)
     p.add_argument("--vcf_fn", default=None)
     p.add_argument("--threads", type=int, default=4)
-    p.add_argument("--qual", type=int, default=None)
+    p.add_argument("--qual", type=int, default=2,
+                   help="mark variants with QUAL<=N as LowQual (reference default 2)")
     p.add_argument("--snp_min_af", type=float, default=None)
     p.add_argument("--indel_min_af", type=float, default=None)
     p.add_argument("--var_pct_full", type=float, default=None)
     p.add_argument("--ref_pct_full", type=float, default=None)
     p.add_argument("--var_pct_phasing", type=float, default=None)
     p.add_argument("--chunk_size", type=int, default=5_000_000)
+    p.add_argument("--chunk_num", type=int, default=None,
+                   help="override: split each contig into N chunks "
+                        "(<=0 = one chunk per contig)")
+    p.add_argument("--min_mq", type=int, default=5)
+    p.add_argument("--min_coverage", type=int, default=2)
+    p.add_argument("--min_contig_size", type=int, default=0)
+    p.add_argument("--base_err", type=float, default=0.001)
+    p.add_argument("--gq_bin_size", type=int, default=5)
+    p.add_argument("--pileup_model_prefix", default="pileup")
+    p.add_argument("--fa_model_prefix", default="full_alignment")
     p.add_argument("--pileup_only", action="store_true")
     p.add_argument("--print_ref_calls", action="store_true")
     p.add_argument("--gvcf", action="store_true")
@@ -162,6 +173,12 @@ def cmd_call(args: argparse.Namespace) -> int:
         ref_pct_full=args.ref_pct_full,
         var_pct_phasing=args.var_pct_phasing,
         chunk_size=args.chunk_size,
+        chunk_num=args.chunk_num,
+        min_mq=args.min_mq,
+        min_coverage=args.min_coverage,
+        min_contig_size=args.min_contig_size,
+        base_err=args.base_err,
+        gq_bin_size=args.gq_bin_size,
         pileup_only=args.pileup_only,
         print_ref_calls=args.print_ref_calls,
         gvcf=args.gvcf,
@@ -191,10 +208,10 @@ def cmd_call(args: argparse.Namespace) -> int:
         fa_path = args.full_alignment_model
         if args.model_path:
             for ext in (".npz", ".pt"):
-                cand = os.path.join(args.model_path, "pileup" + ext)
+                cand = os.path.join(args.model_path, args.pileup_model_prefix + ext)
                 if pileup_path is None and os.path.exists(cand):
                     pileup_path = cand
-                cand = os.path.join(args.model_path, "full_alignment" + ext)
+                cand = os.path.join(args.model_path, args.fa_model_prefix + ext)
                 if fa_path is None and os.path.exists(cand):
                     fa_path = cand
         if pileup_path is None:

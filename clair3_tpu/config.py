@@ -109,6 +109,8 @@ class CallConfig:
     indel_min_af: Optional[float] = None
     min_coverage: int = 2              # param_p.py:22
     min_mq: int = 5                    # param_p.py:20
+    min_contig_size: int = 0           # skip contigs shorter than this (run_clair3.py --min_contig_size)
+    chunk_num: Optional[int] = None    # per-contig chunk count override (CheckEnvs --chunk_num)
     min_bq: int = 0
 
     # Cascade routing (run_clair3.py:304-313)

@@ -133,6 +133,8 @@ class VariantCaller:
                 continue
             if self.cfg.ctg_name and name != self.cfg.ctg_name:
                 continue
+            if fa.contig_length(name) < self.cfg.min_contig_size:
+                continue
             out.append((name, fa.contig_length(name)))
         fa.close()
         return out
@@ -554,7 +556,14 @@ class VariantCaller:
             cfg = self.cfg
         self._timed = _timed
         contig_names = [c for c, _ in contigs]
-        tasks = plan_chunks(contigs, cfg.chunk_size)
+        chunk_size = cfg.chunk_size
+        if cfg.chunk_num is not None:
+            # CheckEnvs --chunk_num semantics: N chunks per contig
+            # (<=0: one whole-contig chunk)
+            n = max(1, cfg.chunk_num)
+            longest = max((l for _, l in contigs), default=1)
+            chunk_size = (longest + n - 1) // n if cfg.chunk_num > 0 else 1 << 40
+        tasks = plan_chunks(contigs, chunk_size)
         logger.info("[plan] %d contigs, %d chunks", len(contigs), len(tasks))
 
         with self._timed("pileup"):

@@ -21,8 +21,23 @@ def main() -> int:
         "--sampleName": "--sample_name",
         "--threads_num": "--threads",
     }
+    # external-tool paths and device selection the reference accepts but the
+    # single-program design has no use for (value-taking flags)
+    ignored = {"--pypy", "--python", "--samtools", "--whatshap", "--longphase",
+               "--parallel", "--device"}
     out = ["call"]
+    skip_value = False
     for arg in argv:
+        if skip_value:
+            skip_value = False
+            continue
+        if arg.startswith("--"):
+            key = arg.split("=", 1)[0]
+            if key in ignored:
+                print(f"[INFO] ignoring {key} (not needed by clair3_tpu)",
+                      file=sys.stderr)
+                skip_value = "=" not in arg
+                continue
         if "=" in arg and arg.startswith("--"):
             key, val = arg.split("=", 1)
             out.append(f"{renames.get(key, key)}={val}")
