@@ -241,13 +241,22 @@ _, bam, _, _ = write_test_case({repr(str(tmp_path))}, ref_length=L,
 res = pileup_region_native(bam, ref, 0, "chr1", 0, L, gvcf=True, threads=3)
 cands = [c.pos for c in res.candidates]
 assert cands
+import os as _os
+_os.environ["CLAIR3T_FA_THREADS"] = "4"  # force threaded fill under ASan
 mat, pos, alts = fa_region_native(bam, ref, 0, "chr1", cands[:200],
                                   matrix_depth=89, seed=3)
 pis = [f"chr1:{{p+1}}:{{ref[max(0,p-16):p+17]}}" for p in pos]
 probs = np.random.default_rng(0).dirichlet(np.ones(90), size=len(pos))
 rows = decode_batch_native(pis, alts, probs,
                            DecodeConfig(add_indel_length=True, pileup=False,
-                                        show_ref_calls=True, gvcf=True))
+                                        show_ref_calls=True, gvcf=True),
+                           threads=4)
+from clair3_tpu.native import NativeGvcfWriter
+w = NativeGvcfWriter(contig_lengths={{"chr1": L}})
+w.feed("chr1", 1, ref, res.pos_ref_count, res.pos_total_count)
+grows = w.finish()
+w.close()
+assert grows
 print("ASAN_WORKLOAD_OK", len(rows))
 """
     env = dict(os.environ,
