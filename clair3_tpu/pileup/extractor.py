@@ -329,6 +329,7 @@ def create_pileup_tensors(
     head_tail: bool = False,
     use_native: Optional[bool] = None,
     threads: int = 1,
+    positions_filter=None,
 ) -> Tuple[np.ndarray, List[str], List[str], PileupResult]:
     """End-to-end tensor creation for a 1-based inclusive region
     [ctg_start, ctg_end], expanding by the window size like the reference
@@ -376,5 +377,6 @@ def create_pileup_tensors(
             max_indel_length=max_indel_length, call_snp_only=call_snp_only,
             gvcf=gvcf, call_ht=head_tail,
         )
-    tensors, pos_infos, alt_infos = candidate_tensors(result, ctg_name, head_tail=head_tail)
+    tensors, pos_infos, alt_infos = candidate_tensors(
+        result, ctg_name, head_tail=head_tail, positions_filter=positions_filter)
     return tensors, pos_infos, alt_infos, result

@@ -158,6 +158,23 @@ class VariantCaller:
         # split cores between chunk-level workers and the in-call C++
         # counting shards (native counting threads over genome subranges)
         per_call = max(1, (os.cpu_count() or 1) // max(1, self.cfg.threads))
+        # Filter BEFORE window slicing: in genotyping mode (AF gates at 0)
+        # every covered position is a candidate, and tensorizing them all
+        # before dropping non-known sites would cost GBs per chunk
+        # (reference filters at CreateTensorPileupFromCffi.py:345-354 too).
+        positions_filter = None
+        if self._known_sites is not None or self._bed_tree is not None:
+            ctg = task.contig
+
+            def positions_filter(pos0: int) -> bool:
+                pos1 = pos0 + 1
+                if self._known_sites is not None and (ctg, pos1) not in self._known_sites:
+                    return False
+                if self._bed_tree is not None and not self._bed_tree.overlaps(
+                        ctg, pos1 - 1, pos1 + 1):
+                    return False
+                return True
+
         return create_pileup_tensors(
             self.cfg.bam_fn,
             self.cfg.ref_fn,
@@ -173,6 +190,7 @@ class VariantCaller:
             gvcf=self.cfg.gvcf,
             head_tail=self.cfg.enable_variant_calling_at_sequence_head_and_tail,
             threads=per_call,
+            positions_filter=positions_filter,
         )
 
     @staticmethod

@@ -265,3 +265,29 @@ def test_add_pairend_allele_depth(tmp_path):
     assert cols[8].endswith(":PEAD")
     # 4 alt reads but only 3 unique fragment names
     assert cols[9].endswith(":3")
+
+
+def test_genotyping_mode_filters_before_tensorization(tmp_path):
+    """With AF gates at 0 every covered position is a candidate; the
+    known-sites filter must apply BEFORE window slicing so tensors are
+    only materialized for known sites (GBs per chunk otherwise)."""
+    from clair3_tpu.pileup.extractor import create_pileup_tensors
+
+    ref = random_reference(3000, seed=91)
+    v = SimVariant(1500, ref[1500], "G" if ref[1500] != "G" else "C", (0, 1))
+    fasta, bam, _, _ = write_test_case(
+        str(tmp_path), ref_length=3000, variants=[v], coverage=25,
+        read_length=800, seed=91, error_rate=0.02)
+
+    known = {1501, 2001}
+    tensors, pos_infos, _, _ = create_pileup_tensors(
+        bam, fasta, "chr1", 1, 3000, min_snp_af=0.0, min_indel_af=0.0,
+        positions_filter=lambda pos0: pos0 + 1 in known)
+    assert tensors.shape[0] <= len(known)
+    got = {int(p.split(":")[-2]) for p in pos_infos}
+    assert got <= known and 1501 in got
+
+    # sanity: without the filter, AF=0 candidates cover ~every position
+    all_t, _, _, _ = create_pileup_tensors(
+        bam, fasta, "chr1", 1, 3000, min_snp_af=0.0, min_indel_af=0.0)
+    assert all_t.shape[0] > 1000
