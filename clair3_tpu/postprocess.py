@@ -238,7 +238,7 @@ def parse_happy_vcf(happy_vcf_fn: str, ctg_name: Optional[str] = None) -> Dict[s
     (GetOverallMetrics.py:26-140 semantics: TRUTH/QUERY sample columns with
     BD (TP/FP/FN) and BVT (SNP/INDEL) fields)."""
     counts = {vt: {"query_fp": 0, "query_tp": 0, "truth_fn": 0, "truth_tp": 0}
-              for vt in ("SNP", "INDEL")}
+              for vt in ("SNP", "INDEL", "INS", "DEL")}
     fmt_idx: Dict[str, int] = {}
     for rec in VcfReader(happy_vcf_fn):
         if ctg_name and rec.chrom != ctg_name:
@@ -247,6 +247,7 @@ def parse_happy_vcf(happy_vcf_fn: str, ctg_name: Optional[str] = None) -> Dict[s
         if "BD" not in fmt or "BVT" not in fmt:
             continue
         bd_i, bvt_i = fmt.index("BD"), fmt.index("BVT")
+        bi_i = fmt.index("BI") if "BI" in fmt else None
         # sample column layout: TRUTH then QUERY; VcfRecord stores one sample
         # string per column joined by tabs in `sample` when parsed raw; the
         # hap.py VCF has 2 samples, so re-split the raw trailing columns.
@@ -259,16 +260,29 @@ def parse_happy_vcf(happy_vcf_fn: str, ctg_name: Optional[str] = None) -> Dict[s
         q_bd = query_f[bd_i] if bd_i < len(query_f) else "."
         t_bvt = truth_f[bvt_i] if bvt_i < len(truth_f) else "."
         q_bvt = query_f[bvt_i] if bvt_i < len(query_f) else "."
-        if q_bvt in counts:
+        # INDELs additionally split into INS/DEL by the BI sub-type prefix
+        # (GetOverallMetrics.py:105-124)
+        def _kinds(bvt, bi):
+            kinds = [bvt] if bvt in counts else []
+            if bvt == "INDEL" and bi:
+                if bi.startswith("i"):
+                    kinds.append("INS")
+                elif bi.startswith("d"):
+                    kinds.append("DEL")
+            return kinds
+
+        q_bi = query_f[bi_i] if bi_i is not None and bi_i < len(query_f) else ""
+        t_bi = truth_f[bi_i] if bi_i is not None and bi_i < len(truth_f) else ""
+        for kind in _kinds(q_bvt, q_bi):
             if q_bd == "FP":
-                counts[q_bvt]["query_fp"] += 1
+                counts[kind]["query_fp"] += 1
             elif q_bd == "TP":
-                counts[q_bvt]["query_tp"] += 1
-        if t_bvt in counts:
+                counts[kind]["query_tp"] += 1
+        for kind in _kinds(t_bvt, t_bi):
             if t_bd == "FN":
-                counts[t_bvt]["truth_fn"] += 1
+                counts[kind]["truth_fn"] += 1
             elif t_bd == "TP":
-                counts[t_bvt]["truth_tp"] += 1
+                counts[kind]["truth_tp"] += 1
     out = {}
     for vt, c in counts.items():
         p, r, f1 = _f1(c["query_fp"], c["query_tp"], c["truth_fn"], c["truth_tp"])

@@ -450,3 +450,60 @@ def test_sort_vcf_matches_reference(tmp_path):
     contig_names = ["chr2", "chr10", "scaffold_7", "chr1"]
     mine = sort_rows(rows, contig_names)
     assert mine == expected
+
+
+def test_happy_metrics_match_reference(tmp_path):
+    """hap.py-output digestion (SNP/Indel/Ins/Del P/R/F1) matches the
+    reference GetOverallMetrics submodule on a synthetic happy VCF."""
+    import gzip
+    import random as _r
+    import re
+    import subprocess
+
+    from clair3_tpu.postprocess import parse_happy_vcf
+
+    rng = _r.Random(55)
+    rows = []
+    for i in range(400):
+        vt = rng.choice(["SNP", "INDEL"])
+        if vt == "SNP":
+            ref, alt, bi = "A", "T", "tv"
+        else:
+            ins = rng.random() < 0.5
+            ref, alt = ("A", "ATG") if ins else ("ATG", "A")
+            bi = "i1_5" if ins else "d1_5"
+        t_bd = rng.choice(["TP", "FN", "N"])
+        q_bd = rng.choice(["TP", "FP", "N"])
+        rows.append(
+            f"chr1\t{100 + i}\t.\t{ref}\t{alt}\t30\tPASS\t.\t"
+            f"GT:BD:BI:BVT\t0/1:{t_bd}:{bi}:{vt}\t0/1:{q_bd}:{bi}:{vt}")
+    happy = tmp_path / "happy.vcf.gz"
+    with gzip.open(happy, "wt") as f:
+        f.write("##fileformat=VCFv4.2\n"
+                "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tTRUTH\tQUERY\n"
+                + "\n".join(rows) + "\n")
+
+    out_fn = tmp_path / "metrics.txt"
+    subprocess.run(
+        [sys.executable, os.path.join(REF, "clair3", "metrics",
+                                      "GetOverallMetrics.py"),
+         "--happy_vcf_fn", str(happy), "--output_fn", str(out_fn)],
+        env=dict(os.environ, PYTHONPATH=REF), check=True, capture_output=True)
+    text = out_fn.read_text()
+
+    del re  # table output: VariantType FP FN TP TP Precision Recall F1
+    mine = parse_happy_vcf(str(happy))
+    table = {}
+    for line in text.splitlines():
+        cols = line.split()
+        if cols and cols[0] in ("SNP", "INDEL", "INS", "DEL"):
+            table[cols[0]] = cols[1:]
+    for key in ("SNP", "INDEL", "INS", "DEL"):
+        assert key in table, f"{key} missing from reference output:\n{text}"
+        fp, fn, tp, qtp, p_ref, r_ref, f_ref = table[key]
+        ours = mine[key]
+        assert (ours.query_fp, ours.truth_fn, ours.truth_tp, ours.query_tp) \
+            == (int(fp), int(fn), int(tp), int(qtp)), key
+        assert abs(ours.precision - float(p_ref)) < 1e-6, key
+        assert abs(ours.recall - float(r_ref)) < 1e-6, key
+        assert abs(ours.f1 - float(f_ref)) < 1e-6, key
