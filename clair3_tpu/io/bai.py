@@ -172,6 +172,40 @@ class BaiIndex:
             self.bins.append(bmap)
             self.linear.append(ioff)
 
+    def query_chunks(self, tid: int, beg: int, end: int,
+                     merge_gap: int = 1 << 16) -> Optional[list]:
+        """Merged, sorted [(voff_begin, voff_end)] chunk list covering all
+        reads overlapping [beg, end), or None when the region has no reads.
+
+        Unlike a single min/max span, the chunk list stays tight when long
+        reads crossing 1Mb/8Mb boundaries park chunks in coarse bins — a
+        single-span reader would otherwise decompress to the end of the
+        contig for every query.  Chunks whose compressed gap is below
+        ``merge_gap`` bytes are coalesced to bound the range count."""
+        if tid < 0 or tid >= len(self.bins):
+            return None
+        min_ioff = 0
+        lin = self.linear[tid]
+        if lin:
+            w = min(beg >> _LINEAR_SHIFT, len(lin) - 1)
+            min_ioff = lin[w]
+        chunks = []
+        for b in _reg2bins(beg, end):
+            for cb, ce in self.bins[tid].get(b, []):
+                if ce <= min_ioff:
+                    continue
+                chunks.append((max(cb, min_ioff), ce))
+        if not chunks:
+            return None
+        chunks.sort()
+        merged = [list(chunks[0])]
+        for cb, ce in chunks[1:]:
+            if (cb >> 16) - (merged[-1][1] >> 16) <= merge_gap:
+                merged[-1][1] = max(merged[-1][1], ce)
+            else:
+                merged.append([cb, ce])
+        return [(cb, ce) for cb, ce in merged]
+
     def query_voff_range(self, tid: int, beg: int, end: int) -> Optional[Tuple[int, int]]:
         """(voff_begin, voff_end) window covering all reads overlapping
         [beg, end), or None when the region has no reads."""

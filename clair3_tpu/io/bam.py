@@ -269,14 +269,23 @@ class BamReader:
         tid = self._tid[contig]
         end = end if end is not None else self.lengths[tid]
         if self._bai is not None and self._data is None:
-            window = self._bai.query_voff_range(tid, start, end)
-            if window is None:
+            chunks = self._bai.query_chunks(tid, start, end)
+            if chunks is None:
                 return
-            voff_begin, voff_end = window
             from clair3_tpu.io.bgzf import decompress_range
 
-            data = decompress_range(self.path, voff_begin >> 16, voff_end >> 16)
-            records = self._iter_buffer(data, voff_begin & 0xFFFF)
+            def _chunked_records():
+                # each chunk is record-aligned; iterate them in order (the
+                # single-span alternative decompresses to the end of the
+                # contig whenever long reads park chunks in coarse bins)
+                for voff_begin, voff_end in chunks:
+                    data = decompress_range(
+                        self.path, voff_begin >> 16, voff_end >> 16)
+                    off = voff_begin & 0xFFFF
+                    for read in self._iter_buffer(data, off):
+                        yield read
+
+            records = _chunked_records()
         else:
             records = iter(self)
         for read in records:

@@ -4,7 +4,9 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
+
+OrderedDictType = dict  # parsed fai entries, name -> FaiEntry, Tuple
 
 
 @dataclass(frozen=True)
@@ -69,20 +71,38 @@ def build_fai(fasta_path: str, fai_path: Optional[str] = None) -> Dict[str, FaiE
     return entries
 
 
+_INDEX_CACHE: Dict[tuple, "OrderedDictType"] = {}
+
+
 class FastaFile:
-    """Random access to FASTA sequence via the .fai index."""
+    """Random access to FASTA sequence via the .fai index.
+
+    Parsed indexes are cached per (path, mtime) — the pipeline opens the
+    FASTA once per chunk, and re-scanning a whole-genome file to rebuild a
+    missing index each time dominated the pileup stage.  A freshly built
+    index is persisted to ``path + ".fai"`` (best effort)."""
 
     def __init__(self, path: str):
         self.path = path
-        fai = path + ".fai"
-        if os.path.exists(fai):
-            self.index = read_fai(fai)
+        key = (os.path.abspath(path), os.path.getmtime(path))
+        cached = _INDEX_CACHE.get(key)
+        if cached is not None:
+            self.index = cached
         else:
-            alt = os.path.splitext(path)[0] + ".fai"
-            if os.path.exists(alt):
-                self.index = read_fai(alt)
+            fai = path + ".fai"
+            if os.path.exists(fai):
+                self.index = read_fai(fai)
             else:
-                self.index = build_fai(path, fai_path=None)
+                alt = os.path.splitext(path)[0] + ".fai"
+                if os.path.exists(alt):
+                    self.index = read_fai(alt)
+                else:
+                    try:
+                        self.index = build_fai(path, fai_path=fai)
+                    except OSError:  # read-only directory
+                        self.index = build_fai(path, fai_path=None)
+            if len(_INDEX_CACHE) < 64:
+                _INDEX_CACHE[key] = self.index
         self._fh = open(path, "rb")
 
     def close(self) -> None:

@@ -93,7 +93,8 @@ def get_lib():
                 ctypes.c_char_p, ctypes.c_int64,
                 ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint64), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int,
             ]
             lib.clair3t_pileup_free.argtypes = [ctypes.POINTER(_PileupOut)]
             _lib = lib
@@ -128,19 +129,23 @@ def _bam_meta(bam_path: str):
         return _header_cache[key], _bai_cache[key]
 
 
-def _bai_window(bam_path: str, ctg_name: str, start: int, end: int):
-    """(tid, voff_begin, voff_end) from the .bai index, (tid, 0, 0) for a
-    full scan, or (tid, None, None) when the region provably has no reads."""
+def _bai_windows(bam_path: str, ctg_name: str, start: int, end: int):
+    """(tid, voffs_array|None, n_win): merged chunk windows from the .bai
+    index; n_win == 0 means full scan (no index), voffs None with n_win == -1
+    means the region provably has no reads."""
     tid_map, bai = _bam_meta(bam_path)
     if ctg_name not in tid_map:
         raise KeyError(f"contig {ctg_name!r} not in {bam_path}")
     tid = tid_map[ctg_name]
     if bai is None:
-        return tid, 0, 0
-    window = bai.query_voff_range(tid, start, end)
-    if window is None:
-        return tid, None, None
-    return tid, window[0], window[1]
+        return tid, None, 0
+    chunks = bai.query_chunks(tid, start, end)
+    if chunks is None:
+        return tid, None, -1
+    flat = []
+    for cb, ce in chunks:
+        flat.extend((cb, ce))
+    return tid, (ctypes.c_uint64 * len(flat))(*flat), len(chunks)
 
 
 def native_available() -> bool:
@@ -174,8 +179,8 @@ def pileup_region_native(
     from clair3_tpu.pileup.extractor import PileupCandidate, PileupResult
 
     lib = get_lib()
-    tid, voff_begin, voff_end = _bai_window(bam_path, ctg_name, start, end)
-    if voff_begin is None:  # indexed and provably empty region
+    tid, voffs, n_win = _bai_windows(bam_path, ctg_name, start, end)
+    if n_win < 0:  # indexed and provably empty region
         L = end - start
         return PileupResult(
             start=start, counts=np.zeros((L, 18), np.int32),
@@ -187,7 +192,7 @@ def pileup_region_native(
         ref_seq.encode(), ref_offset,
         min_mq, min_depth, min_snp_af, min_indel_af,
         max_indel_length, int(call_snp_only), int(gvcf), int(call_ht),
-        voff_begin, voff_end, tid, threads,
+        voffs, n_win, tid, threads,
     )
     out = out_p.contents
     try:
@@ -195,12 +200,18 @@ def pileup_region_native(
             raise RuntimeError(
                 f"native pileup failed (error={out.error}) for {bam_path} {ctg_name}")
         L = out.L
-        counts = np.ctypeslib.as_array(out.counts, shape=(L, 18)).copy()
-        depth = np.ctypeslib.as_array(out.depth, shape=(L,)).copy()
+        # frombuffer + copy is a real memcpy; np.ctypeslib.as_array(...)
+        # .copy() went through a slow per-element path (profiled at ~45MB/s)
+        def _copy(ptr, n, dtype):
+            buf = ctypes.cast(ptr, ctypes.POINTER(ctypes.c_char * (n * np.dtype(dtype).itemsize)))
+            return np.frombuffer(buf.contents, dtype=dtype).copy()
+
+        counts = _copy(out.counts, L * 18, np.int32).reshape(L, 18)
+        depth = _copy(out.depth, L, np.int32)
         pos_ref = pos_tot = None
         if gvcf:
-            pos_ref = np.ctypeslib.as_array(out.pos_ref_count, shape=(L,)).copy()
-            pos_tot = np.ctypeslib.as_array(out.pos_total_count, shape=(L,)).copy()
+            pos_ref = _copy(out.pos_ref_count, L, np.int64)
+            pos_tot = _copy(out.pos_total_count, L, np.int64)
         candidates: List[PileupCandidate] = []
         for i in range(out.n_candidates):
             alt = out.alt_infos[i].decode()
@@ -242,7 +253,7 @@ def _bind_fa(lib):
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
-        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int, ctypes.c_int,
     ]
     lib.clair3t_fullalign_free.argtypes = [ctypes.POINTER(_FaOut)]
     lib._fa_bound = True
@@ -288,8 +299,8 @@ def fa_region_native(
 
     region_start = max(0, cands[0] - 16)
     region_end = cands[-1] + 17
-    tid, voff_begin, voff_end = _bai_window(bam_path, ctg_name, region_start, region_end)
-    if voff_begin is None:
+    tid, voffs, n_win = _bai_windows(bam_path, ctg_name, region_start, region_end)
+    if n_win < 0:
         # indexed and provably empty: zero tensor + "0-" alt-infos, no BAM IO
         return (np.zeros((n_cand, matrix_depth, 33, channels), np.int8),
                 cands, ["0-"] * n_cand)
@@ -300,7 +311,7 @@ def fa_region_native(
         var_pos, var_ref, var_alt, var_gt, var_ps, n_var,
         int(need_haplotagging), min_mq, matrix_depth,
         max_indel_length, int(enable_dwell), seed,
-        voff_begin, voff_end, tid,
+        voffs, n_win, tid,
     )
     out = out_p.contents
     try:

@@ -338,7 +338,7 @@ FaOut* clair3t_fullalign(
     const int32_t* var_gt, const int32_t* var_ps, int32_t n_var,
     int need_haplotagging, int min_mq, int matrix_depth,
     int max_indel_length, int enable_dwell, uint64_t seed,
-    uint64_t voff_begin, uint64_t voff_end, int tid_hint) {
+    const uint64_t* voffs, int n_win, int tid_hint) {
   auto* out = new FaOut();
   memset(out, 0, sizeof(FaOut));
   const int channels = enable_dwell ? 9 : 8;
@@ -349,8 +349,8 @@ FaOut* clair3t_fullalign(
 
   BamView bam;
   int tid;
-  if (voff_end > 0) {  // indexed range load (tid supplied by the caller)
-    if (!bam.load_range(bam_path, voff_begin, voff_end)) {
+  if (n_win > 0) {  // indexed chunk-list load (tid supplied by the caller)
+    if (!bam.load_ranges(bam_path, voffs, n_win)) {
       out->error = 1;
       return out;
     }

@@ -164,7 +164,7 @@ PileupOut* clair3t_pileup(
     const char* ref_seq, int64_t ref_offset,
     int min_mq, int min_depth, double min_snp_af, double min_indel_af,
     int max_indel_length, int call_snp_only, int want_gvcf, int call_ht,
-    uint64_t voff_begin, uint64_t voff_end, int tid_hint, int n_threads) {
+    const uint64_t* voffs, int n_win, int tid_hint, int n_threads) {
   auto* out = new PileupOut();
   memset(out, 0, sizeof(PileupOut));
   const int64_t L = end - start;
@@ -172,8 +172,8 @@ PileupOut* clair3t_pileup(
 
   BamView bam;
   int tid;
-  if (voff_end > 0) {  // indexed range load (tid supplied by the caller)
-    if (!bam.load_range(bam_path, voff_begin, voff_end)) {
+  if (n_win > 0) {  // indexed chunk-list load (tid supplied by the caller)
+    if (!bam.load_ranges(bam_path, voffs, n_win)) {
       out->error = 1;
       return out;
     }

@@ -190,6 +190,81 @@ struct BamView {
     return records_off <= data.size();
   }
 
+  // multi-range indexed load: inflate each [vb, ve] chunk, trim to the
+  // exact virtual offsets, and concatenate (chunks are record-aligned by
+  // construction, so the result is a contiguous record stream)
+  bool load_ranges(const char* path, const uint64_t* voffs, int n_win) {
+    data.clear();
+    records_off = 0;
+    FILE* fp = fopen(path, "rb");
+    if (!fp) return false;
+    fseek(fp, 0, SEEK_END);
+    uint64_t fsize = (uint64_t)ftell(fp);
+    for (int w = 0; w < n_win; w++) {
+      uint64_t vb = voffs[2 * w], ve = voffs[2 * w + 1];
+      uint64_t cb = vb >> 16, ce = ve >> 16;
+      size_t head = vb & 0xFFFF, tail = ve & 0xFFFF;
+      // read the compressed window (+64KiB so the last block is complete)
+      uint64_t read_end = ce + 65536 < fsize ? ce + 65536 : fsize;
+      if (fseek(fp, (long)cb, SEEK_SET) != 0) { fclose(fp); return false; }
+      std::vector<uint8_t> comp(read_end - cb);
+      if (!comp.empty() && fread(comp.data(), 1, comp.size(), fp) != comp.size()) {
+        fclose(fp);
+        return false;
+      }
+      std::vector<BlockJob> jobs;
+      size_t total = 0;
+      size_t off = 0;
+      size_t last_block_out = 0;  // uncompressed offset of ce's block
+      bool saw_last = false;
+      while (cb + off <= ce && off + 18 <= comp.size()) {
+        if (comp[off] != 0x1f || comp[off + 1] != 0x8b) { fclose(fp); return false; }
+        uint16_t xlen;
+        memcpy(&xlen, comp.data() + off + 10, 2);
+        if (off + 12 + xlen + 8 > comp.size()) { fclose(fp); return false; }
+        int bsize = -1;
+        size_t eoff = 0;
+        while (eoff + 4 <= xlen) {
+          uint16_t slen;
+          memcpy(&slen, comp.data() + off + 12 + eoff + 2, 2);
+          if (comp[off + 12 + eoff] == 'B' && comp[off + 12 + eoff + 1] == 'C' && slen == 2) {
+            uint16_t bs;
+            memcpy(&bs, comp.data() + off + 12 + eoff + 4, 2);
+            bsize = bs + 1;
+          }
+          eoff += 4 + slen;
+        }
+        if (bsize < (int)(12 + xlen + 8) || off + (size_t)bsize > comp.size()) {
+          fclose(fp);
+          return false;
+        }
+        uint32_t isize;
+        memcpy(&isize, comp.data() + off + bsize - 4, 4);
+        if (cb + off == ce) {
+          last_block_out = total;
+          saw_last = true;
+          if (tail == 0) break;  // range ends at this block's start
+        }
+        jobs.push_back({off + 12 + xlen, (size_t)(bsize - 12 - xlen - 8), total, isize});
+        total += isize;
+        off += bsize;
+      }
+      std::vector<uint8_t> chunk(total);
+      if (!inflate_blocks_parallel(comp.data(), jobs, chunk.data(),
+                                   default_inflate_threads())) {
+        fclose(fp);
+        return false;
+      }
+      size_t end_off = saw_last ? last_block_out + tail : total;
+      if (head > chunk.size()) head = chunk.size();
+      if (end_off > chunk.size()) end_off = chunk.size();
+      if (end_off > head)
+        data.insert(data.end(), chunk.begin() + head, chunk.begin() + end_off);
+    }
+    fclose(fp);
+    return true;
+  }
+
   bool load(const char* path) {
     if (!bgzf_read_all(path, &data)) return false;
     if (data.size() < 8 || memcmp(data.data(), "BAM\x01", 4) != 0) return false;

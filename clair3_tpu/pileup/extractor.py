@@ -282,34 +282,37 @@ def candidate_tensors(
     "ctg:pos1:ref", alt_info list).
     """
     L = result.counts.shape[0]
+    cands = result.candidates
+    if positions_filter is not None:
+        cands = [c for c in cands if positions_filter(c.pos)]
+    if not cands:
+        return (np.zeros((0, NO_OF_POSITIONS, PILEUP_CHANNEL_SIZE), np.int32),
+                [], [])
+
+    # vectorized window gather (the per-candidate Python loop dominated
+    # tensor creation at WGS candidate counts)
     col_empty = np.all(result.counts == 0, axis=1)
-    tensors: List[np.ndarray] = []
-    pos_infos: List[str] = []
-    alt_infos: List[str] = []
-    for cand in result.candidates:
-        if positions_filter is not None and not positions_filter(cand.pos):
-            continue
-        center = cand.pos - result.start
-        lo = center - FLANKING_BASE_NUM
-        hi = center + FLANKING_BASE_NUM + 1
-        pos_info = f"{ctg_name}:{cand.pos + 1}:{cand.ref_base}"
-        if 0 <= lo and hi <= L and not col_empty[lo:hi].any():
-            tensors.append(result.counts[lo:hi])
-            pos_infos.append(pos_info)
-            alt_infos.append(cand.alt_info)
-        elif head_tail:
-            window = np.zeros((NO_OF_POSITIONS, PILEUP_CHANNEL_SIZE), np.int32)
-            src_lo, src_hi = max(lo, 0), min(hi, L)
-            if src_lo < src_hi:
-                window[src_lo - lo: src_hi - lo] = result.counts[src_lo:src_hi]
-            tensors.append(window)
-            pos_infos.append(pos_info)
-            alt_infos.append(cand.alt_info)
-    if tensors:
-        tensor_arr = np.stack(tensors).astype(np.int32)
+    centers = np.fromiter((c.pos - result.start for c in cands), np.int64,
+                          count=len(cands))
+    los = centers - FLANKING_BASE_NUM
+    idx = los[:, None] + np.arange(NO_OF_POSITIONS)[None, :]
+    valid = (idx >= 0) & (idx < L)
+    idx_clip = np.clip(idx, 0, L - 1)
+    in_range = valid.all(axis=1)
+    if head_tail:
+        keep = np.ones(len(cands), bool)
     else:
-        tensor_arr = np.zeros((0, NO_OF_POSITIONS, PILEUP_CHANNEL_SIZE), np.int32)
-    return tensor_arr, pos_infos, alt_infos
+        empty_within = col_empty[idx_clip].any(axis=1)
+        keep = in_range & ~empty_within
+    if not keep.any():
+        return (np.zeros((0, NO_OF_POSITIONS, PILEUP_CHANNEL_SIZE), np.int32),
+                [], [])
+    kidx = np.nonzero(keep)[0]
+    wins = result.counts[idx_clip[kidx]].astype(np.int32, copy=True)
+    wins *= valid[kidx][:, :, None]  # zero-pad out-of-range rows (head/tail)
+    pos_infos = [f"{ctg_name}:{cands[i].pos + 1}:{cands[i].ref_base}" for i in kidx]
+    alt_infos = [cands[i].alt_info for i in kidx]
+    return wins, pos_infos, alt_infos
 
 
 def create_pileup_tensors(
