@@ -65,6 +65,21 @@ def _add_call_args(p: argparse.ArgumentParser) -> None:
                    help="TESTING: use tensor-sniffing oracle predictors instead of models")
     p.add_argument("--use_phasing_for_final_output", action="store_true",
                    help="phase the final merged VCF (internal phaser)")
+    # external-phaser interop (reference run_clair3.py:116-117,148-150):
+    # internal read-backed phasing is the default; these route the
+    # intermediate phasing stage through a whatshap/longphase subprocess
+    p.add_argument("--use_whatshap_for_intermediate_phasing",
+                   action="store_true",
+                   help="phase intermediate het SNPs with an external "
+                        "whatshap subprocess instead of the internal phaser")
+    p.add_argument("--use_longphase_for_intermediate_phasing",
+                   action="store_true",
+                   help="phase intermediate het SNPs with an external "
+                        "longphase subprocess instead of the internal phaser")
+    p.add_argument("--whatshap", default="whatshap",
+                   help="path to the whatshap binary")
+    p.add_argument("--longphase", default="longphase",
+                   help="path to the longphase binary")
     p.add_argument("--use_haplotagging_for_final_output", action="store_true",
                    help="also write an HP/PS-tagged BAM (phased_output.bam)")
     p.add_argument("--output_probabilities_fn", default=None,
@@ -239,9 +254,21 @@ def cmd_call(args: argparse.Namespace) -> int:
 
     phaser = None
     if fa_engine is not None and not cfg.no_phasing_for_fa:
-        from clair3_tpu.phase import ReadBackedPhaser
+        if getattr(args, "use_whatshap_for_intermediate_phasing", False) or \
+                getattr(args, "use_longphase_for_intermediate_phasing", False):
+            from clair3_tpu.phase.external import ExternalPhaser
 
-        phaser = ReadBackedPhaser(cfg.bam_fn, min_mq=max(cfg.min_mq, 20))
+            tool = ("longphase"
+                    if args.use_longphase_for_intermediate_phasing
+                    else "whatshap")
+            phaser = ExternalPhaser(
+                tool, cfg.bam_fn, cfg.ref_fn, platform=cfg.platform,
+                binary=getattr(args, tool, None), threads=cfg.threads,
+                work_dir=cfg.output_dir, sample=cfg.sample_name)
+        else:
+            from clair3_tpu.phase import ReadBackedPhaser
+
+            phaser = ReadBackedPhaser(cfg.bam_fn, min_mq=max(cfg.min_mq, 20))
 
     caller = VariantCaller(cfg, pileup_engine=pileup_engine, fa_engine=fa_engine,
                            phaser=phaser)

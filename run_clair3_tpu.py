@@ -23,11 +23,34 @@ def main() -> int:
     }
     # external-tool paths and device selection the reference accepts but the
     # single-program design has no use for (value-taking flags)
-    ignored = {"--pypy", "--python", "--samtools", "--whatshap", "--longphase",
-               "--parallel", "--device"}
+    ignored = {"--pypy", "--python", "--samtools", "--parallel", "--device"}
+    # reference boolean flags take an explicit True/False value
+    # (run_clair3.py add_bool_arg); ours are store_true.  Emit the flag only
+    # when the value is truthy.  --longphase_for_phasing is the legacy alias
+    # for --use_longphase_for_intermediate_phasing (run_clair3.py:328).
+    bool_valued = {
+        "--use_whatshap_for_intermediate_phasing":
+            "--use_whatshap_for_intermediate_phasing",
+        "--use_longphase_for_intermediate_phasing":
+            "--use_longphase_for_intermediate_phasing",
+        "--longphase_for_phasing": "--use_longphase_for_intermediate_phasing",
+        "--use_whatshap_for_final_output_phasing":
+            "--use_phasing_for_final_output",
+        "--use_longphase_for_final_output_phasing":
+            "--use_phasing_for_final_output",
+        "--enable_phasing": "--use_phasing_for_final_output",
+        "--use_whatshap_for_final_output_haplotagging":
+            "--use_haplotagging_for_final_output",
+    }
     out = ["call"]
     skip_value = False
+    pending_bool = None
     for arg in argv:
+        if pending_bool is not None:
+            if arg.lower() in ("true", "1", "yes"):
+                out.append(pending_bool)
+            pending_bool = None
+            continue
         if skip_value:
             skip_value = False
             continue
@@ -37,6 +60,13 @@ def main() -> int:
                 print(f"[INFO] ignoring {key} (not needed by clair3_tpu)",
                       file=sys.stderr)
                 skip_value = "=" not in arg
+                continue
+            if key in bool_valued:
+                if "=" in arg:
+                    if arg.split("=", 1)[1].lower() in ("true", "1", "yes"):
+                        out.append(bool_valued[key])
+                else:
+                    pending_bool = bool_valued[key]
                 continue
         if "=" in arg and arg.startswith("--"):
             key, val = arg.split("=", 1)
