@@ -41,8 +41,10 @@ CRAM_EOF = bytes.fromhex(
     "0f000000ffffffff0fe0454f4600000000010005bdd94f0001000606010001"
     "000100ee63014b")
 
-# block compression methods
+# block compression methods (3.1 adds rANS-Nx16, adaptive arithmetic,
+# fqzcomp and the name tokeniser)
 M_RAW, M_GZIP, M_BZIP2, M_LZMA, M_RANS = 0, 1, 2, 3, 4
+M_RANSNX16, M_ARITH, M_FQZCOMP, M_TOK3 = 5, 6, 7, 8
 
 # block content types
 CT_FILE_HEADER, CT_COMPRESSION_HEADER, CT_SLICE_HEADER = 0, 1, 2
@@ -178,9 +180,13 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
         return lzma.decompress(data)
     if method == M_RANS:
         return rans_decompress(data)
+    if method == M_RANSNX16:
+        from clair3_tpu.io.rans_nx16 import rans_nx16_decompress
+
+        return rans_nx16_decompress(data, raw_size)
     raise ValueError(
         f"unsupported CRAM block compression method {method} "
-        "(supported: raw, gzip, bzip2, lzma, rANS4x8)")
+        "(supported: raw, gzip, bzip2, lzma, rANS4x8, rANS-Nx16)")
 
 
 def write_block(block: Block, method: int) -> bytes:
