@@ -166,6 +166,18 @@ def _compress(method: int, data: bytes) -> bytes:
         return lzma.compress(data)
     if method == M_RANS:
         return rans_compress(data, order=1 if len(data) >= 4 else 0)
+    if method == M_RANSNX16:
+        from clair3_tpu.io.rans_nx16 import F_ORDER1, rans_nx16_compress
+
+        return rans_nx16_compress(data, F_ORDER1 if len(data) >= 32 else 0)
+    if method == M_ARITH:
+        from clair3_tpu.io.arith import F_ORDER1 as A_O1, arith_compress
+
+        return arith_compress(data, A_O1 if len(data) >= 32 else 0)
+    if method == M_TOK3:
+        from clair3_tpu.io.tok3 import tok3_compress
+
+        return tok3_compress(data)
     raise ValueError(f"unsupported compression method {method}")
 
 
@@ -184,9 +196,18 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
         from clair3_tpu.io.rans_nx16 import rans_nx16_decompress
 
         return rans_nx16_decompress(data, raw_size)
+    if method == M_ARITH:
+        from clair3_tpu.io.arith import arith_decompress
+
+        return arith_decompress(data, raw_size)
+    if method == M_TOK3:
+        from clair3_tpu.io.tok3 import tok3_decompress
+
+        return tok3_decompress(data)
     raise ValueError(
         f"unsupported CRAM block compression method {method} "
-        "(supported: raw, gzip, bzip2, lzma, rANS4x8, rANS-Nx16)")
+        "(supported: raw, gzip, bzip2, lzma, rANS4x8, rANS-Nx16, arith, "
+        "tok3; fqzcomp is not)")
 
 
 def write_block(block: Block, method: int) -> bytes:
@@ -981,8 +1002,14 @@ class CramWriter:
 
     def __init__(self, path: str, references: Sequence[str],
                  lengths: Sequence[int], ref_fn: Optional[str] = None,
-                 records_per_slice: int = 4096, header_text: Optional[str] = None):
+                 records_per_slice: int = 4096, header_text: Optional[str] = None,
+                 version: Tuple[int, int] = (3, 0)):
+        if version not in ((3, 0), (3, 1)):
+            raise ValueError(f"unsupported CRAM write version {version}")
         self.path = path
+        self.version = version
+        # 3.1 stores names NUL-separated so the tok3 codec applies
+        self._rn_stop = 0 if version >= (3, 1) else ord("\t")
         self.references = list(references)
         self.lengths = list(lengths)
         self.ref_fn = ref_fn
@@ -992,7 +1019,7 @@ class CramWriter:
         self._ref_seq = ""
         self._counter = 0
         self._fh = open(path, "wb")
-        self._fh.write(CRAM_MAGIC + bytes([3, 0]) + b"clair3_tpu".ljust(20, b"\x00"))
+        self._fh.write(CRAM_MAGIC + bytes(version) + b"clair3_tpu".ljust(20, b"\x00"))
         if header_text is None:
             header_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
                 f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in zip(references, lengths))
@@ -1129,7 +1156,7 @@ class CramWriter:
             put_int("AP", pos1 - last1)
             last1 = pos1
             put_int("RG", -1)
-            streams["RN"] += r.qname.encode() + b"\t"
+            streams["RN"] += r.qname.encode() + bytes([self._rn_stop])
             mf = (1 if r.flag & _FLAG_MREVERSE else 0) | \
                  (2 if r.flag & _FLAG_MUNMAP else 0)
             put_int("MF", mf)
@@ -1181,7 +1208,8 @@ class CramWriter:
         for key in _BYTE_SERIES:
             series_params[key] = enc_external(_IDS[key])
         for key in _STOP_SERIES:
-            series_params[key] = enc_byte_array_stop(ord("\t"), _IDS[key])
+            stop = self._rn_stop if key == "RN" else ord("\t")
+            series_params[key] = enc_byte_array_stop(stop, _IDS[key])
         tag_params: Dict[int, bytes] = {}
         tag_ids: Dict[str, Tuple[int, int]] = {}
         next_id = 100
@@ -1200,7 +1228,13 @@ class CramWriter:
         for key, cid in _IDS.items():
             data = bytes(streams[key])
             content_ids.append(cid)
-            method = M_RANS if key in ("QS", "BA") and len(data) >= 64 else M_GZIP
+            is31 = self.version >= (3, 1)
+            if key in ("QS", "BA") and len(data) >= 64:
+                method = M_RANSNX16 if is31 else M_RANS
+            elif is31 and key == "RN" and len(data) >= 64:
+                method = M_TOK3
+            else:
+                method = M_GZIP
             ext_blocks.append(write_block(Block(M_RAW, CT_EXTERNAL, cid, data), method))
         for name, (lb, vb) in tag_streams.items():
             lid, vid = tag_ids[name]
@@ -1229,13 +1263,14 @@ class CramWriter:
 # converters
 # ---------------------------------------------------------------------------
 
-def bam_to_cram(bam_path: str, cram_path: str, ref_fn: str) -> str:
-    """Re-encode a BAM as reference-based CRAM 3.0."""
+def bam_to_cram(bam_path: str, cram_path: str, ref_fn: str,
+                version: Tuple[int, int] = (3, 0)) -> str:
+    """Re-encode a BAM as reference-based CRAM 3.0 or 3.1."""
     from clair3_tpu.io.bam import BamReader
 
     bam = BamReader(bam_path)
     with CramWriter(cram_path, bam.references, bam.lengths, ref_fn=ref_fn,
-                    header_text=bam.header_text or None) as w:
+                    header_text=bam.header_text or None, version=version) as w:
         for read in bam:  # every record, unfiltered, file order
             w.write(read)
     return cram_path

@@ -387,6 +387,8 @@ def _pack_encode(data: bytes) -> Optional[Tuple[bytes, bytes]]:
 
 
 def _pack_decode(packed: bytes, P: Sequence[int], nsym: int, out_sz: int) -> bytes:
+    if out_sz == 0:
+        return b""
     out = bytearray(out_sz)
     if nsym <= 1:
         if nsym == 0:
