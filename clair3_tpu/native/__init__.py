@@ -40,6 +40,7 @@ class _PileupOut(ctypes.Structure):
         ("n_candidates", ctypes.c_int32),
         ("L", ctypes.c_int32),
         ("error", ctypes.c_int32),
+        ("external", ctypes.c_int32),
     ]
 
 
@@ -95,6 +96,8 @@ def get_lib():
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint64), ctypes.c_int, ctypes.c_int,
                 ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ]
             lib.clair3t_pileup_free.argtypes = [ctypes.POINTER(_PileupOut)]
             _lib = lib
@@ -187,31 +190,34 @@ def pileup_region_native(
             depth=np.zeros(L, np.int32), candidates=[],
             pos_ref_count=np.zeros(L, np.int64) if gvcf else None,
             pos_total_count=np.zeros(L, np.int64) if gvcf else None)
+    # caller-owned output buffers: the native side fills them in place, so
+    # there is no internal 2x alloc+memcpy and no ctypes copy-out
+    L = end - start
+    counts = np.zeros((L, 18), np.int32)
+    depth = np.zeros(L, np.int32)
+    pos_ref = pos_tot = None
+    _i32p = ctypes.POINTER(ctypes.c_int32)
+    _i64p = ctypes.POINTER(ctypes.c_int64)
+    pr_ptr = pt_ptr = ctypes.cast(None, _i64p)
+    if gvcf:
+        pos_ref = np.zeros(L, np.int64)
+        pos_tot = np.zeros(L, np.int64)
+        pr_ptr = pos_ref.ctypes.data_as(_i64p)
+        pt_ptr = pos_tot.ctypes.data_as(_i64p)
     out_p = lib.clair3t_pileup(
         bam_path.encode(), ctg_name.encode(), start, end,
         ref_seq.encode(), ref_offset,
         min_mq, min_depth, min_snp_af, min_indel_af,
         max_indel_length, int(call_snp_only), int(gvcf), int(call_ht),
         voffs, n_win, tid, threads,
+        counts.ctypes.data_as(_i32p), depth.ctypes.data_as(_i32p),
+        pr_ptr, pt_ptr,
     )
     out = out_p.contents
     try:
         if out.error:
             raise RuntimeError(
                 f"native pileup failed (error={out.error}) for {bam_path} {ctg_name}")
-        L = out.L
-        # frombuffer + copy is a real memcpy; np.ctypeslib.as_array(...)
-        # .copy() went through a slow per-element path (profiled at ~45MB/s)
-        def _copy(ptr, n, dtype):
-            buf = ctypes.cast(ptr, ctypes.POINTER(ctypes.c_char * (n * np.dtype(dtype).itemsize)))
-            return np.frombuffer(buf.contents, dtype=dtype).copy()
-
-        counts = _copy(out.counts, L * 18, np.int32).reshape(L, 18)
-        depth = _copy(out.depth, L, np.int32)
-        pos_ref = pos_tot = None
-        if gvcf:
-            pos_ref = _copy(out.pos_ref_count, L, np.int64)
-            pos_tot = _copy(out.pos_total_count, L, np.int64)
         candidates: List[PileupCandidate] = []
         for i in range(out.n_candidates):
             alt = out.alt_infos[i].decode()
@@ -238,6 +244,7 @@ class _FaOut(ctypes.Structure):
         ("positions", ctypes.c_int32),
         ("channels", ctypes.c_int32),
         ("error", ctypes.c_int32),
+        ("external", ctypes.c_int32),
     ]
 
 
@@ -254,6 +261,7 @@ def _bind_fa(lib):
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int8),
     ]
     lib.clair3t_fullalign_free.argtypes = [ctypes.POINTER(_FaOut)]
     lib._fa_bound = True
@@ -304,6 +312,8 @@ def fa_region_native(
         # indexed and provably empty: zero tensor + "0-" alt-infos, no BAM IO
         return (np.zeros((n_cand, matrix_depth, 33, channels), np.int8),
                 cands, ["0-"] * n_cand)
+    # caller-owned tensor: the native fill writes in place (no alloc/copy)
+    matrix = np.zeros((n_cand, matrix_depth, 33, channels), np.int8)
     out_p = lib.clair3t_fullalign(
         bam_path.encode(), ctg_name.encode(),
         ref_seq.encode(), ref_offset,
@@ -312,14 +322,13 @@ def fa_region_native(
         int(need_haplotagging), min_mq, matrix_depth,
         max_indel_length, int(enable_dwell), seed,
         voffs, n_win, tid,
+        matrix.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
     )
     out = out_p.contents
     try:
         if out.error:
             raise RuntimeError(
                 f"native fullalign failed (error={out.error}) for {bam_path} {ctg_name}")
-        shape = (out.n_cand, out.depth, out.positions, out.channels)
-        matrix = np.ctypeslib.as_array(out.matrix, shape=shape).copy()
         alt_infos = [out.alt_infos[i].decode() for i in range(out.n_cand)]
         cand_pos = [int(out.cand_pos[i]) for i in range(out.n_cand)]
         return matrix, cand_pos, alt_infos

@@ -324,6 +324,7 @@ struct FaOut {
   char** alt_infos;
   int64_t* cand_pos;
   int32_t n_cand, depth, positions, channels, error;
+  int32_t external;  // nonzero: matrix is caller-owned (written in place)
 };
 
 }  // namespace
@@ -338,9 +339,11 @@ FaOut* clair3t_fullalign(
     const int32_t* var_gt, const int32_t* var_ps, int32_t n_var,
     int need_haplotagging, int min_mq, int matrix_depth,
     int max_indel_length, int enable_dwell, uint64_t seed,
-    const uint64_t* voffs, int n_win, int tid_hint) {
+    const uint64_t* voffs, int n_win, int tid_hint,
+    int8_t* matrix_ext) {
   auto* out = new FaOut();
   memset(out, 0, sizeof(FaOut));
+  out->external = matrix_ext != nullptr;
   const int channels = enable_dwell ? 9 : 8;
   out->n_cand = n_cand;
   out->depth = matrix_depth;
@@ -498,7 +501,8 @@ FaOut* clair3t_fullalign(
 
   // reads arrive coordinate-sorted; stable order matches the Python oracle
   size_t total = (size_t)n_cand * matrix_depth * kPositions * channels;
-  int8_t* matrix = new int8_t[total]();
+  // caller-supplied buffer (zeroed numpy array) avoids alloc + copy-out
+  int8_t* matrix = matrix_ext ? matrix_ext : new int8_t[total]();
   char** alt_infos = new char*[n_cand];
   int64_t* cand_pos_out = new int64_t[n_cand];
 
@@ -700,7 +704,7 @@ FaOut* clair3t_fullalign(
 
 void clair3t_fullalign_free(FaOut* out) {
   if (!out) return;
-  delete[] out->matrix;
+  if (!out->external) delete[] out->matrix;
   for (int i = 0; i < out->n_cand; i++)
     if (out->alt_infos) delete[] out->alt_infos[i];
   delete[] out->alt_infos;

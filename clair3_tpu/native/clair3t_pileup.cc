@@ -72,6 +72,7 @@ struct PileupOut {
   int32_t n_candidates;
   int32_t L;
   int32_t error;  // 0 ok, 1 file error, 2 contig not found
+  int32_t external;  // bit 1: counts/depth caller-owned; bit 2: gVCF arrays
 };
 
 struct ColIndels {
@@ -111,7 +112,23 @@ void count_subrange(const BamView& bam, int tid, int min_mq,
         int32_t* cp = counts + (lo - start) * kFeat + strand;
         int32_t* dp = depth + (lo - start);
         int64_t qp = qpos + (lo - rpos);
-        for (int64_t p = lo; p < hi; p++, qp++, dp++, cp += kFeat) {
+        int64_t p = lo;
+        if (p < hi && (qp & 1)) {  // align qp to a packed-byte boundary
+          int bi = kNt16ToIdx[r.seq[qp >> 1] & 0xF];
+          (*dp)++;
+          if (bi >= 0) cp[bi]++;
+          p++; qp++; dp++; cp += kFeat;
+        }
+        for (; p + 1 < hi; p += 2, qp += 2, dp += 2, cp += 2 * kFeat) {
+          uint8_t byte = r.seq[qp >> 1];  // two bases per fetch
+          int bi0 = kNt16ToIdx[byte >> 4];
+          int bi1 = kNt16ToIdx[byte & 0xF];
+          dp[0]++;
+          dp[1]++;
+          if (bi0 >= 0) cp[bi0]++;
+          if (bi1 >= 0) cp[kFeat + bi1]++;
+        }
+        if (p < hi) {
           int bi = kNt16ToIdx[(r.seq[qp >> 1] >> ((~qp & 1) << 2)) & 0xF];
           (*dp)++;
           if (bi >= 0) cp[bi]++;
@@ -159,16 +176,24 @@ void count_subrange(const BamView& bam, int tid, int min_mq,
 
 extern "C" {
 
+// `counts_ext`/`depth_ext` (and for gVCF `pos_ref_ext`/`pos_tot_ext`) let
+// the caller supply zero-initialized output buffers (e.g. numpy arrays):
+// the extractor then writes results in place — no internal allocation and
+// no copy-out, which saves two full passes over the L x 18 matrix.
 PileupOut* clair3t_pileup(
     const char* bam_path, const char* ctg, int64_t start, int64_t end,
     const char* ref_seq, int64_t ref_offset,
     int min_mq, int min_depth, double min_snp_af, double min_indel_af,
     int max_indel_length, int call_snp_only, int want_gvcf, int call_ht,
-    const uint64_t* voffs, int n_win, int tid_hint, int n_threads) {
+    const uint64_t* voffs, int n_win, int tid_hint, int n_threads,
+    int32_t* counts_ext, int32_t* depth_ext,
+    int64_t* pos_ref_ext, int64_t* pos_tot_ext) {
   auto* out = new PileupOut();
   memset(out, 0, sizeof(PileupOut));
   const int64_t L = end - start;
   out->L = (int32_t)L;
+  const bool external = counts_ext != nullptr && depth_ext != nullptr;
+  out->external = external ? 1 : 0;
 
   BamView bam;
   int tid;
@@ -190,8 +215,18 @@ PileupOut* clair3t_pileup(
     }
   }
 
-  std::vector<int32_t> counts((size_t)L * kFeat, 0);
-  std::vector<int32_t> depth(L, 0);
+  std::vector<int32_t> counts_own, depth_own;
+  int32_t* counts;
+  int32_t* depth;
+  if (external) {
+    counts = counts_ext;  // caller guarantees zero-initialized
+    depth = depth_ext;
+  } else {
+    counts_own.assign((size_t)L * kFeat, 0);
+    depth_own.assign(L, 0);
+    counts = counts_own.data();
+    depth = depth_own.data();
+  }
   std::unordered_map<int64_t, ColIndels> indels;
 
   if (n_threads <= 0) {
@@ -203,7 +238,7 @@ PileupOut* clair3t_pileup(
   int shards = (int)std::min<int64_t>(n_threads, std::max<int64_t>(1, L / 65536));
   if (shards <= 1) {
     count_subrange(bam, tid, min_mq, start, start, end,
-                   counts.data(), depth.data(), &indels);
+                   counts, depth, &indels);
   } else {
     std::vector<std::unordered_map<int64_t, ColIndels>> shard_indels(shards);
     std::vector<std::thread> workers;
@@ -211,16 +246,19 @@ PileupOut* clair3t_pileup(
       int64_t sub_s = start + L * t / shards;
       int64_t sub_e = start + L * (t + 1) / shards;
       workers.emplace_back(count_subrange, std::cref(bam), tid, min_mq,
-                           start, sub_s, sub_e, counts.data(),
-                           depth.data(), &shard_indels[t]);
+                           start, sub_s, sub_e, counts,
+                           depth, &shard_indels[t]);
     }
     for (auto& w : workers) w.join();
     for (auto& m : shard_indels)
       for (auto& [idx, col] : m) indels[idx] = std::move(col);
   }
 
-  // finalize indel summary channels
+  // finalize indel summary channels (+ bitmap so the candidate pass can
+  // skip the hash lookup on the vast indel-free majority of columns)
+  std::vector<uint8_t> has_indel(L, 0);
   for (auto& [idx, col] : indels) {
+    has_indel[idx] = 1;
     int64_t fa = 0, fb = 0, ra = 0, rb = 0;
     for (auto& [len, c] : col.dels_f) { fa += c; fb = std::max<int64_t>(fb, c); }
     for (auto& [len, c] : col.dels_r) { ra += c; rb = std::max<int64_t>(rb, c); }
@@ -238,8 +276,14 @@ PileupOut* clair3t_pileup(
   }
 
   if (want_gvcf) {
-    out->pos_ref_count = new int64_t[L]();
-    out->pos_total_count = new int64_t[L]();
+    if (pos_ref_ext && pos_tot_ext) {
+      out->pos_ref_count = pos_ref_ext;
+      out->pos_total_count = pos_tot_ext;
+      out->external |= 2;  // bit 2: gVCF arrays caller-owned
+    } else {
+      out->pos_ref_count = new int64_t[L]();
+      out->pos_total_count = new int64_t[L]();
+    }
   }
 
   std::vector<char*> alt_infos;
@@ -261,7 +305,7 @@ PileupOut* clair3t_pileup(
     bool ref_in_acgt = ref_idx_raw >= 0;
     int ref_idx = ref_in_acgt ? ref_idx_raw : 0;
 
-    int32_t* row = counts.data() + idx * kFeat;
+    int32_t* row = counts + idx * kFeat;
     int64_t forward_sum = row[0] + row[1] + row[2] + row[3];
     int64_t reverse_sum = row[kRevOff] + row[kRevOff + 1] + row[kRevOff + 2] + row[kRevOff + 3];
     int64_t ref_count = 0, alt_count = 0, all_alt_count = 0;
@@ -278,8 +322,8 @@ PileupOut* clair3t_pileup(
       }
     }
 
-    auto it = indels.find(idx);
-    const ColIndels& col = (it != indels.end()) ? it->second : kEmpty;
+    const ColIndels& col =
+        has_indel[idx] ? indels.find(idx)->second : kEmpty;
     int64_t del_count = 0, ins_count = 0;
     for (auto& [len, c] : col.dels_f) del_count += c;
     for (auto& [len, c] : col.dels_r) del_count += c;
@@ -372,10 +416,15 @@ PileupOut* clair3t_pileup(
     }
   }
 
-  out->counts = new int32_t[(size_t)L * kFeat];
-  memcpy(out->counts, counts.data(), (size_t)L * kFeat * sizeof(int32_t));
-  out->depth = new int32_t[L];
-  memcpy(out->depth, depth.data(), L * sizeof(int32_t));
+  if (external) {
+    out->counts = counts;  // caller-owned, written in place
+    out->depth = depth;
+  } else {
+    out->counts = new int32_t[(size_t)L * kFeat];
+    memcpy(out->counts, counts, (size_t)L * kFeat * sizeof(int32_t));
+    out->depth = new int32_t[L];
+    memcpy(out->depth, depth, L * sizeof(int32_t));
+  }
   out->n_candidates = (int32_t)alt_infos.size();
   out->alt_infos = new char*[alt_infos.size()];
   out->cand_pos = new int64_t[alt_infos.size()];
@@ -388,10 +437,14 @@ PileupOut* clair3t_pileup(
 
 void clair3t_pileup_free(PileupOut* out) {
   if (!out) return;
-  delete[] out->counts;
-  delete[] out->depth;
-  delete[] out->pos_ref_count;
-  delete[] out->pos_total_count;
+  if (!(out->external & 1)) {
+    delete[] out->counts;
+    delete[] out->depth;
+  }
+  if (!(out->external & 2)) {
+    delete[] out->pos_ref_count;
+    delete[] out->pos_total_count;
+  }
   for (int i = 0; i < out->n_candidates; i++) delete[] out->alt_infos[i];
   delete[] out->alt_infos;
   delete[] out->cand_pos;
