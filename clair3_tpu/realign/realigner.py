@@ -25,10 +25,13 @@ from clair3_tpu.io.bam import BamRead
 from clair3_tpu.realign.align import Alignment, affine_local_align
 from clair3_tpu.realign.dbg import consensus_haplotypes
 
-WINDOW_EXTEND = 35
+# reference constants (RealignReads.py:17-21)
+MIN_DBG_MAPPING_QUALITY = 20
+MIN_DBG_BASE_QUALITY = 20
+REGION_EXPANSION = 20           # expand_align_ref_region
+MIN_WINDOWS_DISTANCE = REGION_EXPANSION * 4   # 80
 MAX_WINDOW_SIZE = 1000
-MIN_EVENT_COUNT = 2
-EVENT_DENSITY = 0.15
+MIN_EVENT_COUNT = 2             # run_clair3.py min_coverage default
 
 
 @dataclass(frozen=True)
@@ -44,53 +47,104 @@ def select_realignment_windows(
     start: int,
     end: int,
     *,
-    extend: int = WINDOW_EXTEND,
     min_event_count: int = MIN_EVENT_COUNT,
-    event_density: float = EVENT_DENSITY,
+    min_distance: int = MIN_WINDOWS_DISTANCE,
 ) -> List[Window]:
-    """Positions with dense mismatch/indel evidence, merged into windows."""
+    """Candidate positions with mismatch/indel/soft-clip evidence, clustered
+    into realignment windows.
+
+    Reference semantics (RealignReads.py:257-301, 469-489):
+
+    * only reads with MQ >= 20 contribute events;
+    * mismatches count only when the base quality is >= 20 and the reference
+      base is ACGT;
+    * insertions AND soft clips spread their event over [pos-len, pos+len)
+      (all inserted/clipped bases must have BQ >= 20);
+    * deletions spread theirs over [pos, pos+len);
+    * positions with >= min_event_count events become candidates; candidates
+      within 2x min_windows_distance of each other cluster into one window,
+      padded by min_windows_distance on both sides;
+    * windows longer than max_window_size are dropped.
+    """
     L = end - start
     if L <= 0:
         return []
     events = np.zeros(L, np.int32)
-    depth = np.zeros(L, np.int32)
+    rlen = len(ref_seq)
+
+    def bump(lo: int, hi: int) -> None:
+        lo, hi = max(lo, start), min(hi, end)
+        if lo < hi:
+            events[lo - start: hi - start] += 1
+
     for read in reads:
+        if read.mapq < MIN_DBG_MAPPING_QUALITY:
+            continue
         rpos, qpos = read.pos, 0
+        qual = read.qual
         for op, ln in read.cigar:
             if op in (0, 7, 8):
                 lo, hi = max(rpos, start), min(rpos + ln, end)
-                if lo < hi:
-                    depth[lo - start: hi - start] += 1
-                    for p in range(lo, hi):
-                        roff = p - ref_offset
-                        if 0 <= roff < len(ref_seq) and \
-                                read.seq[qpos + (p - rpos)] != ref_seq[roff]:
-                            events[p - start] += 1
+                for p in range(lo, hi):
+                    roff = p - ref_offset
+                    qp = qpos + (p - rpos)
+                    if (0 <= roff < rlen and qual[qp] >= MIN_DBG_BASE_QUALITY
+                            and ref_seq[roff] in "ACGT"
+                            and read.seq[qp] != ref_seq[roff]):
+                        events[p - start] += 1
                 rpos += ln
                 qpos += ln
-            elif op == 1:
-                if start <= rpos - 1 < end:
-                    events[rpos - 1 - start] += 1
+            elif op == 1 or op == 4:  # insertion / soft clip
+                pre = rpos - 1 - ref_offset
+                if (0 <= pre < rlen and ref_seq[pre] in "ACGT"
+                        and all(qual[qp] >= MIN_DBG_BASE_QUALITY
+                                for qp in range(qpos, min(qpos + ln, len(qual))))):
+                    bump(rpos - ln, rpos + ln)
                 qpos += ln
-            elif op == 2:
-                lo, hi = max(rpos - 1, start), min(rpos + ln, end)
-                if lo < hi:
-                    events[lo - start: hi - start] += 1
+            elif op == 2:  # deletion
+                pre = rpos - 1 - ref_offset
+                if 0 <= pre < rlen and ref_seq[pre] in "ACGT":
+                    bump(rpos, rpos + ln)
                 rpos += ln
             elif op == 3:
                 rpos += ln
-            elif op == 4:
-                qpos += ln
-    hot = (events >= min_event_count) & (events >= event_density * np.maximum(depth, 1))
-    positions = np.nonzero(hot)[0]
+
+    positions = np.nonzero(events >= min_event_count)[0]
     windows: List[Window] = []
+    w_start = w_end = None
     for idx in positions:
         p = start + int(idx)
-        if windows and p - extend <= windows[-1].end:
-            windows[-1] = Window(windows[-1].start, min(p + extend + 1, end))
+        if w_start is None:
+            w_start = w_end = p
+        elif p > w_end + 2 * min_distance:
+            windows.append(Window(w_start - min_distance, w_end + min_distance))
+            w_start = w_end = p
         else:
-            windows.append(Window(max(p - extend, start), min(p + extend + 1, end)))
+            w_end = p
+    if w_start is not None:
+        windows.append(Window(w_start - min_distance, w_end + min_distance))
     return [w for w in windows if w.end - w.start <= MAX_WINDOW_SIZE]
+
+
+def assign_reads_to_windows(
+    reads: Sequence[BamRead], windows: Sequence[Window],
+) -> Dict[Window, List[int]]:
+    """Each read realigns in at most one window: the one it overlaps most
+    (reference find_max_overlap_index, RealignReads.py:493-498)."""
+    out: Dict[Window, List[int]] = {w: [] for w in windows}
+    if not windows:
+        return out
+    for i, read in enumerate(reads):
+        best = None
+        best_ov = 0
+        for w in windows:
+            ov = min(read.reference_end, w.end) - max(read.pos, w.start)
+            if ov > best_ov:
+                best_ov = ov
+                best = w
+        if best is not None:
+            out[best].append(i)
+    return out
 
 
 def _hap_to_ref_map(hap: str, ref_window: str) -> Optional[np.ndarray]:
@@ -203,32 +257,56 @@ def realign_reads_in_region(
     (possibly modified) reads and the number realigned."""
     out = list(reads)
     windows = select_realignment_windows(out, ref_seq, ref_offset, start, end)
+    assignment = assign_reads_to_windows(out, windows)
     n_realigned = 0
     for win in windows:
         ref_window = ref_seq[win.start - ref_offset: win.end - ref_offset]
         if not ref_window:
             continue
-        window_read_idx = [
-            i for i, r in enumerate(out)
-            if r.pos < win.end and r.reference_end > win.start
-        ]
+        window_read_idx = assignment[win]
         if not window_read_idx:
             continue
-        haps = consensus_haplotypes(
-            [out[i].seq for i in window_read_idx], ref_window)
+        # DBG consensus over MQ>=20 reads only (RealignReads.py:513-514)
+        dbg_seqs = [out[i].seq for i in window_read_idx
+                    if out[i].mapq >= MIN_DBG_MAPPING_QUALITY]
+        if not dbg_seqs:
+            continue
+        haps = consensus_haplotypes(dbg_seqs, ref_window)
         alt_haps = [h for h in haps if h != ref_window]
         if not alt_haps:
             continue
+        # extend haplotypes over the assigned reads' full span +/- 20bp so
+        # whole reads align end-to-end (RealignReads.py:536-558)
+        min_read_start = min(out[i].pos for i in window_read_idx)
+        max_read_end = max(out[i].reference_end for i in window_read_idx)
+        ext_start = max(ref_offset,
+                        min(min_read_start, win.start) - REGION_EXPANSION)
+        ext_end = min(ref_offset + len(ref_seq),
+                      max(max_read_end, win.end) + REGION_EXPANSION)
+        if ext_end < win.end or ext_start > win.start:
+            continue
+        prefix = ref_seq[ext_start - ref_offset: win.start - ref_offset]
+        suffix = ref_seq[win.end - ref_offset: ext_end - ref_offset]
+        P, W = len(prefix), win.end - win.start
+        ext_ref = prefix + ref_window + suffix
         hmaps = []
         for hap in alt_haps:
             hmap = _hap_to_ref_map(hap, ref_window)
-            if hmap is not None:
-                hmaps.append((hap, hmap))
+            if hmap is None:
+                continue
+            # extended hap->ref map: identity flanks, shifted window core
+            core = np.where(hmap >= 0, hmap + P, -1)
+            ext_map = np.concatenate([
+                np.arange(P, dtype=np.int64),
+                core,
+                np.arange(P + W, P + W + len(suffix), dtype=np.int64),
+            ])
+            hmaps.append((prefix + hap + suffix, ext_map))
         if not hmaps:
             continue
         for i in window_read_idx:
             read = out[i]
-            ref_aln = affine_local_align(read.seq, ref_window)
+            ref_aln = affine_local_align(read.seq, ext_ref)
             best: Optional[Tuple[Alignment, np.ndarray]] = None
             for hap, hmap in hmaps:
                 aln = affine_local_align(read.seq, hap)
@@ -237,7 +315,7 @@ def realign_reads_in_region(
                     best = (aln, hmap)
             if best is None:
                 continue
-            composed = _compose_cigar(best[0], best[1], win.start, len(read.seq))
+            composed = _compose_cigar(best[0], best[1], ext_start, len(read.seq))
             if composed is None:
                 continue
             new_pos, new_cigar = composed

@@ -229,3 +229,100 @@ def test_dbg_native_k_escalation_and_ref_only():
     big_k = consensus_haplotypes(reads, ref, k_range=(35,), use_native=None)
     assert sorted(big_k) == sorted(
         consensus_haplotypes(reads, ref, k_range=(35,), use_native=False))
+
+
+def test_window_events_respect_quality_gates():
+    """MQ<20 reads and BQ<20 mismatches contribute no events
+    (RealignReads.py:258-275 min_dbg_* thresholds)."""
+    ref = random_reference(400, seed=85)
+    lowmq = _misaligned_del_reads(ref, 200, 4)
+    lowmq = [BamRead(r.qname, r.flag, r.tid, r.pos, 10, r.cigar, r.seq, r.qual)
+             for r in lowmq]
+    assert select_realignment_windows(lowmq, ref, 0, 0, 400) == []
+
+    lowbq = _misaligned_del_reads(ref, 200, 4)
+    lowbq = [BamRead(r.qname, r.flag, r.tid, r.pos, 60, r.cigar, r.seq,
+                     np.full(len(r.seq), 10, np.uint8)) for r in lowbq]
+    assert select_realignment_windows(lowbq, ref, 0, 0, 400) == []
+
+
+def test_window_softclips_count_as_events():
+    """Soft clips spread events over +/- their length
+    (RealignReads.py:279-292 'I' and 'S' share a branch)."""
+    ref = random_reference(400, seed=86)
+    reads = []
+    for i in range(6):
+        s = 150 + i
+        seq = ref[s: s + 60] + "ACGTACGTAC"   # 10bp clipped tail
+        reads.append(BamRead(
+            f"c{i}", 0, 0, s, 60, [(0, 60), (4, 10)], seq,
+            np.full(len(seq), 30, np.uint8)))
+    wins = select_realignment_windows(reads, ref, 0, 0, 400)
+    assert len(wins) == 1
+    # events centered at the clip anchor ~210
+    assert wins[0].start <= 210 <= wins[0].end
+
+
+def test_window_clustering_distance():
+    """Candidates > 2x min_windows_distance apart form separate windows,
+    each padded by min_windows_distance (RealignReads.py:469-489)."""
+    from clair3_tpu.realign.realigner import MIN_WINDOWS_DISTANCE
+
+    ref = random_reference(1200, seed=87)
+    reads = _misaligned_del_reads(ref, 200, 4) + [
+        BamRead(r.qname + "b", r.flag, r.tid, r.pos + 700, r.mapq, r.cigar,
+                r.seq, r.qual)
+        for r in _misaligned_del_reads(ref, 200, 4)
+    ]
+    # second cluster's reads carry first-cluster sequence at +700: plenty of
+    # mismatches there too
+    wins = select_realignment_windows(reads, ref, 0, 0, 1200)
+    assert len(wins) >= 2
+    gap = wins[1].start - wins[0].end
+    assert gap > 0
+    for w in wins:
+        assert w.end - w.start >= 2 * MIN_WINDOWS_DISTANCE
+
+
+def test_assign_reads_max_overlap_single_window():
+    """A read overlapping two windows realigns only in the best-overlap one
+    (RealignReads.py find_max_overlap_index)."""
+    from clair3_tpu.realign.realigner import Window, assign_reads_to_windows
+
+    r = BamRead("r", 0, 0, 100, 60, [(0, 80)], "A" * 80,
+                np.full(80, 30, np.uint8))
+    w1 = Window(90, 140)    # overlap 40
+    w2 = Window(150, 300)   # overlap 30
+    got = assign_reads_to_windows([r], [w1, w2])
+    assert got[w1] == [0]
+    assert got[w2] == []
+
+
+def test_realignment_full_read_span_haplotypes():
+    """Reads extending far past the window still realign end-to-end: the
+    haplotype is extended over the assigned reads' span +/- 20bp
+    (RealignReads.py:536-558)."""
+    ref = random_reference(600, seed=88)
+    del_start, del_len = 300, 5
+    alt = ref[:del_start] + ref[del_start + del_len:]
+    reads = []
+    for i in range(14):
+        s = del_start - 160 + (i * 9) % 40   # long left anchor
+        seq = alt[s: s + 220]
+        reads.append(BamRead(
+            f"L{i}", 0, 0, s, 60, [(0, len(seq))], seq,
+            np.full(len(seq), 30, np.uint8)))
+    out, n = realign_reads_in_region(reads, ref, 0, 0, 600)
+    assert n >= 10
+    with_del = [r for r in out if any(op == 2 and ln == del_len
+                                      for op, ln in r.cigar)]
+    assert len(with_del) >= 10
+    # deletion placed at (an equivalent shift of) the true coordinate
+    for r in with_del:
+        rp = r.pos
+        for op, ln in r.cigar:
+            if op == 2:
+                assert abs(rp - del_start) <= del_len
+                break
+            if op in (0, 7, 8):
+                rp += ln
