@@ -200,6 +200,10 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
         from clair3_tpu.io.arith import arith_decompress
 
         return arith_decompress(data, raw_size)
+    if method == M_FQZCOMP:
+        from clair3_tpu.io.fqzcomp import fqzcomp_decompress
+
+        return fqzcomp_decompress(data, raw_size)
     if method == M_TOK3:
         from clair3_tpu.io.tok3 import tok3_decompress
 
@@ -207,7 +211,7 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
     raise ValueError(
         f"unsupported CRAM block compression method {method} "
         "(supported: raw, gzip, bzip2, lzma, rANS4x8, rANS-Nx16, arith, "
-        "tok3; fqzcomp is not)")
+        "fqzcomp, tok3)")
 
 
 def write_block(block: Block, method: int) -> bytes:
