@@ -170,3 +170,17 @@ int clair3t_rans_decode(const uint8_t* payload, int64_t payload_len,
 }
 
 }  // extern "C"
+
+#include "inflate.h"
+
+extern "C" {
+
+// Raw-DEFLATE decode (test/interop hook for the fast BGZF inflate path,
+// inflate.h). Returns 1 on success, 0 on structural failure.
+int clair3t_raw_inflate(const uint8_t* in, int64_t in_len,
+                        uint8_t* out, int64_t out_len) {
+  return c3t_inflate::raw_inflate(in, (size_t)in_len, out, (size_t)out_len)
+             ? 1 : 0;
+}
+
+}  // extern "C"

@@ -12,7 +12,28 @@
 #include <thread>
 #include <vector>
 
+#include "inflate.h"
+
 namespace c3t {
+
+// allocator that skips value-initialization: BGZF decode buffers are fully
+// overwritten by inflate, so the default zero-fill of vector::resize is a
+// wasted pass over tens of MB
+template <typename T>
+struct NoInitAlloc : std::allocator<T> {
+  template <typename U>
+  struct rebind { using other = NoInitAlloc<U>; };
+  NoInitAlloc() = default;
+  template <typename U>
+  NoInitAlloc(const NoInitAlloc<U>&) {}
+  template <typename U, typename... Args>
+  void construct(U* p, Args&&... args) {
+    if constexpr (sizeof...(Args) > 0)
+      ::new ((void*)p) U(std::forward<Args>(args)...);
+  }
+};
+
+using Buf = std::vector<uint8_t, NoInitAlloc<uint8_t>>;
 
 // Parallel inflate of pre-scanned BGZF blocks.  Each block is independent;
 // a header scan collects (compressed offset/len, output offset), then a
@@ -35,6 +56,11 @@ inline bool inflate_blocks_parallel(const uint8_t* comp,
     for (size_t i = t; i < jobs.size(); i += n_threads) {
       const BlockJob& j = jobs[i];
       if (j.isize == 0) continue;
+      // fast path: own raw-deflate decoder (~1.5-2x zlib, inflate.h);
+      // structural failure falls back to zlib below
+      if (c3t_inflate::raw_inflate(comp + j.comp_off, j.comp_len,
+                                   out + j.out_off, j.isize))
+        continue;
       z_stream zs;
       memset(&zs, 0, sizeof(zs));
       if (inflateInit2(&zs, -15) != Z_OK) { failed[t] = 1; continue; }
@@ -67,10 +93,10 @@ inline int default_inflate_threads() {
 constexpr uint16_t kFilterFlag = 2316;  // UNMAP|MUNMAP|SECONDARY|SUPPLEMENTARY
 inline const char* kSeqNt16 = "=ACMGRSVTWYHKDBN";
 
-inline bool bgzf_read_all(const char* path, std::vector<uint8_t>* out) {
+inline bool bgzf_read_all(const char* path, Buf* out) {
   FILE* fp = fopen(path, "rb");
   if (!fp) return false;
-  std::vector<uint8_t> comp;
+  Buf comp;
   fseek(fp, 0, SEEK_END);
   long fsize = ftell(fp);
   fseek(fp, 0, SEEK_SET);
@@ -121,7 +147,7 @@ inline bool bgzf_read_all(const char* path, std::vector<uint8_t>* out) {
 
 // decompress only blocks with file offset in [coffset_begin, coffset_end]
 inline bool bgzf_read_range(const char* path, uint64_t coffset_begin,
-                            uint64_t coffset_end, std::vector<uint8_t>* out) {
+                            uint64_t coffset_end, Buf* out) {
   FILE* fp = fopen(path, "rb");
   if (!fp) return false;
   if (fseek(fp, (long)coffset_begin, SEEK_SET) != 0) {
@@ -135,7 +161,7 @@ inline bool bgzf_read_range(const char* path, uint64_t coffset_begin,
   uint64_t fsize = (uint64_t)ftell(fp);
   uint64_t read_end = coffset_end + 65536 < fsize ? coffset_end + 65536 : fsize;
   fseek(fp, (long)coffset_begin, SEEK_SET);
-  std::vector<uint8_t> comp(read_end - coffset_begin);
+  Buf comp(read_end - coffset_begin);
   if (!comp.empty() && fread(comp.data(), 1, comp.size(), fp) != comp.size()) {
     fclose(fp);
     return false;
@@ -176,7 +202,7 @@ inline bool bgzf_read_range(const char* path, uint64_t coffset_begin,
 }
 
 struct BamView {
-  std::vector<uint8_t> data;
+  Buf data;
   std::vector<std::string> refs;
   std::vector<int32_t> ref_lens;
   size_t records_off = 0;
@@ -207,7 +233,7 @@ struct BamView {
       // read the compressed window (+64KiB so the last block is complete)
       uint64_t read_end = ce + 65536 < fsize ? ce + 65536 : fsize;
       if (fseek(fp, (long)cb, SEEK_SET) != 0) { fclose(fp); return false; }
-      std::vector<uint8_t> comp(read_end - cb);
+      Buf comp(read_end - cb);
       if (!comp.empty() && fread(comp.data(), 1, comp.size(), fp) != comp.size()) {
         fclose(fp);
         return false;
@@ -249,7 +275,23 @@ struct BamView {
         total += isize;
         off += bsize;
       }
-      std::vector<uint8_t> chunk(total);
+      if (n_win == 1) {
+        // single window (the common case): decode straight into `data` and
+        // trim logically — no second 10s-of-MB copy
+        data.resize(total);
+        if (!inflate_blocks_parallel(comp.data(), jobs, data.data(),
+                                     default_inflate_threads())) {
+          fclose(fp);
+          return false;
+        }
+        size_t end_off = saw_last ? last_block_out + tail : total;
+        if (end_off > data.size()) end_off = data.size();
+        data.resize(end_off);
+        records_off = head <= data.size() ? head : data.size();
+        fclose(fp);
+        return true;
+      }
+      Buf chunk(total);
       if (!inflate_blocks_parallel(comp.data(), jobs, chunk.data(),
                                    default_inflate_threads())) {
         fclose(fp);
