@@ -1282,7 +1282,21 @@ def bam_to_cram(bam_path: str, cram_path: str, ref_fn: str,
 
 def cram_to_bam(cram_path: str, bam_path: str, ref_fn: Optional[str]) -> str:
     """Decode a CRAM into an indexed BAM (the pipeline's CRAM entry point:
-    the native extractors and .bai windowed loads then run unchanged)."""
+    the native extractors and .bai windowed loads then run unchanged).
+
+    The native C++ converter (clair3t_cram.cc, ~2 orders of magnitude
+    faster) handles CRAM 3.0 with raw/gzip/rANS4x8 blocks; anything it
+    cannot serve (3.1 codecs, bzip2/lzma, exotic record codecs) falls back
+    to this module's pure-Python reader, which supports everything."""
+    try:
+        from clair3_tpu.native import cram_to_bam_native, native_available
+
+        if native_available() and ref_fn:
+            got = cram_to_bam_native(cram_path, ref_fn, bam_path)
+            if got is not None:
+                return got
+    except Exception:
+        pass  # any native hiccup -> Python path below
     from clair3_tpu.io.bam import write_bam
 
     reader = CramReader(cram_path, ref_fn=ref_fn)

@@ -22,7 +22,8 @@ _SRCS = [os.path.join(_DIR, "clair3t_pileup.cc"),
          os.path.join(_DIR, "clair3t_dbg.cc"),
          os.path.join(_DIR, "clair3t_decode.cc"),
          os.path.join(_DIR, "clair3t_gvcf.cc"),
-         os.path.join(_DIR, "clair3t_rans.cc")]
+         os.path.join(_DIR, "clair3t_rans.cc"),
+         os.path.join(_DIR, "clair3t_cram.cc")]
 _HDRS = [os.path.join(_DIR, "common.h")]
 _SO = os.path.join(_DIR, "libclair3t.so")
 _lock = threading.Lock()
@@ -558,3 +559,37 @@ def dbg_consensus_native(
         return blob.split("\n") if blob else []
     finally:
         lib.clair3t_dbg_free(out_p)
+
+
+_CRAM_ERRORS = {
+    1: "io error",
+    2: "not a CRAM file",
+    3: "unsupported CRAM feature (3.1 codecs / bzip2 / lzma / exotic codec)",
+    4: "corrupt CRAM stream",
+    5: "records not coordinate-sorted",
+    6: "reference unavailable",
+}
+
+
+def cram_to_bam_native(cram_path: str, ref_fn: str, out_bam: str):
+    """Native CRAM 3.0 -> indexed BAM conversion (clair3t_cram.cc).
+
+    Returns the BAM path on success, or None when the native path cannot
+    serve this file (the caller should fall back to the Python converter
+    in io/cram.py, which supports the full codec surface)."""
+    lib = get_lib()
+    if not getattr(lib, "_cram_bound", False):
+        lib.clair3t_cram_to_bam.restype = ctypes.c_int
+        lib.clair3t_cram_to_bam.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+        lib._cram_bound = True
+    rc = lib.clair3t_cram_to_bam(
+        cram_path.encode(), (ref_fn or "").encode(), out_bam.encode())
+    if rc == 0:
+        return out_bam
+    import sys
+
+    print(f"[INFO] native CRAM decode unavailable "
+          f"({_CRAM_ERRORS.get(rc, rc)}); using the Python converter",
+          file=sys.stderr)
+    return None
