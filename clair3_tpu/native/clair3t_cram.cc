@@ -556,39 +556,61 @@ struct BgzfOut {
   void write(const void* d, size_t k) {
     const uint8_t* b = (const uint8_t*)d;
     pending.insert(pending.end(), b, b + k);
-    while (pending.size() >= 60000) flush_block(60000);
+    // batch so the per-block deflates run on a thread pool
+    const size_t batch = 60000 * (size_t)c3t::default_inflate_threads() * 2;
+    if (pending.size() >= batch) flush_pending(pending.size() / 60000 * 60000);
   }
 
-  bool flush_block(size_t k) {
+  // compress `k` pending bytes as 60000-byte BGZF blocks (parallel deflate)
+  // and write them in order
+  bool flush_pending(size_t k) {
     if (k == 0 || pending.empty()) return true;
     k = std::min(k, pending.size());
-    long foff = ftell(fp);
-    blocks.emplace_back(upos, (uint64_t)foff);
-    // raw deflate
-    uLongf bound = compressBound(k) + 64;
-    std::vector<uint8_t> comp(bound);
-    z_stream zs;
-    memset(&zs, 0, sizeof(zs));
-    deflateInit2(&zs, 4, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
-    zs.next_in = pending.data();
-    zs.avail_in = (uInt)k;
-    zs.next_out = comp.data();
-    zs.avail_out = (uInt)bound;
-    deflate(&zs, Z_FINISH);
-    size_t clen = bound - zs.avail_out;
-    deflateEnd(&zs);
-    uint32_t crc = crc32(0, pending.data(), (uInt)k);
-    uint16_t bsize = (uint16_t)(clen + 25);  // total block size - 1
-    uint8_t hdr[18] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff,
-                       6, 0, 'B', 'C', 2, 0,
-                       (uint8_t)(bsize & 0xFF), (uint8_t)(bsize >> 8)};
-    fwrite(hdr, 1, 18, fp);
-    fwrite(comp.data(), 1, clen, fp);
-    uint32_t isize = (uint32_t)k;
-    fwrite(&crc, 4, 1, fp);
-    fwrite(&isize, 4, 1, fp);
+    size_t n_blk = (k + 59999) / 60000;
+    struct Out { std::vector<uint8_t> comp; uint32_t crc, isize; };
+    std::vector<Out> outs(n_blk);
+    int n_threads = std::min<int>(c3t::default_inflate_threads(), (int)n_blk);
+    auto work = [&](int t) {
+      for (size_t b = t; b < n_blk; b += n_threads) {
+        size_t lo = b * 60000;
+        size_t len = std::min<size_t>(60000, k - lo);
+        uLongf bound = compressBound(len) + 64;
+        outs[b].comp.resize(bound);
+        z_stream zs;
+        memset(&zs, 0, sizeof(zs));
+        deflateInit2(&zs, 4, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
+        zs.next_in = pending.data() + lo;
+        zs.avail_in = (uInt)len;
+        zs.next_out = outs[b].comp.data();
+        zs.avail_out = (uInt)bound;
+        deflate(&zs, Z_FINISH);
+        outs[b].comp.resize(bound - zs.avail_out);
+        deflateEnd(&zs);
+        outs[b].crc = crc32(0, pending.data() + lo, (uInt)len);
+        outs[b].isize = (uint32_t)len;
+      }
+    };
+    if (n_threads <= 1) {
+      work(0);
+    } else {
+      std::vector<std::thread> ths;
+      for (int t = 0; t < n_threads; t++) ths.emplace_back(work, t);
+      for (auto& th : ths) th.join();
+    }
+    for (size_t b = 0; b < n_blk; b++) {
+      blocks.emplace_back(upos, (uint64_t)ftell(fp));
+      size_t clen = outs[b].comp.size();
+      uint16_t bsize = (uint16_t)(clen + 25);  // total block size - 1
+      uint8_t hdr[18] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff,
+                         6, 0, 'B', 'C', 2, 0,
+                         (uint8_t)(bsize & 0xFF), (uint8_t)(bsize >> 8)};
+      fwrite(hdr, 1, 18, fp);
+      fwrite(outs[b].comp.data(), 1, clen, fp);
+      fwrite(&outs[b].crc, 4, 1, fp);
+      fwrite(&outs[b].isize, 4, 1, fp);
+      upos += outs[b].isize;
+    }
     pending.erase(pending.begin(), pending.begin() + k);
-    upos += k;
     return true;
   }
 
@@ -605,7 +627,7 @@ struct BgzfOut {
   }
 
   void close_with_eof() {
-    while (!pending.empty()) flush_block(pending.size());
+    while (!pending.empty()) flush_pending(pending.size());
     static const uint8_t kEof[28] = {
         0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff, 0x06, 0x00, 0x42,
         0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00, 0, 0, 0, 0, 0, 0, 0, 0};
