@@ -84,3 +84,51 @@ def read_bed(path: str, ctg_name: Optional[str] = None,
             continue
         tree.add(ctg, int(cols[1]) - padding, int(cols[2]) + padding)
     return tree
+
+
+def split_extend_bed_regions(
+    path: str,
+    ctg_name: Optional[str] = None,
+    region_start: Optional[int] = None,
+    region_end: Optional[int] = None,
+    expand: int = 33,
+) -> List[Tuple[str, int, int]]:
+    """Per-contig BED regions expanded by ``expand`` bp and merged when they
+    touch — the reference SplitExtendBed submodule's output contract
+    (preprocess/SplitExtendBed.py:7-57): each input interval becomes
+    [start-expand, end+expand) and consecutive intervals whose expanded
+    spans overlap merge into one region.
+
+    Matches the reference quirk that the final open region is only flushed
+    by a following non-overlapping interval (the trailing region is NOT
+    emitted), so outputs are row-identical to the submodule's file."""
+    from clair3_tpu.io.bgzf import decompress, is_gzipped
+
+    text = decompress(path).decode() if is_gzipped(path) else open(path).read()
+    out: List[Tuple[str, int, int]] = []
+    pre_start = pre_end = -1
+    for line in text.splitlines():
+        if not line or line.startswith("#"):
+            continue
+        cols = line.split()
+        if len(cols) < 3:
+            continue
+        ctg = cols[0]
+        if ctg_name is not None and ctg != ctg_name:
+            continue
+        start, end = int(cols[1]), int(cols[2])
+        if region_start and end < region_start:
+            continue
+        if region_end and start > region_end:
+            break
+        if pre_start == -1:
+            pre_start = start - expand
+            pre_end = end + expand
+            continue
+        if pre_end >= start - expand:
+            pre_end = end + expand
+        else:
+            out.append((ctg_name or ctg, pre_start, pre_end))
+            pre_start = start - expand
+            pre_end = end + expand
+    return out

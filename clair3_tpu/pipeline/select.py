@@ -60,8 +60,8 @@ def select_het_snps(
     for rec in rows:
         if contig is not None and rec.chrom != contig:
             continue
-        gt = rec.sample.split(":")[0]
-        if gt != "0/1" or len(rec.ref) != 1 or len(rec.alt) != 1:
+        gt = rec.sample.split(":")[0].replace("|", "/")
+        if gt not in ("0/1", "1/0") or len(rec.ref) != 1 or len(rec.alt) != 1:
             continue
         if rec.qual >= phase_qual_cutoff:
             out.append(rec)

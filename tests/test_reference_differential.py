@@ -507,3 +507,75 @@ def test_happy_metrics_match_reference(tmp_path):
         assert abs(ours.precision - float(p_ref)) < 1e-6, key
         assert abs(ours.recall - float(r_ref)) < 1e-6, key
         assert abs(ours.f1 - float(f_ref)) < 1e-6, key
+
+
+def test_select_het_snp_matches_reference(tmp_path):
+    """Het-SNP phasing selection matches the reference SelectHetSnp
+    submodule: same positions survive the phase_qual cutoff, hom/indel/
+    low-qual rows dropped identically."""
+    import gzip
+    import random as _r
+    import subprocess
+
+    from clair3_tpu.io.vcf import parse_vcf_line
+    from clair3_tpu.pipeline.select import select_het_snps
+
+    rng = _r.Random(88)
+    rows = _synth_pileup_vcf_rows(rng)
+    header = ("##fileformat=VCFv4.2\n"
+              "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n")
+    vcf_gz = tmp_path / "pileup.vcf.gz"
+    with gzip.open(vcf_gz, "wt") as f:
+        f.write(header + "\n".join(rows) + "\n")
+
+    split = tmp_path / "phase_vcf"
+    split.mkdir()
+    cutoff = 14.0
+    (split / "phase_qual").write_text(f"{cutoff}\n")
+    subprocess.run(
+        [sys.executable, os.path.join(REF, "preprocess", "SelectHetSnp.py"),
+         "--vcf_fn", str(vcf_gz), "--split_folder", str(split),
+         "--ctgName", "chr1"],
+        env=dict(os.environ, PYTHONPATH=REF), check=True, capture_output=True)
+    ref_rows = [l for l in (split / "chr1.vcf").read_text().splitlines()
+                if l and not l.startswith("#")]
+    ref_pos = [int(r.split("\t")[1]) for r in ref_rows]
+
+    recs = [parse_vcf_line(r + "\n") for r in rows]
+    mine = select_het_snps(recs, cutoff, "chr1")
+    assert [r.pos for r in mine] == ref_pos
+    assert len(ref_pos) > 20  # non-trivial selection
+
+
+def test_split_extend_bed_matches_reference(tmp_path):
+    """BED splitting/extension emits row-identical regions to the reference
+    SplitExtendBed submodule (+-33bp expansion, touching-region merge, incl.
+    the unflushed-trailing-region quirk)."""
+    import random as _r
+    import subprocess
+
+    from clair3_tpu.io.bed import split_extend_bed_regions
+
+    rng = _r.Random(99)
+    lines = []
+    pos = 100
+    for _ in range(200):
+        pos += rng.randrange(5, 400)
+        end = pos + rng.randrange(1, 150)
+        lines.append(f"chr1\t{pos}\t{end}")
+        pos = end
+    bed = tmp_path / "in.bed"
+    bed.write_text("\n".join(lines) + "\n")
+
+    out_fn = tmp_path / "split.bed"
+    subprocess.run(
+        [sys.executable, os.path.join(REF, "preprocess", "SplitExtendBed.py"),
+         "--bed_fn", str(bed), "--output_fn", str(out_fn),
+         "--ctgName", "chr1"],
+        env=dict(os.environ, PYTHONPATH=REF), check=True, capture_output=True)
+    ref_regions = [tuple(l.split()) for l in out_fn.read_text().splitlines() if l]
+
+    mine = [(c, str(s), str(e))
+            for c, s, e in split_extend_bed_regions(str(bed), "chr1")]
+    assert mine == ref_regions
+    assert len(mine) > 10
