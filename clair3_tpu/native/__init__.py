@@ -23,6 +23,7 @@ _SRCS = [os.path.join(_DIR, "clair3t_pileup.cc"),
          os.path.join(_DIR, "clair3t_decode.cc"),
          os.path.join(_DIR, "clair3t_gvcf.cc"),
          os.path.join(_DIR, "clair3t_rans.cc"),
+         os.path.join(_DIR, "clair3t_rans_nx16.cc"),
          os.path.join(_DIR, "clair3t_cram.cc")]
 _HDRS = [os.path.join(_DIR, "common.h")]
 _SO = os.path.join(_DIR, "libclair3t.so")

@@ -27,6 +27,11 @@
 
 extern "C" int clair3t_rans_decode(const uint8_t* payload, int64_t payload_len,
                                    uint8_t* out, int64_t out_sz);
+extern "C" int clair3t_rans_nx16_decode(const uint8_t* payload,
+                                        int64_t payload_len, uint8_t* out,
+                                        int64_t out_sz);
+extern "C" int clair3t_tok3_decode(const uint8_t* payload, int64_t payload_len,
+                                   uint8_t* out, int64_t out_sz);
 
 namespace {
 
@@ -159,8 +164,15 @@ int read_block(Cur& c, Block* b) {
     case 4:  // rANS 4x8
       return clair3t_rans_decode(comp, comp_sz, b->data.data(), raw_sz) == 0
                  ? OK : E_CORRUPT;
+    case 5:  // rANS Nx16 (CRAM 3.1)
+      return clair3t_rans_nx16_decode(comp, comp_sz, b->data.data(), raw_sz)
+                     == 0
+                 ? OK : E_UNSUPPORTED;
+    case 8:  // tok3 name tokeniser (CRAM 3.1; arith-backed -> fallback)
+      return clair3t_tok3_decode(comp, comp_sz, b->data.data(), raw_sz) == 0
+                 ? OK : E_UNSUPPORTED;
     default:
-      return E_UNSUPPORTED;  // bzip2/lzma/3.1 codecs -> Python path
+      return E_UNSUPPORTED;  // bzip2/lzma/arith/fqzcomp -> Python path
   }
 }
 

@@ -79,22 +79,91 @@ def test_native_bai_serves_windowed_fetch(case, tmp_path):
     assert len(via_native) > 5
 
 
-def test_cram31_falls_back_to_python(case, tmp_path):
+def test_cram31_served_natively(case, tmp_path):
+    """CRAM 3.1 (rANS-Nx16 + tok3 blocks) converts natively too."""
     cram31 = str(tmp_path / "in31.cram")
     bam_to_cram(case["bam"], cram31, case["fasta"], version=(3, 1))
     out_bam = str(tmp_path / "n31.bam")
-    # native cannot serve 3.1 codecs -> None
-    assert native.cram_to_bam_native(cram31, case["fasta"], out_bam) is None
-    # ...but the public converter still works (Python fallback)
+    assert native.cram_to_bam_native(cram31, case["fasta"], out_bam) == out_bam
+    back = list(BamReader(out_bam))
+    want = sorted(CramReader(case["cram"], ref_fn=case["fasta"]),
+                  key=lambda r: (r.tid, r.pos))
+    assert len(back) == len(want)
+    for a, b in zip(want, back):
+        _reads_equal(a, b)
+
+
+def test_unsupported_codec_falls_back_to_python(case, tmp_path, monkeypatch):
+    """Blocks coded with the arith codec (method 6) are outside the native
+    converter's scope: it returns None and cram_to_bam transparently uses
+    the Python reader."""
+    import clair3_tpu.io.cram as cram_mod
+
+    # route the writer's "rANS-Nx16" block choice to the arith codec
+    orig_wb = cram_mod.write_block
+
+    def wb(block, method):
+        if method == cram_mod.M_RANSNX16:
+            method = cram_mod.M_ARITH
+        return orig_wb(block, method)
+
+    monkeypatch.setattr(cram_mod, "write_block", wb)
+    cram_a = str(tmp_path / "arith.cram")
+    bam_to_cram(case["bam"], cram_a, case["fasta"], version=(3, 1))
+    monkeypatch.undo()
+
+    out_bam = str(tmp_path / "na.bam")
+    assert native.cram_to_bam_native(cram_a, case["fasta"], out_bam) is None
     from clair3_tpu.io.cram import cram_to_bam
 
-    got = cram_to_bam(cram31, out_bam, case["fasta"])
+    got = cram_to_bam(cram_a, out_bam, case["fasta"])
     back = list(BamReader(got))
     want = sorted(CramReader(case["cram"], ref_fn=case["fasta"]),
                   key=lambda r: (r.tid, r.pos))
     assert len(back) == len(want)
     for a, b in zip(want, back):
         _reads_equal(a, b)
+
+
+def test_native_nx16_and_tok3_decoders_match_python(tmp_path):
+    """Direct differential: the native rANS-Nx16 / tok3 decoders reproduce
+    the Python codecs byte-for-byte across the transform matrix."""
+    import ctypes
+    import random
+
+    from clair3_tpu.io.rans_nx16 import (F_CAT, F_N32, F_ORDER1, F_PACK,
+                                         F_RLE, F_STRIPE, rans_nx16_compress)
+    from clair3_tpu.io.tok3 import tok3_compress
+
+    lib = native.get_lib()
+    for name in ("clair3t_rans_nx16_decode", "clair3t_tok3_decode"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                       ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+
+    rng = random.Random(5150)
+    corpora = [b"", b"Q" * 5000,
+               bytes(rng.choice(b"ACGTN") for _ in range(15000)),
+               bytes(rng.randrange(256) for _ in range(8000))]
+    q = bytearray()
+    while len(q) < 10000:
+        q += bytes([rng.choice(b"!#,:F")]) * rng.randrange(1, 50)
+    corpora.append(bytes(q))
+    for flags in (0, F_ORDER1, F_N32 | F_ORDER1, F_PACK | F_RLE | F_ORDER1,
+                  F_CAT, F_STRIPE | F_ORDER1):
+        for data in corpora:
+            blob = rans_nx16_compress(data, flags)
+            out = (ctypes.c_uint8 * max(len(data), 1))()
+            rc = lib.clair3t_rans_nx16_decode(blob, len(blob), out, len(data))
+            assert rc == 0 and bytes(out[:len(data)]) == data, flags
+
+    names = b"".join(f"A001:12:H7:1:{x}:{y}\x00".encode()
+                     for x, y in zip(range(100, 800, 7), range(5000, 90000, 71)))
+    blob = tok3_compress(names)
+    out = (ctypes.c_uint8 * len(names))()
+    rc = lib.clair3t_tok3_decode(blob, len(blob), out, len(names))
+    assert rc == 0 and bytes(out[:len(names)]) == names
 
 
 def test_edge_reads_through_native(tmp_path):
