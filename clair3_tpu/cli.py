@@ -53,6 +53,21 @@ def _add_call_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--enable_long_indel", action="store_true")
     p.add_argument("--enable_dwell_time", action="store_true")
     p.add_argument("--call_snp_only", action="store_true")
+    p.add_argument("--fast_mode", action="store_true",
+                   help="ONT: skip variants with <=0.15 AF or <4x coverage "
+                        "(reference: CreateTensorPileupFromCffi.py:276-278)")
+    p.add_argument("--include_all_ctgs", action="store_true",
+                   help="call on all contigs, not just chr{1..22,X,Y} and "
+                        "{1..22,X,Y} (reference: CheckEnvs.py:288-292)")
+    p.add_argument("--remove_intermediate_dir", action="store_true",
+                   help="remove intermediate files (tmp/) after a "
+                        "successful run")
+    p.add_argument("--output_all_contigs_in_gvcf_header", action="store_true",
+                   help="gVCF header lists every reference contig instead "
+                        "of only the called ones")
+    p.add_argument("--disable_c_impl", action="store_true",
+                   help="use the pure-Python extractors/decoders instead of "
+                        "the native C++ fast paths (differential debugging)")
     p.add_argument("--call_low_seq_entropy", action="store_true",
                    help="also route the lowest-entropy (repetitive) windows "
                         "to full-alignment re-calling")
@@ -171,6 +186,9 @@ def cmd_call(args: argparse.Namespace) -> int:
         print(f"[ERROR] {err}", file=sys.stderr)
         return 1
 
+    if args.disable_c_impl:
+        os.environ["CLAIR3T_DISABLE_NATIVE"] = "1"
+
     cfg = CallConfig(
         platform=args.platform,
         bam_fn=args.bam_fn,
@@ -202,6 +220,10 @@ def cmd_call(args: argparse.Namespace) -> int:
         enable_long_indel=args.enable_long_indel,
         enable_dwell_time=args.enable_dwell_time,
         call_snp_only=args.call_snp_only,
+        fast_mode=args.fast_mode,
+        include_all_ctgs=args.include_all_ctgs,
+        remove_intermediate_dir=args.remove_intermediate_dir,
+        output_all_contigs_in_gvcf_header=args.output_all_contigs_in_gvcf_header,
         call_low_seq_entropy=args.call_low_seq_entropy,
         seq_entropy_pro=args.seq_entropy_pro,
         no_phasing_for_fa=args.no_phasing_for_fa,

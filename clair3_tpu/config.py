@@ -127,6 +127,10 @@ class CallConfig:
     enable_long_indel: bool = False
     enable_dwell_time: bool = False
     call_snp_only: bool = False
+    fast_mode: bool = False            # ONT: clamp SNP AF>=0.15, min_coverage>=4
+    include_all_ctgs: bool = False     # default: major contigs chr{1..22,X,Y} only
+    remove_intermediate_dir: bool = False
+    output_all_contigs_in_gvcf_header: bool = False
     call_low_seq_entropy: bool = False  # route low-entropy windows to FA
     seq_entropy_pro: float = 0.05
     enable_variant_calling_at_sequence_head_and_tail: bool = False
@@ -169,6 +173,13 @@ class CallConfig:
             out.snp_min_af = p.snp_min_af
         if out.indel_min_af is None:
             out.indel_min_af = p.indel_min_af
+        if out.fast_mode and out.platform == "ont":
+            # Fast mode (ONT only): raise the SNP AF floor to the platform
+            # min_af (0.15) and require >=4x coverage, trading recall for
+            # speed (reference: CreateTensorPileupFromCffi.py:276-278,
+            # shared/param_p.py:12 min_af_dict).
+            out.snp_min_af = max(out.snp_min_af, 0.15)
+            out.min_coverage = max(out.min_coverage, 4)
         if out.var_pct_full is None:
             out.var_pct_full = p.var_pct_full
         if out.ref_pct_full is None:

@@ -154,6 +154,10 @@ def _bai_windows(bam_path: str, ctg_name: str, start: int, end: int):
 
 
 def native_available() -> bool:
+    # kill switch for differential runs against the pure-Python oracles
+    # (reference: run_clair3.py --disable_c_impl)
+    if os.environ.get("CLAIR3T_DISABLE_NATIVE"):
+        return False
     try:
         get_lib()
         return True

@@ -93,8 +93,9 @@ class VariantCaller:
             # run unchanged; outputs are byte-identical to BAM input.
             from clair3_tpu.io.cram import cram_to_bam
 
-            os.makedirs(self.cfg.output_dir, exist_ok=True)
-            converted = os.path.join(self.cfg.output_dir, "input_from_cram.bam")
+            os.makedirs(os.path.join(self.cfg.output_dir, "tmp"), exist_ok=True)
+            converted = os.path.join(self.cfg.output_dir, "tmp",
+                                     "input_from_cram.bam")
             logger.info("[cram] decoding %s -> %s", self.cfg.bam_fn, converted)
             cram_to_bam(self.cfg.bam_fn, converted, self.cfg.ref_fn)
             self.cfg = dataclasses.replace(self.cfg, bam_fn=converted)
@@ -124,6 +125,21 @@ class VariantCaller:
     # ------------------------------------------------------------------
 
     def resolve_contigs(self) -> List[Tuple[str, int]]:
+        """Contig-set resolution (reference: CheckEnvs.py:244-311): the
+        major-contig filter (chr{1..22,X,Y} and {1..22,X,Y}) applies only
+        when none of --ctg_name/--bed_fn/--vcf_fn restricts the set and
+        --include_all_ctgs is off; --ctg_name accepts a comma list."""
+        cfg = self.cfg
+        ctg_set = set(cfg.ctg_name.split(",")) if cfg.ctg_name else None
+        bed_ctgs = set(self._bed_tree) if self._bed_tree is not None else None
+        vcf_ctgs = (
+            {r.chrom for r in self._known_records}
+            if self._known_records is not None else None
+        )
+        restricted = any(s is not None for s in (ctg_set, bed_ctgs, vcf_ctgs))
+        major = {f"chr{i}" for i in list(range(1, 23)) + ["X", "Y"]}
+        major |= {str(i) for i in list(range(1, 23)) + ["X", "Y"]}
+
         fa = FastaFile(self.cfg.ref_fn)
         bam = BamReader(self.cfg.bam_fn)
         bam_refs = set(bam.references)
@@ -131,12 +147,22 @@ class VariantCaller:
         for name in fa.references:
             if name not in bam_refs:
                 continue
-            if self.cfg.ctg_name and name != self.cfg.ctg_name:
+            if not cfg.include_all_ctgs and not restricted and name not in major:
+                continue
+            if ctg_set is not None and name not in ctg_set:
+                continue
+            if bed_ctgs is not None and name not in bed_ctgs:
+                continue
+            if vcf_ctgs is not None and name not in vcf_ctgs:
                 continue
             if fa.contig_length(name) < self.cfg.min_contig_size:
                 continue
             out.append((name, fa.contig_length(name)))
         fa.close()
+        if not out and not cfg.include_all_ctgs and not restricted:
+            logger.warning(
+                "no major contigs (chr{1..22,X,Y}) found in BAM+FASTA; "
+                "use --include_all_ctgs to call on all contigs")
         return out
 
     # ------------------------------------------------------------------
@@ -430,9 +456,19 @@ class VariantCaller:
             final_rows, self.nonvariant_rows, ref_base_at)
         fa.close()
         path = os.path.join(self.cfg.output_dir, "merge_output.gvcf.gz")
+        # Header contigs: called contigs by default; --output_all_contigs_in_
+        # gvcf_header keeps every fai contig (reference: SortVcf.py:276,346
+        # check_header_in_gvcf filtering).
+        if self.cfg.output_all_contigs_in_gvcf_header:
+            fai = FastaFile(self.cfg.ref_fn)
+            header_contigs = [(n, fai.contig_length(n)) for n in fai.references]
+            fai.close()
+        else:
+            header_contigs = getattr(self, "_contigs", None)
         header = get_header(
             reference_file_path=self.cfg.ref_fn,
-            sample_name=self.cfg.sample_name, gvcf=True)
+            sample_name=self.cfg.sample_name, gvcf=True,
+            contigs=header_contigs)
         with VcfWriter(path, header) as w:
             for row in merged:
                 w.write(row)
@@ -516,7 +552,8 @@ class VariantCaller:
                 all_reads.extend(realigned)
         fa.close()
         all_reads.sort(key=lambda r: (r.tid, r.pos))
-        out_path = os.path.join(self.cfg.output_dir, "realigned.bam")
+        os.makedirs(os.path.join(self.cfg.output_dir, "tmp"), exist_ok=True)
+        out_path = os.path.join(self.cfg.output_dir, "tmp", "realigned.bam")
         write_bam(out_path, bam.references, bam.lengths, all_reads)
         logger.info("[realign] %d reads realigned -> %s", total, out_path)
         self.cfg = dataclasses.replace(self.cfg, bam_fn=out_path)
@@ -539,9 +576,19 @@ class VariantCaller:
         mid-XLA-compile at interpreter exit SIGABRTs and masks the real
         error."""
         try:
-            return self._run_impl()
+            outputs = self._run_impl()
         finally:
             self._join_warmups()
+        if self.cfg.remove_intermediate_dir:
+            # reference: clair3_c_impl_pipeline.py:711 removes tmp/ after a
+            # successful run (CRAM-converted / ilmn-realigned BAMs here)
+            import shutil
+
+            tmp_dir = os.path.join(self.cfg.output_dir, "tmp")
+            if os.path.isdir(tmp_dir):
+                logger.info("[cleanup] removing intermediate dir %s", tmp_dir)
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+        return outputs
 
     def _run_impl(self) -> Dict[str, str]:
         self.stage_times: Dict[str, float] = {}

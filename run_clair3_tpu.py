@@ -41,6 +41,12 @@ def main() -> int:
         "--enable_phasing": "--use_phasing_for_final_output",
         "--use_whatshap_for_final_output_haplotagging":
             "--use_haplotagging_for_final_output",
+        "--fast_mode": "--fast_mode",
+        "--include_all_ctgs": "--include_all_ctgs",
+        "--remove_intermediate_dir": "--remove_intermediate_dir",
+        "--output_all_contigs_in_gvcf_header":
+            "--output_all_contigs_in_gvcf_header",
+        "--disable_c_impl": "--disable_c_impl",
     }
     out = ["call"]
     skip_value = False

@@ -143,3 +143,102 @@ def test_cli_dwell_autodetect_from_checkpoint(tmp_path):
     ])
     assert rc == 0
     assert os.path.exists(os.path.join(out, "merge_output.vcf.gz"))
+
+
+def test_fast_mode_clamps_af_and_coverage():
+    """--fast_mode (ONT only) raises the SNP AF floor to 0.15 and
+    min_coverage to 4 (reference: CreateTensorPileupFromCffi.py:276-278)."""
+    from clair3_tpu.config import CallConfig
+
+    cfg = CallConfig(platform="ont", fast_mode=True, snp_min_af=0.08).resolved()
+    assert cfg.snp_min_af == 0.15
+    assert cfg.min_coverage == 4
+    # no clamp off-ONT
+    cfg = CallConfig(platform="hifi", fast_mode=True).resolved()
+    assert cfg.min_coverage == 2
+    # genotyping mode zeroes AF first, but fast_mode still clamps on top
+    cfg = CallConfig(platform="ont", fast_mode=False, snp_min_af=0.08).resolved()
+    assert cfg.snp_min_af == 0.08 and cfg.min_coverage == 2
+
+
+def test_include_all_ctgs_gate(tmp_path):
+    """Non-major contig names are skipped by default and called with
+    --include_all_ctgs (reference: CheckEnvs.py:288-292)."""
+    d = tmp_path / "case"
+    d.mkdir()
+    ref = random_reference(1500, seed=9)
+    v = SimVariant(700, ref[700], "C" if ref[700] != "C" else "G", (1, 1))
+    fasta, bam, _, _ = write_test_case(
+        str(d), ref_length=1500, variants=[v], coverage=20,
+        read_length=500, seed=9, error_rate=0.0, contig="scaffold_1")
+    base = ["--bam_fn", bam, "--ref_fn", fasta, "--use_oracle_engines",
+            "--pileup_only"]
+    out1 = str(tmp_path / "out1")
+    assert cli_main(["call", "--output", out1] + base) == 0
+    assert _body(os.path.join(out1, "merge_output.vcf.gz")) == []
+
+    out2 = str(tmp_path / "out2")
+    assert cli_main(["call", "--output", out2, "--include_all_ctgs"] + base) == 0
+    assert len(_body(os.path.join(out2, "merge_output.vcf.gz"))) == 1
+
+    # an explicit --ctg_name restriction also bypasses the major-only filter
+    out3 = str(tmp_path / "out3")
+    assert cli_main(["call", "--output", out3, "--ctg_name", "scaffold_1"] + base) == 0
+    assert len(_body(os.path.join(out3, "merge_output.vcf.gz"))) == 1
+
+
+def test_gvcf_header_contig_modes(tmp_path):
+    """Default gVCF headers list called contigs only;
+    --output_all_contigs_in_gvcf_header lists every reference contig
+    (reference: SortVcf.py:276,346)."""
+    from clair3_tpu.io.bam import write_bam
+    from clair3_tpu.io.fasta import write_fasta
+    from clair3_tpu.testing import simulate_reads
+
+    refs = {"chr1": random_reference(1500, seed=3),
+            "chr2": random_reference(1200, seed=4)}
+    fasta = str(tmp_path / "ref.fa")
+    write_fasta(fasta, refs)
+    reads = simulate_reads(refs["chr1"], [], coverage=12, read_length=500, seed=3)
+    bam = str(tmp_path / "r.bam")
+    write_bam(bam, ["chr1"], [1500], reads)  # BAM knows chr1 only
+
+    def header_contigs(path):
+        return [l.split("ID=")[1].split(",")[0]
+                for l in gzip.open(path, "rt")
+                if l.startswith("##contig")]
+
+    base = ["--bam_fn", bam, "--ref_fn", fasta, "--use_oracle_engines",
+            "--pileup_only", "--gvcf"]
+    out1 = str(tmp_path / "out1")
+    assert cli_main(["call", "--output", out1] + base) == 0
+    assert header_contigs(os.path.join(out1, "merge_output.gvcf.gz")) == ["chr1"]
+
+    out2 = str(tmp_path / "out2")
+    assert cli_main(
+        ["call", "--output", out2, "--output_all_contigs_in_gvcf_header"] + base) == 0
+    assert header_contigs(
+        os.path.join(out2, "merge_output.gvcf.gz")) == ["chr1", "chr2"]
+
+
+def test_remove_intermediate_dir(cli_case, tmp_path):
+    out = str(tmp_path / "out")
+    os.makedirs(os.path.join(out, "tmp"))
+    with open(os.path.join(out, "tmp", "scratch.bin"), "w") as fh:
+        fh.write("x")
+    rc = cli_main([
+        "call", "--bam_fn", cli_case["bam"], "--ref_fn", cli_case["fasta"],
+        "--output", out, "--use_oracle_engines", "--pileup_only",
+        "--remove_intermediate_dir",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "merge_output.vcf.gz"))
+    assert not os.path.exists(os.path.join(out, "tmp"))
+
+
+def test_disable_c_impl_kill_switch(monkeypatch):
+    from clair3_tpu.native import native_available
+
+    monkeypatch.setenv("CLAIR3T_DISABLE_NATIVE", "1")
+    assert native_available() is False
+    monkeypatch.delenv("CLAIR3T_DISABLE_NATIVE")
