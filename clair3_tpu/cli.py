@@ -517,6 +517,15 @@ def cmd_metrics(args: argparse.Namespace) -> int:
 
 def main(argv=None) -> int:
     logging.basicConfig(format="%(message)s", level=logging.INFO)
+    if argv is None:
+        argv = sys.argv[1:]
+    # reference submodule spellings: `python -m clair3_tpu SelectQual ...`
+    # (reference: clair3.py:80-104 dispatcher)
+    from clair3_tpu.compat import dispatch
+
+    rc = dispatch(list(argv))
+    if rc is not None:
+        return rc
     parser = argparse.ArgumentParser(
         prog="clair3_tpu",
         description="TPU-native germline small-variant caller",

@@ -1,0 +1,212 @@
+"""Reference-submodule compatibility dispatcher tests.
+
+``python -m clair3_tpu <Submodule>`` accepts the reference's submodule
+names and flag spellings (reference: clair3.py:80-104).  Where the
+reference tree is available, outputs are compared byte-for-byte against
+the reference's own submodule run on identical inputs.
+"""
+
+import gzip
+import os
+import subprocess
+import sys
+
+import pytest
+
+from clair3_tpu.cli import main as cli_main
+
+REF = "/root/reference"
+HAS_REF = os.path.isdir(os.path.join(REF, "preprocess"))
+
+HEADER = ("##fileformat=VCFv4.2\n"
+          "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n")
+
+
+def _pileup_vcf_text(seed=5, n=120):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    pos = 100
+    for _ in range(n):
+        pos += rng.randint(10, 80)
+        r = rng.random()
+        if r < 0.4:
+            ref, alt, gt = "A", ".", "0/0"
+        elif r < 0.7:
+            ref, alt, gt = "A", "G", "0/1"
+        elif r < 0.85:
+            ref, alt, gt = "C", "T", "1/1"
+        else:
+            ref, alt, gt = "A", "AT", "0/1"
+        qual = round(rng.uniform(0.5, 30), 4)
+        rows.append(f"chr1\t{pos}\t.\t{ref}\t{alt}\t{qual}\t.\t.\t"
+                    f"GT:GQ:DP:AF\t{gt}:{int(qual)}:20:0.4")
+    return HEADER + "\n".join(rows) + "\n"
+
+
+def _run_ref(script, args, stdin_text=None, cwd=None):
+    return subprocess.run(
+        [sys.executable, os.path.join(REF, "preprocess", script)] + args,
+        env=dict(os.environ, PYTHONPATH=REF), input=stdin_text,
+        capture_output=True, text=True, check=True, cwd=cwd)
+
+
+def _run_ours(args, stdin_text=None):
+    """Run the compat dispatcher in-process (capturing nothing) or via a
+    subprocess when stdin is needed."""
+    if stdin_text is None:
+        return cli_main(args)
+    r = subprocess.run(
+        [sys.executable, "-m", "clair3_tpu"] + args,
+        input=stdin_text, capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    return 0
+
+
+@pytest.mark.skipif(not HAS_REF, reason="no reference tree")
+def test_select_qual_compat_matches_reference(tmp_path):
+    vcf_text = _pileup_vcf_text()
+    for extra in ([], ["--phase"]):
+        ref_dir = tmp_path / ("ref" + "_".join(extra))
+        our_dir = tmp_path / ("our" + "_".join(extra))
+        ref_dir.mkdir()
+        our_dir.mkdir()
+        base = ["--var_pct_full", "0.3", "--ref_pct_full", "0.1",
+                "--var_pct_phasing", "0.7"]
+        _run_ref("SelectQual.py",
+                 ["--output_fn", str(ref_dir)] + base + extra,
+                 stdin_text=vcf_text)
+        _run_ours(["SelectQual", "--output_fn", str(our_dir)] + base + extra,
+                  stdin_text=vcf_text)
+        name = "phase_qual" if extra else "qual"
+        ref_out = (ref_dir / name).read_text()
+        our_out = (our_dir / name).read_text()
+        assert ref_out == our_out
+
+
+@pytest.mark.skipif(not HAS_REF, reason="no reference tree")
+def test_select_het_snp_compat_matches_reference(tmp_path):
+    vcf_fn = tmp_path / "pileup.vcf"
+    vcf_fn.write_text(_pileup_vcf_text(seed=9))
+    ref_dir = tmp_path / "ref"
+    our_dir = tmp_path / "our"
+    ref_dir.mkdir()
+    our_dir.mkdir()
+    # with a phase_qual cutoff file present (the pipeline's layout)
+    (ref_dir / "phase_qual").write_text("8.0")
+    (our_dir / "phase_qual").write_text("8.0")
+    _run_ref("SelectHetSnp.py",
+             ["--vcf_fn", str(vcf_fn), "--split_folder", str(ref_dir),
+              "--ctgName", "chr1"])
+    assert _run_ours(["SelectHetSnp", "--vcf_fn", str(vcf_fn),
+                      "--split_folder", str(our_dir),
+                      "--ctgName", "chr1"]) == 0
+    assert (ref_dir / "chr1.vcf").read_text() == (our_dir / "chr1.vcf").read_text()
+
+
+@pytest.mark.skipif(not HAS_REF, reason="no reference tree")
+def test_select_candidates_compat_matches_reference(tmp_path):
+    vcf_fn = tmp_path / "pileup.vcf"
+    vcf_fn.write_text(_pileup_vcf_text(seed=11, n=300))
+    ref_dir = tmp_path / "ref"
+    our_dir = tmp_path / "our"
+    ref_dir.mkdir()
+    our_dir.mkdir()
+    (ref_dir / "qual").write_text("14.0 9.0")
+    (our_dir / "qual").write_text("14.0 9.0")
+    base = ["--pileup_vcf_fn", str(vcf_fn), "--ctgName", "chr1",
+            "--split_bed_size", "40", "--platform", "ont"]
+    _run_ref("SelectCandidates.py", ["--split_folder", str(ref_dir)] + base)
+    assert _run_ours(
+        ["SelectCandidates", "--split_folder", str(our_dir)] + base) == 0
+
+    ref_files = sorted(f for f in os.listdir(ref_dir) if f != "qual")
+    our_files = sorted(f for f in os.listdir(our_dir) if f != "qual")
+    assert ref_files == our_files
+    for name in ref_files:
+        ref_text = (ref_dir / name).read_text()
+        our_text = (our_dir / name).read_text()
+        if name.startswith("FULL_ALN_FILE"):
+            # absolute paths differ by folder; compare basenames
+            ref_text = "\n".join(os.path.basename(l) for l in ref_text.splitlines())
+            our_text = "\n".join(os.path.basename(l) for l in our_text.splitlines())
+        assert ref_text == our_text, name
+
+
+@pytest.mark.skipif(not HAS_REF, reason="no reference tree")
+def test_get_truth_compat_matches_reference(tmp_path):
+    rows = [
+        "chr1\t101\t.\tA\tG\t50\tPASS\t.\tGT:GQ\t0/1:50",
+        "chr1\t205\t.\tC\tCAT\t44\tPASS\t.\tGT:GQ\t1/1:44",
+        "chr1\t390\t.\tGTT\tG\t31\tPASS\t.\tGT:GQ\t1|0:31",
+        "chr1\t500\t.\tT\tTA,*\t28\tPASS\t.\tGT:GQ\t1/2:28",
+        "chr2\t101\t.\tA\tT\t50\tPASS\t.\tGT:GQ\t0/1:50",
+    ]
+    vcf_fn = tmp_path / "truth.vcf"
+    vcf_fn.write_text(HEADER + "\n".join(rows) + "\n")
+
+    ref_var = tmp_path / "ref_var.gz"
+    our_var = tmp_path / "our_var.gz"
+    _run_ref("GetTruth.py", ["--vcf_fn", str(vcf_fn), "--ctgName", "chr1",
+                             "--var_fn", str(ref_var)])
+    assert _run_ours(["GetTruth", "--vcf_fn", str(vcf_fn), "--ctgName", "chr1",
+                      "--var_fn", str(our_var)]) == 0
+    assert gzip.open(ref_var, "rt").read() == gzip.open(our_var, "rt").read()
+
+
+@pytest.mark.skipif(not HAS_REF, reason="no reference tree")
+def test_split_extend_bed_compat_matches_reference(tmp_path):
+    bed_fn = tmp_path / "in.bed"
+    bed_fn.write_text(
+        "chr1\t100\t200\nchr1\t220\t300\nchr1\t5000\t6000\nchr2\t10\t50\n")
+    ref_out = tmp_path / "ref.bed"
+    our_out = tmp_path / "our.bed"
+    _run_ref("SplitExtendBed.py", ["--bed_fn", str(bed_fn), "--ctgName", "chr1",
+                                   "--output_fn", str(ref_out)])
+    assert _run_ours(["SplitExtendBed", "--bed_fn", str(bed_fn),
+                      "--ctgName", "chr1", "--output_fn", str(our_out)]) == 0
+    ref_body = gzip.open(ref_out, "rt").read() \
+        if open(ref_out, "rb").read(2) == b"\x1f\x8b" else ref_out.read_text()
+    assert ref_body == our_out.read_text()
+
+
+def test_merge_bin_compat(tmp_path):
+    import numpy as np
+
+    from clair3_tpu.train.data import read_bin, write_bin
+
+    bins = []
+    for i in range(2):
+        path = str(tmp_path / f"b{i}.bin")
+        write_bin(path,
+                  np.full((3, 33, 18), i, np.int32),
+                  np.eye(90, dtype=np.float32)[:3],
+                  [f"chr1:{i}00" for _ in range(3)],
+                  ["10-" for _ in range(3)])
+        bins.append(path)
+    out = str(tmp_path / "merged.bin")
+    assert cli_main(["MergeBin"] + bins + ["--out_fn", out]) == 0
+    x, y, pos, alts = read_bin(out)
+    assert x.shape[0] == 6
+
+
+def test_sort_vcf_compat_dir_mode(tmp_path):
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "full_alignment_chr1_a.vcf").write_text(
+        HEADER + "chr1\t500\t.\tA\tG\t20\tPASS\t.\tGT\t0/1\n")
+    (d / "full_alignment_chr1_b.vcf").write_text(
+        HEADER + "chr1\t100\t.\tC\tT\t30\tPASS\t.\tGT\t1/1\n")
+    (d / "other.txt").write_text("ignored\n")
+    out = str(tmp_path / "sorted.vcf.gz")
+    assert cli_main(["SortVcf", "--input_dir", str(d),
+                     "--vcf_fn_prefix", "full_alignment",
+                     "--output_fn", out]) == 0
+    body = [l for l in gzip.open(out, "rt") if not l.startswith("#")]
+    assert [int(r.split("\t")[1]) for r in body] == [100, 500]
+
+
+def test_redirect_submodules():
+    assert cli_main(["CallVariantsFromCffi"]) == 2
+    assert cli_main(["Tensor2Bin"]) == 2
