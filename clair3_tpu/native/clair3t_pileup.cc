@@ -16,8 +16,10 @@
 #include "common.h"
 
 #include <algorithm>
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <map>
 #include <string>
@@ -54,6 +56,22 @@ int base_index(char b) {
 constexpr int8_t kNt16ToIdx[16] = {
     -1, 0, 1, -1, 2, -1, -1, -1, 3, -1, -1, -1, -1, -1, -1, -1};
 
+// Counting-pass temp layout: 12 x uint16 per column (24 B vs the 76 B/pos
+// of the 18-ch int32 matrix + depth), so the read-span hot window stays
+// ~3x smaller in L2 and the per-base depth increment disappears (depth is
+// the channel sum at finalize).  Channels: A C G T N fwd | A C G T N rev |
+// del-span fwd | del-span rev.  uint16 bounds per-column per-strand depth
+// at 65535 — far above the reference's operating range (max_depth 144,
+// fuzz 1000x).
+constexpr int kTmpFeat = 12;
+constexpr int kTmpN = 4;       // ambiguous-base channel (depth only)
+constexpr int kTmpRev = 5;
+constexpr int kTmpDelF = 10, kTmpDelR = 11;
+// nibble -> temp channel: non-ACGT collapses to the N channel
+constexpr int8_t kNt16ToTmp[16] = {
+    kTmpN, 0, 1, kTmpN, 2, kTmpN, kTmpN, kTmpN,
+    3, kTmpN, kTmpN, kTmpN, kTmpN, kTmpN, kTmpN, kTmpN};
+
 }  // namespace
 
 namespace {
@@ -89,7 +107,7 @@ struct ColIndels {
 //
 void count_subrange(const BamView& bam, int tid, int min_mq,
                     int64_t start, int64_t sub_s, int64_t sub_e,
-                    int32_t* counts, int32_t* depth,
+                    uint16_t* tmp,
                     std::unordered_map<int64_t, ColIndels>* indels) {
   for_each_record(bam, [&](const RecView& r) -> bool {
     if (r.tid != tid) return r.tid <= tid;  // stop once past our contig
@@ -101,7 +119,7 @@ void count_subrange(const BamView& bam, int tid, int min_mq,
     if (rend <= sub_s) return true;
 
     bool rev = r.flag & 0x10;
-    int strand = rev ? kRevOff : 0;
+    int strand = rev ? kTmpRev : 0;
     int64_t rpos = r.pos;
     int64_t qpos = 0;
     for (int ci = 0; ci < r.n_cigar; ci++) {
@@ -109,29 +127,20 @@ void count_subrange(const BamView& bam, int tid, int min_mq,
       int64_t len = r.cigar[ci] >> 4;
       if (op == 0 || op == 7 || op == 8) {  // M =X
         int64_t lo = std::max(rpos, sub_s), hi = std::min(rpos + len, sub_e);
-        int32_t* cp = counts + (lo - start) * kFeat + strand;
-        int32_t* dp = depth + (lo - start);
+        uint16_t* cp = tmp + (lo - start) * kTmpFeat + strand;
         int64_t qp = qpos + (lo - rpos);
         int64_t p = lo;
         if (p < hi && (qp & 1)) {  // align qp to a packed-byte boundary
-          int bi = kNt16ToIdx[r.seq[qp >> 1] & 0xF];
-          (*dp)++;
-          if (bi >= 0) cp[bi]++;
-          p++; qp++; dp++; cp += kFeat;
+          cp[kNt16ToTmp[r.seq[qp >> 1] & 0xF]]++;
+          p++; qp++; cp += kTmpFeat;
         }
-        for (; p + 1 < hi; p += 2, qp += 2, dp += 2, cp += 2 * kFeat) {
+        for (; p + 1 < hi; p += 2, qp += 2, cp += 2 * kTmpFeat) {
           uint8_t byte = r.seq[qp >> 1];  // two bases per fetch
-          int bi0 = kNt16ToIdx[byte >> 4];
-          int bi1 = kNt16ToIdx[byte & 0xF];
-          dp[0]++;
-          dp[1]++;
-          if (bi0 >= 0) cp[bi0]++;
-          if (bi1 >= 0) cp[kFeat + bi1]++;
+          cp[kNt16ToTmp[byte >> 4]]++;
+          cp[kTmpFeat + kNt16ToTmp[byte & 0xF]]++;
         }
         if (p < hi) {
-          int bi = kNt16ToIdx[(r.seq[qp >> 1] >> ((~qp & 1) << 2)) & 0xF];
-          (*dp)++;
-          if (bi >= 0) cp[bi]++;
+          cp[kNt16ToTmp[(r.seq[qp >> 1] >> ((~qp & 1) << 2)) & 0xF]]++;
         }
         rpos += len;
         qpos += len;
@@ -155,12 +164,8 @@ void count_subrange(const BamView& bam, int tid, int min_mq,
           (rev ? col.dels_r : col.dels_f)[(int)len]++;
         }
         int64_t lo = std::max(rpos, sub_s), hi = std::min(rpos + len, sub_e);
-        int32_t* cp = counts + (lo - start) * kFeat + kFwdDel + strand;
-        int32_t* dp = depth + (lo - start);
-        for (int64_t p = lo; p < hi; p++, dp++, cp += kFeat) {
-          (*dp)++;
-          (*cp)++;
-        }
+        uint16_t* cp = tmp + (lo - start) * kTmpFeat + (rev ? kTmpDelR : kTmpDelF);
+        for (int64_t p = lo; p < hi; p++, cp += kTmpFeat) (*cp)++;
         rpos += len;
       } else if (op == 3) {
         rpos += len;
@@ -188,6 +193,16 @@ PileupOut* clair3t_pileup(
     const uint64_t* voffs, int n_win, int tid_hint, int n_threads,
     int32_t* counts_ext, int32_t* depth_ext,
     int64_t* pos_ref_ext, int64_t* pos_tot_ext) {
+  // CLAIR3T_PROFILE=1: per-phase wall times on stderr (observability)
+  const bool profile = getenv("CLAIR3T_PROFILE") != nullptr;
+  auto t_start = std::chrono::steady_clock::now();
+  auto lap = [&](const char* phase) {
+    if (!profile) return;
+    auto now = std::chrono::steady_clock::now();
+    fprintf(stderr, "[clair3t_pileup] %s %.1f ms\n", phase,
+            std::chrono::duration<double, std::milli>(now - t_start).count());
+    t_start = now;
+  };
   auto* out = new PileupOut();
   memset(out, 0, sizeof(PileupOut));
   const int64_t L = end - start;
@@ -228,6 +243,8 @@ PileupOut* clair3t_pileup(
     depth = depth_own.data();
   }
   std::unordered_map<int64_t, ColIndels> indels;
+  lap("load");
+  std::vector<uint16_t> tmp((size_t)L * kTmpFeat, 0);
 
   if (n_threads <= 0) {
     unsigned hw = std::thread::hardware_concurrency();
@@ -237,8 +254,7 @@ PileupOut* clair3t_pileup(
   // headers outweighs the counting win
   int shards = (int)std::min<int64_t>(n_threads, std::max<int64_t>(1, L / 65536));
   if (shards <= 1) {
-    count_subrange(bam, tid, min_mq, start, start, end,
-                   counts, depth, &indels);
+    count_subrange(bam, tid, min_mq, start, start, end, tmp.data(), &indels);
   } else {
     std::vector<std::unordered_map<int64_t, ColIndels>> shard_indels(shards);
     std::vector<std::thread> workers;
@@ -246,14 +262,14 @@ PileupOut* clair3t_pileup(
       int64_t sub_s = start + L * t / shards;
       int64_t sub_e = start + L * (t + 1) / shards;
       workers.emplace_back(count_subrange, std::cref(bam), tid, min_mq,
-                           start, sub_s, sub_e, counts,
-                           depth, &shard_indels[t]);
+                           start, sub_s, sub_e, tmp.data(), &shard_indels[t]);
     }
     for (auto& w : workers) w.join();
     for (auto& m : shard_indels)
       for (auto& [idx, col] : m) indels[idx] = std::move(col);
   }
 
+  lap("count");
   // finalize indel summary channels (+ bitmap so the candidate pass can
   // skip the hash lookup on the vast indel-free majority of columns)
   std::vector<uint8_t> has_indel(L, 0);
@@ -293,8 +309,16 @@ PileupOut* clair3t_pileup(
   const int64_t ref_len = (int64_t)strlen(ref_seq);
   static const ColIndels kEmpty;
 
+  // single fused pass: scatter the packed temp row into the 18-channel
+  // matrix (with ref-column negation applied in place), derive depth as the
+  // 12-channel sum, and run candidate selection — one read of tmp, one
+  // write of counts, no re-read
   for (int64_t idx = 0; idx < L; idx++) {
-    if (depth[idx] == 0) continue;
+    const uint16_t* t = tmp.data() + idx * kTmpFeat;
+    uint32_t d_sum = 0;
+    for (int k = 0; k < kTmpFeat; k++) d_sum += t[k];
+    if (!d_sum) continue;
+    depth[idx] = (int32_t)d_sum;
     int64_t pos = start + idx;
     contiguous = (pre_pos + 1 == pos) ? contiguous + 1 : 0;
     pre_pos = pos;
@@ -306,6 +330,13 @@ PileupOut* clair3t_pileup(
     int ref_idx = ref_in_acgt ? ref_idx_raw : 0;
 
     int32_t* row = counts + idx * kFeat;
+    row[0] = t[0]; row[1] = t[1]; row[2] = t[2]; row[3] = t[3];
+    row[kRevOff + 0] = t[kTmpRev + 0];
+    row[kRevOff + 1] = t[kTmpRev + 1];
+    row[kRevOff + 2] = t[kTmpRev + 2];
+    row[kRevOff + 3] = t[kTmpRev + 3];
+    row[kFwdDel] = t[kTmpDelF];
+    row[kFwdDel + kRevOff] = t[kTmpDelR];
     int64_t forward_sum = row[0] + row[1] + row[2] + row[3];
     int64_t reverse_sum = row[kRevOff] + row[kRevOff + 1] + row[kRevOff + 2] + row[kRevOff + 3];
     int64_t ref_count = 0, alt_count = 0, all_alt_count = 0;
@@ -416,6 +447,7 @@ PileupOut* clair3t_pileup(
     }
   }
 
+  lap("candidates");
   if (external) {
     out->counts = counts;  // caller-owned, written in place
     out->depth = depth;
