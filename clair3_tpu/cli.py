@@ -489,6 +489,43 @@ def cmd_merge_vcf(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_split_bam(args: argparse.Namespace) -> int:
+    """Split a haplotagged BAM into per-haplotype BAMs (the reference's
+    split-into-haplotypes haploid calling workflow,
+    docs/split_haplotype_into_haploid_calling.md, uses whatshap haplotag
+    + samtools split; here the HP tags written by
+    --use_haplotagging_for_final_output feed this directly)."""
+    import os
+
+    from clair3_tpu.io.bam import BamReader, write_bam
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    bam = BamReader(args.bam_fn)
+    hap1, hap2, untagged = [], [], 0
+    for read in bam:
+        hp = read.tags.get("HP")
+        if hp == 1:
+            hap1.append(read)
+        elif hp == 2:
+            hap2.append(read)
+        else:
+            untagged += 1
+            if args.include_untagged:
+                hap1.append(read)
+                hap2.append(read)
+    outs = {}
+    for name, reads in (("hap1", hap1), ("hap2", hap2)):
+        path = os.path.join(args.output_dir, f"{name}.bam")
+        write_bam(path, bam.references, bam.lengths, reads)
+        outs[name] = path
+        print(f"[INFO] {name}: {len(reads)} reads -> {path}")
+    print(f"[INFO] untagged reads: {untagged} "
+          f"({'included in both' if args.include_untagged else 'dropped'})")
+    print("[INFO] call each haplotype with: clair3_tpu call --bam_fn "
+          f"{outs['hap1']} ... --haploid_precise (or --haploid_sensitive)")
+    return 0
+
+
 def cmd_metrics(args: argparse.Namespace) -> int:
     """SNP/Indel precision-recall-F1 (GetOverallMetrics equivalent)."""
     from clair3_tpu.postprocess import parse_happy_vcf, variant_metrics
@@ -604,6 +641,15 @@ def main(argv=None) -> int:
     dp.add_argument("--pileup", action="store_true")
     dp.add_argument("--show_ref", action="store_true")
     dp.set_defaults(func=cmd_decode_probabilities)
+
+    sb = sub.add_parser("split_bam",
+                        help="split a haplotagged BAM (HP tags) into "
+                             "per-haplotype BAMs for haploid calling")
+    sb.add_argument("--bam_fn", required=True)
+    sb.add_argument("--output_dir", required=True)
+    sb.add_argument("--include_untagged", action="store_true",
+                    help="route untagged reads into both haplotype BAMs")
+    sb.set_defaults(func=cmd_split_bam)
 
     mt = sub.add_parser("metrics", help="SNP/Indel P/R/F1 vs a truth set")
     mt.add_argument("--truth_vcf_fn", default=None)

@@ -242,3 +242,37 @@ def test_disable_c_impl_kill_switch(monkeypatch):
     monkeypatch.setenv("CLAIR3T_DISABLE_NATIVE", "1")
     assert native_available() is False
     monkeypatch.delenv("CLAIR3T_DISABLE_NATIVE")
+
+
+def test_split_bam_by_haplotype_and_haploid_call(tmp_path):
+    """The split-into-haplotypes workflow (reference:
+    docs/split_haplotype_into_haploid_calling.md): split a HP-tagged BAM,
+    then call one haplotype in haploid mode."""
+    d = tmp_path / "case"
+    d.mkdir()
+    ref = random_reference(1500, seed=13)
+    v = SimVariant(700, ref[700], "C" if ref[700] != "C" else "G", (0, 1))
+    fasta, bam, _, _ = write_test_case(
+        str(d), ref_length=1500, variants=[v], coverage=24,
+        read_length=500, seed=13, error_rate=0.0, with_hp_tags=True)
+    out = str(tmp_path / "split")
+    assert cli_main(["split_bam", "--bam_fn", bam, "--output_dir", out]) == 0
+    from clair3_tpu.io.bam import BamReader
+
+    h1 = list(BamReader(os.path.join(out, "hap1.bam")))
+    h2 = list(BamReader(os.path.join(out, "hap2.bam")))
+    assert h1 and h2
+    assert all(r.tags.get("HP") == 1 for r in h1)
+    assert all(r.tags.get("HP") == 2 for r in h2)
+
+    # het variant (0, 1): hap index 1 carries the alt allele
+    call_out = str(tmp_path / "hap2_call")
+    rc = cli_main([
+        "call", "--bam_fn", os.path.join(out, "hap2.bam"),
+        "--ref_fn", fasta, "--output", call_out, "--use_oracle_engines",
+        "--pileup_only", "--haploid_precise",
+    ])
+    assert rc == 0
+    rows = _body(os.path.join(call_out, "merge_output.vcf.gz"))
+    assert len(rows) == 1
+    assert rows[0].split("\t")[9].split(":")[0] in ("1", "1/1")
