@@ -131,7 +131,8 @@ class VariantCaller:
         --include_all_ctgs is off; --ctg_name accepts a comma list."""
         cfg = self.cfg
         ctg_set = set(cfg.ctg_name.split(",")) if cfg.ctg_name else None
-        bed_ctgs = set(self._bed_tree) if self._bed_tree is not None else None
+        bed_ctgs = (set(self._bed_tree.contigs())
+                    if self._bed_tree is not None else None)
         vcf_ctgs = (
             {r.chrom for r in self._known_records}
             if self._known_records is not None else None
@@ -632,10 +633,13 @@ class VariantCaller:
         logger.info("[plan] %d contigs, %d chunks", len(contigs), len(tasks))
 
         with self._timed("pileup"):
-            pileup_rows = sort_rows(self.run_pileup(tasks), contig_names)
+            pileup_rows = self.run_pileup(tasks)
+        with self._timed("sort"):
+            pileup_rows = sort_rows(pileup_rows, contig_names)
         outputs: Dict[str, str] = {}
         pileup_path = os.path.join(cfg.output_dir, "pileup.vcf.gz")
-        self._write_vcf(pileup_path, pileup_rows, contigs)
+        with self._timed("write_vcf"):
+            self._write_vcf(pileup_path, pileup_rows, contigs)
         outputs["pileup"] = pileup_path
 
         merge_path = os.path.join(cfg.output_dir, "merge_output.vcf.gz")
@@ -687,9 +691,11 @@ class VariantCaller:
         finally:
             if _ent_fa is not None:
                 _ent_fa.close()
-        fa_rows = sort_rows(fa_rows, contig_names)
+        with self._timed("sort"):
+            fa_rows = sort_rows(fa_rows, contig_names)
         fa_path = os.path.join(cfg.output_dir, "full_alignment.vcf.gz")
-        self._write_vcf(fa_path, fa_rows, contigs)
+        with self._timed("write_vcf"):
+            self._write_vcf(fa_path, fa_rows, contigs)
         outputs["full_alignment"] = fa_path
 
         # bucket once per contig (O(rows)) instead of rescanning per contig
@@ -702,6 +708,7 @@ class VariantCaller:
         for r in fa_rows:
             fa_by_ctg[r.split("\t", 1)[0]].append(r)
         merged: List[str] = []
+        self.__merge_t0 = time.time()
         for ctg in contig_names:
             merged.extend(
                 merge_pileup_and_full_alignment(
@@ -714,10 +721,15 @@ class VariantCaller:
                     haploid_sensitive=cfg.haploid_sensitive,
                 )
             )
-        merged = self._genotyping_add_back(sort_rows(merged, contig_names))
-        self._write_vcf(merge_path, merged, contigs)
+        self.stage_times["merge"] = (
+            self.stage_times.get("merge", 0.0) + time.time() - self.__merge_t0)
+        with self._timed("sort"):
+            merged = self._genotyping_add_back(sort_rows(merged, contig_names))
+        with self._timed("write_vcf"):
+            self._write_vcf(merge_path, merged, contigs)
         outputs["merge_output"] = merge_path
-        gvcf_path = self._write_gvcf(merged)
+        with self._timed("gvcf"):
+            gvcf_path = self._write_gvcf(merged)
         if gvcf_path:
             outputs["merge_output_gvcf"] = gvcf_path
         self._final_phasing(merged, contig_names, outputs)
