@@ -58,8 +58,7 @@ def _write_vcf_text(path: str, header: str, rows: List[str]) -> None:
     from clair3_tpu.io.vcf import VcfWriter
 
     with VcfWriter(path, header) as w:
-        for row in rows:
-            w.write(row)
+        w.write_rows(rows)
     if path.endswith(".gz"):
         from clair3_tpu.io.tabix import write_tabix_index
 

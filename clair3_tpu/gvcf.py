@@ -268,8 +268,11 @@ def merge_variant_and_nonvariant(
         cols = row.split("\t")
         chrom = cols[0]
         start = int(cols[1])
-        m = _END_RE.search(row)
-        end = int(m.group(1)) if m else start
+        if len(cols) > 7 and cols[7].startswith("END="):  # canonical layout
+            end = int(cols[7][4:])
+        else:
+            m = _END_RE.search(row)
+            end = int(m.group(1)) if m else start
         if chrom not in blocks_by_ctg:
             blocks_by_ctg[chrom] = []
             ctg_order.append(chrom)
@@ -281,15 +284,20 @@ def merge_variant_and_nonvariant(
 
     out: List[str] = []
 
-    def write_block(row: str, start: int, end: int, chrom: str) -> None:
+    def write_block(row: str, start: int, end: int, chrom: str,
+                    bstart: int, bend: int) -> None:
+        if start == bstart and end == bend:  # untouched block (majority)
+            out.append(row)
+            return
         cols = row.split("\t")
-        orig_start = int(cols[1])
-        if start != orig_start:
+        if start != bstart:
             cols[1] = str(start)
             cols[3] = ref_base_at(chrom, start)
-        new_row = "\t".join(cols)
-        new_row = re.sub(r"END=\d+", f"END={end}", new_row)
-        out.append(new_row)
+        if len(cols) > 7 and cols[7].startswith("END="):
+            cols[7] = f"END={end}"
+            out.append("\t".join(cols))
+        else:
+            out.append(re.sub(r"END=\d+", f"END={end}", "\t".join(cols)))
 
     for chrom in ctg_order:
         variants = variants_by_ctg.get(chrom, [])
@@ -302,12 +310,12 @@ def merge_variant_and_nonvariant(
             while vi < len(variants) and variants[vi][1] <= bend:
                 vrow, vstart, vend = variants[vi]
                 if vstart > cur_start:
-                    write_block(row, cur_start, vstart - 1, chrom)
+                    write_block(row, cur_start, vstart - 1, chrom, bstart, bend)
                 out.append(vrow)
                 cur_start = max(cur_start, vend + 1)
                 vi += 1
             if cur_start <= bend:
-                write_block(row, cur_start, bend, chrom)
+                write_block(row, cur_start, bend, chrom, bstart, bend)
         while vi < len(variants):
             out.append(variants[vi][0])
             vi += 1

@@ -198,6 +198,14 @@ class VcfWriter:
         else:
             self._write_str(line_or_record.rstrip("\n") + "\n")
 
+    def write_rows(self, rows, chunk: int = 8192) -> None:
+        """Batched row writing: one join + encode per chunk instead of a
+        Python call round-trip per row (matters at gVCF scale, ~10^6 rows)."""
+        for i in range(0, len(rows), chunk):
+            s = "\n".join(r.rstrip("\n") for r in rows[i:i + chunk])
+            if s:
+                self._write_str(s + "\n")
+
     def close(self) -> None:
         self._fh.close()
 

@@ -433,8 +433,7 @@ class VariantCaller:
             contigs=contigs or getattr(self, "_contigs", None),
         )
         with VcfWriter(path, header) as w:
-            for row in rows:
-                w.write(row)
+            w.write_rows(rows)
         if path.endswith(".gz"):
             from clair3_tpu.io.tabix import write_tabix_index
 
@@ -471,8 +470,7 @@ class VariantCaller:
             sample_name=self.cfg.sample_name, gvcf=True,
             contigs=header_contigs)
         with VcfWriter(path, header) as w:
-            for row in merged:
-                w.write(row)
+            w.write_rows(merged)
         return path
 
     def _final_phasing(self, final_rows, contig_names, outputs) -> None:
