@@ -568,8 +568,65 @@ _REDIRECTS = {
     "CheckEnvs": "call (inputs are validated in-process)",
     "CheckExitCode": "(not needed: in-process exceptions replace joblog scraping)",
     "UnifyRepresentation": "tensor2bin --unify_repr",
-    "Train": "train",
 }
+
+
+# ---------------------------------------------------------------------------
+# Train (reference: clair3/Train.py flag surface -> clair3_tpu train)
+# ---------------------------------------------------------------------------
+
+def cmd_train_compat(argv: List[str]) -> int:
+    p = argparse.ArgumentParser("Train")
+    p.add_argument("--platform", default="ont")
+    p.add_argument("--bin_fn", required=True,
+                   help="directory of HDF5 bins (reference layout)")
+    p.add_argument("--chkpnt_fn", default=None)
+    p.add_argument("--ochk_prefix", required=True)
+    p.add_argument("--maxEpoch", type=int, default=None)
+    p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--exclude_training_samples", default=None)
+    p.add_argument("--mini_epochs", type=int, default=1)
+    p.add_argument("--pileup", action="store_true")
+    p.add_argument("--add_indel_length", type=_str2bool, default=False)
+    p.add_argument("--enable_dwell_time", action="store_true")
+    args, _ = p.parse_known_args(argv)
+
+    bins: List[str] = []
+    if os.path.isdir(args.bin_fn):
+        excludes = (args.exclude_training_samples.split(",")
+                    if args.exclude_training_samples else [])
+        for name in sorted(os.listdir(args.bin_fn)):
+            # reference quirk: bins whose name contains '_20_' (chr20,
+            # held out for evaluation) are excluded (Train.py:335)
+            if "_20_" in name:
+                continue
+            if any(name.startswith(e) for e in excludes):
+                continue
+            bins.append(os.path.join(args.bin_fn, name))
+    else:
+        bins = [args.bin_fn]
+    if not bins:
+        print("[ERROR] no training bins found", file=sys.stderr)
+        return 1
+
+    from clair3_tpu.cli import main as cli_main
+
+    out_dir = os.path.dirname(args.ochk_prefix) or "."
+    cmd = ["train", "--bin_fn"] + bins + [
+        "--output_dir", out_dir,
+        "--platform", args.platform,
+        "--learning_rate", str(args.learning_rate),
+        "--mini_epochs", str(args.mini_epochs),
+    ]
+    if args.maxEpoch:
+        cmd += ["--max_epoch", str(args.maxEpoch)]
+    if args.pileup:
+        cmd.append("--pileup")
+    if args.add_indel_length:
+        cmd.append("--add_indel_length")
+    if args.chkpnt_fn:
+        cmd += ["--chkpnt_fn", args.chkpnt_fn]
+    return cli_main(cmd)
 
 
 def _redirect(name: str) -> int:
@@ -591,6 +648,7 @@ SUBMODULES = {
     "GetOverallMetrics": cmd_get_overall_metrics,
     "SwitchZygosityBasedOnSVCalls": cmd_switch_zygosity,
     "AddBackMissingVariantsInGenotyping": cmd_add_back_missing,
+    "Train": cmd_train_compat,
 }
 
 

@@ -210,3 +210,34 @@ def test_sort_vcf_compat_dir_mode(tmp_path):
 def test_redirect_submodules():
     assert cli_main(["CallVariantsFromCffi"]) == 2
     assert cli_main(["Tensor2Bin"]) == 2
+
+
+def test_train_compat_spelling(tmp_path):
+    """`python -m clair3_tpu Train` accepts the reference Train flag
+    spellings (--bin_fn dir, --ochk_prefix, --maxEpoch) and trains a
+    pileup net; the '_20_' filename filter excludes held-out bins."""
+    import numpy as np
+
+    from clair3_tpu.train.data import write_bin
+
+    bin_dir = tmp_path / "bins"
+    bin_dir.mkdir()
+    rng = np.random.default_rng(0)
+    x = rng.integers(-20, 20, size=(64, 33, 18)).astype(np.int32)
+    y = np.zeros((64, 90), np.float32)
+    y[:, rng.integers(0, 21, 64)] = 1.0
+    y[:, 21 + rng.integers(0, 3, 64)] = 1.0
+    y[:, 24 + 16] = 1.0
+    y[:, 57 + 16] = 1.0
+    write_bin(str(bin_dir / "sample_1_chr1.bin"), x, y,
+              [f"chr1:{i}" for i in range(64)], ["10-"] * 64)
+    write_bin(str(bin_dir / "sample_1_20_held.bin"), x[:4], y[:4],
+              [f"chr20:{i}" for i in range(4)], ["10-"] * 4)
+
+    prefix = str(tmp_path / "model" / "ck")
+    rc = cli_main([
+        "Train", "--bin_fn", str(bin_dir), "--ochk_prefix", prefix,
+        "--maxEpoch", "1", "--pileup", "--platform", "ont",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(str(tmp_path / "model"), "best_val_loss.npz"))
