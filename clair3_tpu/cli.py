@@ -165,9 +165,11 @@ def _validate_call_inputs(args) -> Optional[str]:
             bam = BamReader(args.bam_fn)
         shared = set(fa.references) & set(bam.references)
         fa.close()
-        if args.ctg_name and args.ctg_name not in shared:
-            return (f"contig {args.ctg_name!r} absent from BAM+FASTA "
-                    f"intersection (have: {sorted(shared)[:5]}...)")
+        if args.ctg_name:
+            wanted = set(args.ctg_name.split(","))
+            if not wanted & shared:
+                return (f"contig(s) {args.ctg_name!r} absent from BAM+FASTA "
+                        f"intersection (have: {sorted(shared)[:5]}...)")
         if not shared:
             return "no contigs shared between the BAM and the reference"
     except Exception as e:  # malformed inputs
