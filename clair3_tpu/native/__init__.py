@@ -16,7 +16,8 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRCS = [os.path.join(_DIR, "clair3t_pileup.cc"),
+_SRCS = [os.path.join(_DIR, "clair3t_arith.cc"),
+         os.path.join(_DIR, "clair3t_pileup.cc"),
          os.path.join(_DIR, "clair3t_fullalign.cc"),
          os.path.join(_DIR, "clair3t_align.cc"),
          os.path.join(_DIR, "clair3t_dbg.cc"),

@@ -30,6 +30,9 @@ extern "C" int clair3t_rans_decode(const uint8_t* payload, int64_t payload_len,
 extern "C" int clair3t_rans_nx16_decode(const uint8_t* payload,
                                         int64_t payload_len, uint8_t* out,
                                         int64_t out_sz);
+extern "C" int clair3t_arith_decode(const uint8_t* payload,
+                                    int64_t payload_len, uint8_t* out,
+                                    int64_t out_sz);
 extern "C" int clair3t_tok3_decode(const uint8_t* payload, int64_t payload_len,
                                    uint8_t* out, int64_t out_sz);
 
@@ -168,11 +171,14 @@ int read_block(Cur& c, Block* b) {
       return clair3t_rans_nx16_decode(comp, comp_sz, b->data.data(), raw_sz)
                      == 0
                  ? OK : E_UNSUPPORTED;
-    case 8:  // tok3 name tokeniser (CRAM 3.1; arith-backed -> fallback)
+    case 6:  // adaptive arithmetic (CRAM 3.1; EXT/bzip2 -> fallback)
+      return clair3t_arith_decode(comp, comp_sz, b->data.data(), raw_sz) == 0
+                 ? OK : E_UNSUPPORTED;
+    case 8:  // tok3 name tokeniser (CRAM 3.1; rANS or arith streams)
       return clair3t_tok3_decode(comp, comp_sz, b->data.data(), raw_sz) == 0
                  ? OK : E_UNSUPPORTED;
     default:
-      return E_UNSUPPORTED;  // bzip2/lzma/arith/fqzcomp -> Python path
+      return E_UNSUPPORTED;  // bzip2/lzma/fqzcomp -> Python path
   }
 }
 

@@ -11,6 +11,10 @@
 #include <string>
 #include <vector>
 
+extern "C" int clair3t_arith_decode(const uint8_t* payload,
+                                    int64_t payload_len, uint8_t* out,
+                                    int64_t out_sz);
+
 namespace nx16 {
 
 constexpr uint32_t RANS_L = 1u << 15;
@@ -453,7 +457,7 @@ bool decompress(const uint8_t* in, size_t in_len, std::vector<uint8_t>* out) {
   uint64_t ulen = read_uint7(c);
   uint64_t nnames = read_uint7(c);
   int use_arith = c.u8();
-  if (c.fail || use_arith) return false;  // arith streams -> Python fallback
+  if (c.fail) return false;
 
   // read token streams
   std::vector<std::vector<Stream>> B;  // [pos][type]
@@ -476,15 +480,22 @@ bool decompress(const uint8_t* in, size_t in_len, std::vector<uint8_t>* out) {
     } else {
       uint64_t clen = read_uint7(c);
       if (c.fail || c.p + clen > c.n) return false;
-      // each stream is a full rANS-Nx16 payload with its own size header
+      // each stream is a full rANS-Nx16 (or arith) payload with its own
+      // size header; the F_NOSZ bit is 0x08 in both codecs
       Cur probe{c.d + c.p, clen};
       int flags = probe.u8();
       uint64_t usz = 0;
       if (!(flags & nx16::F_NOSZ)) usz = read_uint7(probe);
       if (probe.fail) return false;
       B[t][typ].buf.resize(usz);
-      if (!nx16::decompress(c.d + c.p, clen, B[t][typ].buf.data(), usz))
+      if (use_arith) {
+        if (clair3t_arith_decode(c.d + c.p, (int64_t)clen,
+                                 B[t][typ].buf.data(), (int64_t)usz) != 0)
+          return false;
+      } else if (!nx16::decompress(c.d + c.p, clen, B[t][typ].buf.data(),
+                                   usz)) {
         return false;
+      }
       B[t][typ].present = true;
       c.p += clen;
     }

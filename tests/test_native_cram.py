@@ -94,17 +94,19 @@ def test_cram31_served_natively(case, tmp_path):
 
 
 def test_unsupported_codec_falls_back_to_python(case, tmp_path, monkeypatch):
-    """Blocks coded with the arith codec (method 6) are outside the native
-    converter's scope: it returns None and cram_to_bam transparently uses
-    the Python reader."""
+    """Blocks coded with bzip2 (method 2) are outside the native
+    converter's scope (bzip2 is not linked): it returns None and
+    cram_to_bam transparently uses the Python reader.  (Arith blocks,
+    formerly the fallback trigger here, decode natively now —
+    tests/test_native_arith.py.)"""
     import clair3_tpu.io.cram as cram_mod
 
-    # route the writer's "rANS-Nx16" block choice to the arith codec
+    # route the writer's "rANS-Nx16" block choice to bzip2
     orig_wb = cram_mod.write_block
 
     def wb(block, method):
         if method == cram_mod.M_RANSNX16:
-            method = cram_mod.M_ARITH
+            method = cram_mod.M_BZIP2
         return orig_wb(block, method)
 
     monkeypatch.setattr(cram_mod, "write_block", wb)
