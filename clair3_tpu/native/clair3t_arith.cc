@@ -9,8 +9,10 @@
 // Used twice by the native CRAM -> BAM converter: method-6 blocks, and
 // arith-backed tok3 name-token streams (clair3t_rans_nx16.cc).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <vector>
 
 namespace c3arith {
@@ -269,6 +271,238 @@ bool decompress(const uint8_t* in, size_t in_len, uint8_t* out,
 
 }  // namespace c3arith
 
+// ---------------------------------------------------------------------------
+// fqzcomp quality codec (CRAM 3.1 method 7) — decode-only port of
+// io/fqzcomp.py (reference behavior: htslib cram/fqzcomp_qual.c).
+// Shares the range coder and adaptive model above.
+// ---------------------------------------------------------------------------
+
+namespace c3fqz {
+
+using c3arith::Cur;
+using c3arith::RangeDecoder;
+using c3arith::SimpleModel;
+
+constexpr int kVers = 5;
+constexpr int GFLAG_MULTI_PARAM = 1;
+constexpr int GFLAG_HAVE_STAB = 2;
+constexpr int GFLAG_DO_REV = 4;
+constexpr int PFLAG_DO_DEDUP = 2;
+constexpr int PFLAG_DO_LEN = 4;
+constexpr int PFLAG_DO_SEL = 8;
+constexpr int PFLAG_HAVE_QMAP = 16;
+constexpr int PFLAG_HAVE_PTAB = 32;
+constexpr int PFLAG_HAVE_DTAB = 64;
+constexpr int PFLAG_HAVE_QTAB = 128;
+
+// monotone-array RLE (htslib read_array)
+bool read_array(Cur& c, int* values, int size) {
+  int z = 0, j = 0;
+  while (z < size) {
+    uint64_t run = 0;
+    for (;;) {
+      uint8_t r = c.u8();
+      if (c.fail) return false;
+      run += r;
+      if (r != 255) break;
+    }
+    while (run > 0 && z < size) {
+      values[z++] = j;
+      run--;
+    }
+    j++;
+    if (j > 1 << 20) return false;  // corrupt-stream backstop
+  }
+  return true;
+}
+
+struct Param {
+  uint32_t context = 0;
+  int pflags = 0;
+  int max_sym = 64;
+  int qbits = 12, qshift = 5;
+  int qloc = 0, sloc = 0, ploc = 0, dloc = 0;
+  uint8_t qmap[256] = {0};
+  int qtab[256];
+  int ptab[1024] = {0};
+  int dtab[256] = {0};
+  uint32_t qmask = 0;
+  int nsym = 0;
+  int fixed_len = 0;
+};
+
+bool read_param(Cur& c, Param* pm) {
+  for (int i = 0; i < 256; i++) pm->qtab[i] = i;
+  uint8_t lo = c.u8(), hi = c.u8();
+  pm->context = lo | ((uint32_t)hi << 8);
+  pm->pflags = c.u8();
+  pm->max_sym = c.u8();
+  uint8_t x = c.u8();
+  pm->qbits = x >> 4;
+  pm->qshift = x & 15;
+  x = c.u8();
+  pm->qloc = x >> 4;
+  pm->sloc = x & 15;
+  x = c.u8();
+  pm->ploc = x >> 4;
+  pm->dloc = x & 15;
+  if (c.fail) return false;
+  if (pm->pflags & PFLAG_HAVE_QMAP) {
+    for (int i = 0; i < pm->max_sym; i++) pm->qmap[i] = c.u8();
+    if (c.fail) return false;
+  }
+  if (pm->pflags & PFLAG_HAVE_QTAB) {
+    if (!read_array(c, pm->qtab, 256)) return false;
+  }
+  if (pm->pflags & PFLAG_HAVE_PTAB) {
+    if (!read_array(c, pm->ptab, 1024)) return false;
+  }
+  if (pm->pflags & PFLAG_HAVE_DTAB) {
+    if (!read_array(c, pm->dtab, 256)) return false;
+  }
+  pm->qmask = (1u << pm->qbits) - 1;
+  pm->nsym = pm->max_sym > 0 ? pm->max_sym : 256;
+  return true;
+}
+
+// lazily-allocated per-context quality models (up to 2^16 contexts)
+struct QualModels {
+  int nsym;
+  std::vector<SimpleModel*> slots;
+
+  explicit QualModels(int n) : nsym(n), slots(1 << 16, nullptr) {}
+  ~QualModels() {
+    for (auto* m : slots) delete m;
+  }
+
+  SimpleModel& get(uint32_t ctx) {
+    auto*& m = slots[ctx & 0xFFFF];
+    if (!m) {
+      m = new SimpleModel();
+      m->init(nsym);
+    }
+    return *m;
+  }
+};
+
+struct State {
+  int p = 0;
+  int delta = 0;
+  int prevq = 0;
+  uint32_t qctx = 0;
+  int s = 0;
+};
+
+inline uint32_t update_ctx(const Param& pm, State& st, int q) {
+  st.qctx = (st.qctx << pm.qshift) + (uint32_t)pm.qtab[q];
+  uint32_t last = pm.context;
+  last += (st.qctx & pm.qmask) << pm.qloc;
+  if (pm.pflags & PFLAG_HAVE_PTAB)
+    last += (uint32_t)pm.ptab[st.p < 1023 ? st.p : 1023] << pm.ploc;
+  if (pm.pflags & PFLAG_HAVE_DTAB)
+    last += (uint32_t)pm.dtab[st.delta < 255 ? st.delta : 255] << pm.dloc;
+  if (pm.pflags & PFLAG_DO_SEL) last += (uint32_t)st.s << pm.sloc;
+  st.p--;
+  if (st.prevq != q) st.delta++;
+  st.prevq = q;
+  return last & 0xFFFF;
+}
+
+bool decompress(const uint8_t* in, size_t in_len, uint8_t* out,
+                size_t out_sz) {
+  Cur c{in, in_len};
+  if (c.u8() != kVers) return false;
+  int gflags = c.u8();
+  if (c.fail) return false;
+  int nparam = 1;
+  if (gflags & GFLAG_MULTI_PARAM) nparam = c.u8();
+  if (c.fail || nparam < 1 || nparam > 255) return false;
+  int max_sel = nparam > 1 ? nparam - 1 : 0;
+  int stab[256];
+  for (int i = 0; i < 256; i++) stab[i] = i;
+  if (gflags & GFLAG_HAVE_STAB) {
+    max_sel = c.u8();
+    if (c.fail || !read_array(c, stab, 256)) return false;
+  }
+  std::vector<Param> params(nparam);
+  for (int i = 0; i < nparam; i++)
+    if (!read_param(c, &params[i])) return false;
+
+  std::vector<std::unique_ptr<QualModels>> quals;
+  for (auto& pm : params)
+    quals.emplace_back(new QualModels(pm.nsym));
+  SimpleModel model_len[4];
+  for (auto& m : model_len) m.init(256);
+  SimpleModel model_rev, model_dup, model_sel;
+  model_rev.init(2);
+  model_dup.init(2);
+  model_sel.init(max_sel + 1);
+
+  RangeDecoder rc(&c);
+  struct Rec { size_t start, len; int rev; };
+  std::vector<Rec> recs;
+  State st;
+  Param* pm = &params[0];
+  QualModels* qm = quals[0].get();
+  uint32_t ctx = pm->context;
+  int64_t rec_len = 0;
+  bool first_len = true;
+  size_t i = 0;
+  while (i < out_sz) {
+    if (st.p == 0) {  // new record
+      int s = 0;
+      if (max_sel > 0) s = model_sel.decode(rc);
+      int x = stab[s];
+      if (x < 0 || x >= nparam) return false;
+      pm = &params[x];
+      qm = quals[x].get();
+      if (first_len || (pm->pflags & PFLAG_DO_LEN)) {
+        rec_len = (int64_t)model_len[0].decode(rc) |
+                  ((int64_t)model_len[1].decode(rc) << 8) |
+                  ((int64_t)model_len[2].decode(rc) << 16) |
+                  ((int64_t)model_len[3].decode(rc) << 24);
+        first_len = false;
+        pm->fixed_len = (int)rec_len;
+      } else {
+        rec_len = pm->fixed_len;
+      }
+      if (rec_len <= 0 || i + (size_t)rec_len > out_sz) return false;
+      int rev = 0;
+      if (gflags & GFLAG_DO_REV) rev = model_rev.decode(rc);
+      recs.push_back({i, (size_t)rec_len, rev});
+      if (pm->pflags & PFLAG_DO_DEDUP) {
+        if (model_dup.decode(rc)) {
+          if (recs.size() < 2) return false;
+          const Rec& prev = recs[recs.size() - 2];
+          if (prev.len != (size_t)rec_len) return false;
+          memcpy(out + i, out + prev.start, rec_len);
+          i += rec_len;
+          continue;
+        }
+      }
+      st = State();
+      st.p = (int)rec_len;
+      st.s = s;
+      ctx = pm->context;
+    }
+    int q = qm->get(ctx).decode(rc);
+    out[i++] = (pm->pflags & PFLAG_HAVE_QMAP) ? pm->qmap[q] : (uint8_t)q;
+    ctx = update_ctx(*pm, st, q);
+  }
+
+  if (gflags & GFLAG_DO_REV) {
+    for (const Rec& r : recs)
+      if (r.rev) {
+        uint8_t* a = out + r.start;
+        uint8_t* b = a + r.len - 1;
+        while (a < b) std::swap(*a++, *b--);
+      }
+  }
+  return true;
+}
+
+}  // namespace c3fqz
+
 extern "C" {
 
 // Decode an adaptive-arithmetic payload into exactly out_sz bytes.
@@ -278,6 +512,16 @@ int clair3t_arith_decode(const uint8_t* payload, int64_t payload_len,
   if (payload_len <= 0 || out_sz < 0) return 1;
   return c3arith::decompress(payload, (size_t)payload_len, out,
                              (size_t)out_sz)
+             ? 0
+             : 1;
+}
+
+// Decode an fqzcomp quality payload into exactly out_sz bytes.
+// Returns 0 on success, 1 on failure (caller falls back).
+int clair3t_fqzcomp_decode(const uint8_t* payload, int64_t payload_len,
+                           uint8_t* out, int64_t out_sz) {
+  if (payload_len <= 0 || out_sz < 0) return 1;
+  return c3fqz::decompress(payload, (size_t)payload_len, out, (size_t)out_sz)
              ? 0
              : 1;
 }

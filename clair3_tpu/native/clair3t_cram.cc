@@ -33,6 +33,9 @@ extern "C" int clair3t_rans_nx16_decode(const uint8_t* payload,
 extern "C" int clair3t_arith_decode(const uint8_t* payload,
                                     int64_t payload_len, uint8_t* out,
                                     int64_t out_sz);
+extern "C" int clair3t_fqzcomp_decode(const uint8_t* payload,
+                                      int64_t payload_len, uint8_t* out,
+                                      int64_t out_sz);
 extern "C" int clair3t_tok3_decode(const uint8_t* payload, int64_t payload_len,
                                    uint8_t* out, int64_t out_sz);
 
@@ -173,6 +176,9 @@ int read_block(Cur& c, Block* b) {
                  ? OK : E_UNSUPPORTED;
     case 6:  // adaptive arithmetic (CRAM 3.1; EXT/bzip2 -> fallback)
       return clair3t_arith_decode(comp, comp_sz, b->data.data(), raw_sz) == 0
+                 ? OK : E_UNSUPPORTED;
+    case 7:  // fqzcomp quality codec (CRAM 3.1)
+      return clair3t_fqzcomp_decode(comp, comp_sz, b->data.data(), raw_sz) == 0
                  ? OK : E_UNSUPPORTED;
     case 8:  // tok3 name tokeniser (CRAM 3.1; rANS or arith streams)
       return clair3t_tok3_decode(comp, comp_sz, b->data.data(), raw_sz) == 0

@@ -116,3 +116,124 @@ def test_native_cram_converter_handles_arith_blocks(tmp_path, monkeypatch):
     for a, b in zip(ours, theirs):
         assert (a.qname, a.pos, a.cigar, a.seq) == (b.qname, b.pos, b.cigar, b.seq)
         assert bytes(a.qual) == bytes(b.qual)
+
+
+def _native_fqz_decode(payload: bytes, out_sz: int):
+    lib = native.get_lib()
+    lib.clair3t_fqzcomp_decode.restype = ctypes.c_int
+    lib.clair3t_fqzcomp_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
+    out = ctypes.create_string_buffer(max(out_sz, 1))
+    rc = lib.clair3t_fqzcomp_decode(payload, len(payload), out, out_sz)
+    return rc, out.raw[:out_sz]
+
+
+def _qualities(n, seed):
+    rng = random.Random(seed)
+    out = bytearray()
+    q = 25
+    while len(out) < n:
+        q = max(0, min(45, q + rng.randint(-3, 3)))
+        out += bytes([q]) * rng.randint(1, 12)
+    return bytes(out[:n])
+
+
+def test_native_fqzcomp_matches_python_encoder():
+    from clair3_tpu.io.fqzcomp import fqzcomp_compress
+
+    for data, lengths in [
+        (_qualities(5_000, 3), None),
+        (_qualities(9_000, 4), [150] * 60),
+        (b"", None),
+        (b"\x28" * 4_000, [100] * 40),
+        (bytes(random.Random(5).randrange(64) for _ in range(3_000)), None),
+    ]:
+        payload = fqzcomp_compress(data, lengths)
+        rc, got = _native_fqz_decode(payload, len(data))
+        assert rc == 0
+        assert got == data
+
+
+def test_native_fqzcomp_ptab_qtab_paths():
+    """Native decode of a hand-built stream exercising ptab/qtab context
+    components (mirrors tests/test_fqzcomp.py::test_decoder_ptab_qtab_paths)."""
+    from clair3_tpu.io.arith import RangeEncoder, SimpleModel
+    from clair3_tpu.io.fqzcomp import (
+        FQZ_VERS, FqzParam, PFLAG_HAVE_PTAB, PFLAG_HAVE_QTAB,
+        _QualModels, _update_ctx, _write_param)
+
+    pm = FqzParam()
+    pm.pflags = PFLAG_HAVE_PTAB | PFLAG_HAVE_QTAB
+    pm.max_sym = 48
+    pm.qbits = 8
+    pm.qshift = 4
+    pm.ploc = 8
+    pm.qtab = [min(15, i // 4) for i in range(256)]
+    pm.ptab = [min(15, i // 64) for i in range(1024)]
+    pm.finish()
+
+    data = _qualities(6_000, 21)
+    out = bytearray([FQZ_VERS, 0])
+    out += _write_param(pm)
+    qm = _QualModels(pm.nsym)
+    model_len = [SimpleModel(256) for _ in range(4)]
+    rc = RangeEncoder()
+    n = len(data)
+    for k in range(4):
+        model_len[k].encode(rc, (n >> (8 * k)) & 0xFF)
+    state = {"p": n, "delta": 0, "prevq": 0, "qctx": 0, "s": 0}
+    ctx = pm.context
+    for q in data:
+        qm.get(ctx).encode(rc, q)
+        ctx = _update_ctx(pm, state, q)
+    out += rc.finish()
+
+    nrc, got = _native_fqz_decode(bytes(out), n)
+    assert nrc == 0
+    assert got == data
+
+
+def test_native_cram_converter_handles_fqzcomp_blocks(tmp_path, monkeypatch):
+    """A CRAM 3.1 whose quality blocks use fqzcomp (method 7) converts
+    natively to a record-identical BAM."""
+    import clair3_tpu.io.cram as cram_mod
+    from clair3_tpu.io.bam import BamReader
+    from clair3_tpu.io.cram import M_FQZCOMP, M_RANSNX16, bam_to_cram
+    from clair3_tpu.io.fqzcomp import fqzcomp_compress
+    from clair3_tpu.testing import SimVariant, random_reference, write_test_case
+
+    ref = random_reference(5_000, seed=78)
+    fasta, bam, _, _ = write_test_case(
+        str(tmp_path), ref_length=5_000, variants=[
+            SimVariant(2_500, ref[2_500], "A" if ref[2_500] != "A" else "T", (0, 1))],
+        coverage=10, read_length=600, seed=78, error_rate=0.02)
+
+    orig_compress = cram_mod._compress
+    orig_write_block = cram_mod.write_block
+
+    def fqz_compress(method, data):
+        if method == M_FQZCOMP:
+            return fqzcomp_compress(data)
+        return orig_compress(method, data)
+
+    def fqz_write_block(block, method):
+        # route the QS stream (rANS-Nx16 by default) through fqzcomp
+        if method == M_RANSNX16 and block.content_id == 12:  # QS content id
+            method = M_FQZCOMP
+        return orig_write_block(block, method)
+
+    monkeypatch.setattr(cram_mod, "_compress", fqz_compress)
+    monkeypatch.setattr(cram_mod, "write_block", fqz_write_block)
+    cram = str(tmp_path / "fqz31.cram")
+    bam_to_cram(bam, cram, fasta, version=(3, 1))
+    monkeypatch.undo()
+
+    out_bam = str(tmp_path / "native.bam")
+    got = native.cram_to_bam_native(cram, fasta, out_bam)
+    assert got == out_bam, "native converter fell back"
+    ours = list(BamReader(out_bam))
+    theirs = list(BamReader(bam))
+    assert len(ours) == len(theirs)
+    for a, b in zip(ours, theirs):
+        assert (a.qname, a.pos, a.seq) == (b.qname, b.pos, b.seq)
+        assert bytes(a.qual) == bytes(b.qual)
