@@ -491,6 +491,55 @@ def cmd_merge_vcf(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dump_tensors(args: argparse.Namespace) -> int:
+    """Dump candidate tensors + positions/alt-info to the reference's
+    fixture format — `{prefix}.npy` plus `{prefix}.npy.info` rows
+    `pos_info\\talt_info` (reference: CreateTensorPileupFromCffi.py:443-452,
+    read back by CallVariantsFromCffi.py:107-133).  Debug/visualization
+    aid and golden-fixture generator."""
+    import numpy as np
+
+    from clair3_tpu.config import PLATFORMS
+
+    preset = PLATFORMS[args.platform]
+    if args.full_alignment:
+        from clair3_tpu.fullalign.extractor import create_fa_tensors
+
+        if not args.candidates_fn:
+            print("[ERROR] --full_alignment needs --candidates_fn "
+                  "(1-based positions, one per line)", file=sys.stderr)
+            return 1
+        with open(args.candidates_fn) as fh:
+            positions = [int(l.split()[0]) for l in fh if l.strip()]
+        tensors, pos_infos, alt_infos = create_fa_tensors(
+            args.bam_fn, args.ref_fn, args.ctg_name, positions,
+            matrix_depth=preset.matrix_depth, min_mq=args.min_mq,
+            no_phasing=True, enable_dwell=args.enable_dwell_time)
+    else:
+        from clair3_tpu.pileup.extractor import create_pileup_tensors
+
+        from clair3_tpu.io.fasta import FastaFile
+
+        end = args.ctg_end
+        if end is None:
+            fa = FastaFile(args.ref_fn)
+            end = fa.contig_length(args.ctg_name)
+            fa.close()
+        tensors, pos_infos, alt_infos, _ = create_pileup_tensors(
+            args.bam_fn, args.ref_fn, args.ctg_name, args.ctg_start, end,
+            min_mq=args.min_mq,
+            min_snp_af=preset.snp_min_af, min_indel_af=preset.indel_min_af)
+    np.save(args.tensor_fn, tensors)
+    path = args.tensor_fn if args.tensor_fn.endswith(".npy") \
+        else args.tensor_fn + ".npy"
+    with open(path + ".info", "w") as fh:
+        for pos_info, alt_info in zip(pos_infos, alt_infos):
+            fh.write(f"{pos_info}\t{alt_info}\n")
+    print(f"[INFO] dumped {len(pos_infos)} candidate tensors "
+          f"{tuple(tensors.shape)} -> {path}(.info)")
+    return 0
+
+
 def cmd_split_bam(args: argparse.Namespace) -> int:
     """Split a haplotagged BAM into per-haplotype BAMs (the reference's
     split-into-haplotypes haploid calling workflow,
@@ -643,6 +692,25 @@ def main(argv=None) -> int:
     dp.add_argument("--pileup", action="store_true")
     dp.add_argument("--show_ref", action="store_true")
     dp.set_defaults(func=cmd_decode_probabilities)
+
+    dt = sub.add_parser("dump_tensors",
+                        help="dump candidate tensors to the reference's "
+                             ".npy + .info fixture format")
+    dt.add_argument("--bam_fn", required=True)
+    dt.add_argument("--ref_fn", required=True)
+    dt.add_argument("--ctg_name", required=True)
+    dt.add_argument("--ctg_start", type=int, default=1)
+    dt.add_argument("--ctg_end", type=int, default=None)
+    dt.add_argument("--tensor_fn", required=True,
+                    help="output prefix; writes {prefix}.npy + .npy.info")
+    dt.add_argument("--platform", default="ont", choices=("ont", "hifi", "ilmn"))
+    dt.add_argument("--min_mq", type=int, default=5)
+    dt.add_argument("--full_alignment", action="store_true",
+                    help="dump FA tensors for --candidates_fn positions "
+                         "instead of pileup tensors")
+    dt.add_argument("--candidates_fn", default=None)
+    dt.add_argument("--enable_dwell_time", action="store_true")
+    dt.set_defaults(func=cmd_dump_tensors)
 
     sb = sub.add_parser("split_bam",
                         help="split a haplotagged BAM (HP tags) into "

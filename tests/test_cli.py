@@ -276,3 +276,37 @@ def test_split_bam_by_haplotype_and_haploid_call(tmp_path):
     rows = _body(os.path.join(call_out, "merge_output.vcf.gz"))
     assert len(rows) == 1
     assert rows[0].split("\t")[9].split(":")[0] in ("1", "1/1")
+
+
+def test_dump_tensors_fixture_format(cli_case, tmp_path):
+    """dump_tensors writes the reference's .npy + .info fixture contract
+    (CreateTensorPileupFromCffi.py:443-452) for pileup and FA tensors."""
+    import numpy as np
+
+    prefix = str(tmp_path / "p_chr1")
+    rc = cli_main([
+        "dump_tensors", "--bam_fn", cli_case["bam"],
+        "--ref_fn", cli_case["fasta"], "--ctg_name", "chr1",
+        "--tensor_fn", prefix,
+    ])
+    assert rc == 0
+    t = np.load(prefix + ".npy")
+    info = [l.split("\t") for l in open(prefix + ".npy.info")]
+    assert t.shape[0] == len(info) >= 2
+    assert t.shape[1:] == (33, 18)
+    positions = [int(r[0].split(":")[1]) for r in info]
+    assert 601 in positions and 1301 in positions
+
+    cands = tmp_path / "cands.txt"
+    cands.write_text("".join(f"{p}\n" for p in positions))
+    fprefix = str(tmp_path / "f_chr1")
+    rc = cli_main([
+        "dump_tensors", "--bam_fn", cli_case["bam"],
+        "--ref_fn", cli_case["fasta"], "--ctg_name", "chr1",
+        "--tensor_fn", fprefix, "--full_alignment",
+        "--candidates_fn", str(cands), "--platform", "hifi",
+    ])
+    assert rc == 0
+    ft = np.load(fprefix + ".npy")
+    assert ft.shape[1:] == (55, 33, 8)
+    assert ft.dtype == np.int8
