@@ -237,3 +237,96 @@ def test_native_cram_converter_handles_fqzcomp_blocks(tmp_path, monkeypatch):
     for a, b in zip(ours, theirs):
         assert (a.qname, a.pos, a.seq) == (b.qname, b.pos, b.seq)
         assert bytes(a.qual) == bytes(b.qual)
+
+
+def test_fqzcomp_multiparam_stab_rev_dedup_both_decoders():
+    """Hand-encode a 2-parameter-set fqzcomp stream with a selector table,
+    DO_REV reversal and DO_DEDUP duplicate records; the Python and native
+    decoders must both reproduce the expected byte stream."""
+    from clair3_tpu.io.arith import RangeEncoder, SimpleModel
+    from clair3_tpu.io.fqzcomp import (
+        FQZ_VERS, FqzParam, GFLAG_DO_REV, GFLAG_HAVE_STAB, GFLAG_MULTI_PARAM,
+        PFLAG_DO_DEDUP, PFLAG_DO_LEN, PFLAG_DO_SEL,
+        _QualModels, _update_ctx, _write_param, fqzcomp_decompress,
+        store_array)
+
+    def make_param(pflags, sloc=0):
+        pm = FqzParam()
+        pm.pflags = pflags
+        pm.max_sym = 48
+        pm.qbits = 9
+        pm.qshift = 5
+        pm.qloc = 0
+        pm.sloc = sloc
+        pm.finish()
+        return pm
+
+    params = [make_param(PFLAG_DO_LEN | PFLAG_DO_SEL, sloc=12),
+              make_param(PFLAG_DO_LEN | PFLAG_DO_DEDUP)]
+    stab = [0] + [1] * 255
+
+    rng = random.Random(11)
+    recs = []  # (payload_bytes, sel, rev, dup)
+    prev_by_any = None
+    for k in range(24):
+        sel = k % 2
+        rev = 1 if k % 5 == 0 else 0
+        dup = 1 if (sel == 1 and k % 7 == 3 and prev_by_any is not None) else 0
+        if dup:
+            data = prev_by_any  # decoder copies the PREVIOUS record verbatim
+        else:
+            n = rng.randint(20, 120)
+            q = 25
+            b = bytearray()
+            for _ in range(n):
+                q = max(0, min(47, q + rng.randint(-2, 2)))
+                b.append(q)
+            data = bytes(b)
+        recs.append((data, sel, rev, dup))
+        prev_by_any = data
+
+    out = bytearray([FQZ_VERS,
+                     GFLAG_MULTI_PARAM | GFLAG_HAVE_STAB | GFLAG_DO_REV, 2, 1])
+    out += store_array(stab, 256)
+    for pm in params:
+        out += _write_param(pm)
+
+    quals = [_QualModels(pm.nsym) for pm in params]
+    model_len = [SimpleModel(256) for _ in range(4)]
+    model_rev = SimpleModel(2)
+    model_dup = SimpleModel(2)
+    model_sel = SimpleModel(2)
+    rc = RangeEncoder()
+    expected = bytearray()
+    first_len = True
+    for data, sel, rev, dup in recs:
+        model_sel.encode(rc, sel)
+        pm = params[stab[sel]]
+        n = len(data)
+        if first_len or (pm.pflags & PFLAG_DO_LEN):
+            for k in range(4):
+                model_len[k].encode(rc, (n >> (8 * k)) & 0xFF)
+            first_len = False
+        model_rev.encode(rc, rev)
+        if pm.pflags & PFLAG_DO_DEDUP:
+            model_dup.encode(rc, dup)
+            if dup:
+                expected += data  # rev not applied to dup copies
+                continue
+        # the decoder reverses marked records at the END, so encode the
+        # reversed bytes to make `data` come out after reversal
+        coded = data[::-1] if rev else data
+        state = {"p": n, "delta": 0, "prevq": 0, "qctx": 0, "s": sel}
+        ctx = pm.context
+        qm = quals[stab[sel]]
+        for q in coded:
+            qm.get(ctx).encode(rc, q)
+            ctx = _update_ctx(pm, state, q)
+        expected += data
+    out += rc.finish()
+    payload = bytes(out)
+
+    assert fqzcomp_decompress(payload, len(expected)) == bytes(expected)
+    nrc, got = _native_fqz_decode(payload, len(expected))
+    assert nrc == 0
+    assert got == bytes(expected)
