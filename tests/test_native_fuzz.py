@@ -257,6 +257,33 @@ w.feed("chr1", 1, ref, res.pos_ref_count, res.pos_total_count)
 grows = w.finish()
 w.close()
 assert grows
+
+# CRAM 3.1 codec decoders on valid AND corrupted payloads (they parse
+# untrusted compressed input)
+import ctypes, random as _rnd
+from clair3_tpu.native import get_lib
+from clair3_tpu.io.arith import arith_compress, F_ORDER1, F_RLE, F_PACK, F_STRIPE
+from clair3_tpu.io.fqzcomp import fqzcomp_compress
+lib = get_lib()
+for fn in ("clair3t_arith_decode", "clair3t_fqzcomp_decode"):
+    f = getattr(lib, fn)
+    f.restype = ctypes.c_int
+    f.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
+rng = _rnd.Random(9)
+qdata = bytes(min(45, max(0, 25 + rng.randint(-9, 9))) for _ in range(20000))
+payloads = [(lib.clair3t_arith_decode, arith_compress(qdata, fl), len(qdata))
+            for fl in (0, F_ORDER1, F_RLE | F_ORDER1, F_PACK, F_STRIPE | F_ORDER1)]
+payloads.append((lib.clair3t_fqzcomp_decode, fqzcomp_compress(qdata, [200] * 100), len(qdata)))
+for f, payload, n in payloads:
+    buf = ctypes.create_string_buffer(n)
+    assert f(payload, len(payload), buf, n) == 0
+    for _ in range(40):  # corrupted variants must fail cleanly, never crash
+        b = bytearray(payload)
+        for _ in range(rng.randint(1, 8)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        f(bytes(b), len(b), buf, n)
+        trunc = bytes(b[: rng.randrange(1, len(b))])
+        f(trunc, len(trunc), buf, n)
 print("ASAN_WORKLOAD_OK", len(rows))
 """
     env = dict(os.environ,
