@@ -37,28 +37,57 @@ def compress_block(data: bytes, level: int = 6) -> bytes:
 
 
 class BgzfWriter:
-    """Streaming BGZF writer."""
+    """Streaming BGZF writer.
 
-    def __init__(self, path_or_fh: Union[str, BinaryIO], level: int = 6):
+    With ``threads > 1``, blocks deflate on a thread pool (zlib releases
+    the GIL, so this scales on multi-core hosts) and are written in order;
+    output bytes are identical to the serial path."""
+
+    def __init__(self, path_or_fh: Union[str, BinaryIO], level: int = 6,
+                 threads: int = 1):
         self._own = isinstance(path_or_fh, str)
         self._fh: BinaryIO = open(path_or_fh, "wb") if self._own else path_or_fh
         self._buf = bytearray()
         self._level = level
+        self._pool = None
+        self._pending = None
+        if threads > 1:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=threads)
+            self._pending = deque()
+            self._max_pending = threads * 4  # bound memory
+
+    def _emit(self, chunk: bytes) -> None:
+        if self._pool is None:
+            self._fh.write(compress_block(chunk, self._level))
+            return
+        self._pending.append(
+            self._pool.submit(compress_block, chunk, self._level))
+        while len(self._pending) > self._max_pending:
+            self._fh.write(self._pending.popleft().result())
 
     def write(self, data: bytes) -> None:
         self._buf.extend(data)
         while len(self._buf) >= _MAX_BLOCK:
             chunk = bytes(self._buf[:_MAX_BLOCK])
             del self._buf[:_MAX_BLOCK]
-            self._fh.write(compress_block(chunk, self._level))
+            self._emit(chunk)
 
     def flush_block(self) -> None:
         if self._buf:
-            self._fh.write(compress_block(bytes(self._buf), self._level))
+            self._emit(bytes(self._buf))
             self._buf.clear()
+        if self._pending:
+            while self._pending:
+                self._fh.write(self._pending.popleft().result())
 
     def close(self) -> None:
         self.flush_block()
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
         self._fh.write(BGZF_EOF)
         if self._own:
             self._fh.close()

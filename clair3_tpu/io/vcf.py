@@ -177,11 +177,12 @@ class VcfReader:
 class VcfWriter:
     """Write a VCF, BGZF-compressed when the path ends in .gz."""
 
-    def __init__(self, path: str, header: str):
+    def __init__(self, path: str, header: str, threads: int = 1):
         self.path = path
         self._bgzf = path.endswith(".gz")
         if self._bgzf:
-            self._fh: Union[BgzfWriter, TextIO] = BgzfWriter(path)
+            self._fh: Union[BgzfWriter, TextIO] = BgzfWriter(path,
+                                                             threads=threads)
         else:
             self._fh = open(path, "w")
         self._write_str(header.rstrip("\n") + "\n")

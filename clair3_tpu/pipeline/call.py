@@ -432,7 +432,7 @@ class VariantCaller:
             gvcf=False,
             contigs=contigs or getattr(self, "_contigs", None),
         )
-        with VcfWriter(path, header) as w:
+        with VcfWriter(path, header, threads=self.cfg.threads) as w:
             w.write_rows(rows)
         if path.endswith(".gz"):
             from clair3_tpu.io.tabix import write_tabix_index
@@ -469,7 +469,7 @@ class VariantCaller:
             reference_file_path=self.cfg.ref_fn,
             sample_name=self.cfg.sample_name, gvcf=True,
             contigs=header_contigs)
-        with VcfWriter(path, header) as w:
+        with VcfWriter(path, header, threads=self.cfg.threads) as w:
             w.write_rows(merged)
         return path
 

@@ -167,3 +167,23 @@ def test_bam_reader_truncated_file(tmp_path):
         assert n <= len(reads)
     except ValueError:
         pass  # acceptable: detected corruption
+
+
+def test_bgzf_threaded_writer_byte_identical(tmp_path):
+    """BgzfWriter(threads=N) must produce byte-identical output to the
+    serial writer (ordered block emission)."""
+    import random
+
+    from clair3_tpu.io.bgzf import BgzfWriter
+
+    rng = random.Random(3)
+    payload = bytes(rng.randrange(256) for _ in range(500_000))
+    a = str(tmp_path / "serial.gz")
+    b = str(tmp_path / "threaded.gz")
+    with BgzfWriter(a) as w:
+        for i in range(0, len(payload), 9973):
+            w.write(payload[i:i + 9973])
+    with BgzfWriter(b, threads=4) as w:
+        for i in range(0, len(payload), 9973):
+            w.write(payload[i:i + 9973])
+    assert open(a, "rb").read() == open(b, "rb").read()
