@@ -290,8 +290,10 @@ def candidate_tensors(
                 [], [])
 
     # vectorized window gather (the per-candidate Python loop dominated
-    # tensor creation at WGS candidate counts)
-    col_empty = np.all(result.counts == 0, axis=1)
+    # tensor creation at WGS candidate counts); single-pass any() instead
+    # of all(==0) (no [L,18] bool intermediate).  NOTE: depth==0 would be
+    # cheaper but differs on all-N columns (nonzero depth, zero matrix row).
+    col_empty = ~result.counts.any(axis=1)
     centers = np.fromiter((c.pos - result.start for c in cands), np.int64,
                           count=len(cands))
     los = centers - FLANKING_BASE_NUM
@@ -308,8 +310,11 @@ def candidate_tensors(
         return (np.zeros((0, NO_OF_POSITIONS, PILEUP_CHANNEL_SIZE), np.int32),
                 [], [])
     kidx = np.nonzero(keep)[0]
-    wins = result.counts[idx_clip[kidx]].astype(np.int32, copy=True)
-    wins *= valid[kidx][:, :, None]  # zero-pad out-of-range rows (head/tail)
+    wins = result.counts[idx_clip[kidx]]  # fancy-index gather (fresh array)
+    if wins.dtype != np.int32:
+        wins = wins.astype(np.int32)
+    if head_tail and not valid[kidx].all():
+        wins *= valid[kidx][:, :, None]  # zero-pad out-of-range rows
     pos_infos = [f"{ctg_name}:{cands[i].pos + 1}:{cands[i].ref_base}" for i in kidx]
     alt_infos = [cands[i].alt_info for i in kidx]
     return wins, pos_infos, alt_infos
