@@ -436,8 +436,11 @@ def rans_decode_native(payload: bytes) -> Optional[bytes]:
 
 
 class _GvcfRows(ctypes.Structure):
+    # '\n'-joined row blob: one bulk decode on the Python side instead of
+    # a per-row decode (a WGS run drains millions of rows)
     _fields_ = [
-        ("rows", ctypes.POINTER(ctypes.c_char_p)),
+        ("data", ctypes.POINTER(ctypes.c_char)),
+        ("len", ctypes.c_int64),
         ("n", ctypes.c_int32),
     ]
 
@@ -498,7 +501,12 @@ class NativeGvcfWriter:
         out_p = self._lib.clair3t_gvcf_take_rows(self._st, int(finish))
         out = out_p.contents
         try:
-            return [out.rows[i].decode() for i in range(out.n)]
+            if out.n == 0:
+                return []
+            blob = ctypes.string_at(out.data, out.len)
+            rows = blob.decode().split("\n")
+            rows.pop()  # trailing '\n'
+            return rows
         finally:
             self._lib.clair3t_gvcf_rows_free(out_p)
 

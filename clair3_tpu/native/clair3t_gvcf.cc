@@ -264,7 +264,9 @@ void clair3t_gvcf_feed(GvcfState* st, const char* chrom, int64_t start_pos1,
 }
 
 struct GvcfRows {
-  char** rows;
+  char* data;   // '\n'-joined rows (incl. trailing '\n'); one blob so the
+                // Python side does a single decode+split, not n_rows
+  int64_t len;
   int32_t n;
 };
 
@@ -272,20 +274,24 @@ struct GvcfRows {
 GvcfRows* clair3t_gvcf_take_rows(GvcfState* st, int finish) {
   if (finish) st->flush();
   auto* out = new GvcfRows();
-  out->n = (int32_t)st->rows.size();
-  out->rows = new char*[st->rows.size()];
-  for (size_t i = 0; i < st->rows.size(); i++) {
-    out->rows[i] = new char[st->rows[i].size() + 1];
-    memcpy(out->rows[i], st->rows[i].c_str(), st->rows[i].size() + 1);
+  size_t total = 0;
+  for (auto& r : st->rows) total += r.size() + 1;
+  out->data = new char[total ? total : 1];
+  char* p = out->data;
+  for (auto& r : st->rows) {
+    memcpy(p, r.data(), r.size());
+    p += r.size();
+    *p++ = '\n';
   }
+  out->len = (int64_t)total;
+  out->n = (int32_t)st->rows.size();
   st->rows.clear();
   return out;
 }
 
 void clair3t_gvcf_rows_free(GvcfRows* r) {
   if (!r) return;
-  for (int32_t i = 0; i < r->n; i++) delete[] r->rows[i];
-  delete[] r->rows;
+  delete[] r->data;
   delete r;
 }
 
