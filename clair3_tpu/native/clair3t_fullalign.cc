@@ -11,6 +11,9 @@
 
 #include "common.h"
 
+#include <chrono>
+#include <cstdlib>
+
 #include <algorithm>
 #include <cstdint>
 #include <cstdlib>
@@ -341,6 +344,16 @@ FaOut* clair3t_fullalign(
     int max_indel_length, int enable_dwell, uint64_t seed,
     const uint64_t* voffs, int n_win, int tid_hint,
     int8_t* matrix_ext) {
+  // CLAIR3T_PROFILE=1: per-phase wall times on stderr (observability)
+  const bool profile = getenv("CLAIR3T_PROFILE") != nullptr;
+  auto t_start = std::chrono::steady_clock::now();
+  auto lap = [&](const char* phase) {
+    if (!profile) return;
+    auto now = std::chrono::steady_clock::now();
+    fprintf(stderr, "[clair3t_fullalign] %s %.1f ms\n", phase,
+            std::chrono::duration<double, std::milli>(now - t_start).count());
+    t_start = now;
+  };
   auto* out = new FaOut();
   memset(out, 0, sizeof(FaOut));
   out->external = matrix_ext != nullptr;
@@ -369,6 +382,7 @@ FaOut* clair3t_fullalign(
       return out;
     }
   }
+  lap("load");
   const int64_t ref_len = (int64_t)strlen(ref_seq);
 
   std::vector<Variant> variants(n_var);
@@ -498,6 +512,7 @@ FaOut* clair3t_fullalign(
     infos.push_back(std::move(info));
     return true;
   });
+  lap("collect");
 
   // reads arrive coordinate-sorted; stable order matches the Python oracle
   size_t total = (size_t)n_cand * matrix_depth * kPositions * channels;
@@ -696,6 +711,7 @@ FaOut* clair3t_fullalign(
     }
   }
 
+  lap("fill");
   out->matrix = matrix;
   out->alt_infos = alt_infos;
   out->cand_pos = cand_pos_out;
