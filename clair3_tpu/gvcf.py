@@ -217,6 +217,13 @@ class NonVariantBlockWriter:
                 self.rows.append(self._row(head, end, self._min_raw_gq, self._min_dp))
         self._block = []
 
+    def drain(self) -> List[str]:
+        """Completed rows so far (streaming spill support); the open block
+        stays internal until finish()."""
+        out = self.rows
+        self.rows = []
+        return out
+
     def finish(self) -> List[str]:
         self.flush()
         return self.rows
@@ -244,79 +251,91 @@ def _augment_variant_row(row: str) -> Optional[Tuple[str, int, int]]:
     return "\t".join(cols), start, end
 
 
-def merge_variant_and_nonvariant(
+def merge_variant_and_nonvariant_stream(
     variant_rows: Iterable[str],
     nonvariant_rows: Iterable[str],
     ref_base_at: Callable[[str, int], str],
-) -> List[str]:
-    """Interleave variant calls with non-variant blocks per contig, splitting
-    blocks around variant spans (gvcfGenerator.mergeCalls semantics)."""
+) -> Iterator[str]:
+    """Interleave variant calls with non-variant blocks per contig,
+    splitting blocks around variant spans (gvcfGenerator.mergeCalls
+    semantics).  Single streaming pass over ``nonvariant_rows`` (which must
+    be contig-grouped and start-sorted, as the pipeline produces them), so
+    WGS-scale block streams never need to be memory-resident."""
     variants_by_ctg: dict = {}
+    ctg_seen: List[str] = []  # variant contigs in insertion order
     for row in variant_rows:
         if row.startswith("#"):
             continue
         aug = _augment_variant_row(row)
         if aug:
-            variants_by_ctg.setdefault(row.split("\t", 1)[0], []).append(aug)
+            chrom = row.split("\t", 1)[0]
+            if chrom not in variants_by_ctg:
+                variants_by_ctg[chrom] = []
+                ctg_seen.append(chrom)
+            variants_by_ctg[chrom].append(aug)
 
-    blocks_by_ctg: dict = {}
-    ctg_order: List[str] = []
-    for row in nonvariant_rows:
-        if row.startswith("#"):
-            continue
-        row = row.rstrip("\n")
-        cols = row.split("\t")
-        chrom = cols[0]
-        start = int(cols[1])
-        if len(cols) > 7 and cols[7].startswith("END="):  # canonical layout
-            end = int(cols[7][4:])
-        else:
-            m = _END_RE.search(row)
-            end = int(m.group(1)) if m else start
-        if chrom not in blocks_by_ctg:
-            blocks_by_ctg[chrom] = []
-            ctg_order.append(chrom)
-        blocks_by_ctg[chrom].append((row, start, end))
-    for chrom in variants_by_ctg:
-        if chrom not in blocks_by_ctg:
-            blocks_by_ctg[chrom] = []
-            ctg_order.append(chrom)
-
-    out: List[str] = []
-
-    def write_block(row: str, start: int, end: int, chrom: str,
-                    bstart: int, bend: int) -> None:
+    def split_block(row: str, start: int, end: int, chrom: str,
+                    bstart: int, bend: int) -> str:
         if start == bstart and end == bend:  # untouched block (majority)
-            out.append(row)
-            return
+            return row
         cols = row.split("\t")
         if start != bstart:
             cols[1] = str(start)
             cols[3] = ref_base_at(chrom, start)
         if len(cols) > 7 and cols[7].startswith("END="):
             cols[7] = f"END={end}"
-            out.append("\t".join(cols))
-        else:
-            out.append(re.sub(r"END=\d+", f"END={end}", "\t".join(cols)))
+            return "\t".join(cols)
+        return re.sub(r"END=\d+", f"END={end}", "\t".join(cols))
 
-    for chrom in ctg_order:
-        variants = variants_by_ctg.get(chrom, [])
-        vi = 0
-        for row, bstart, bend in blocks_by_ctg[chrom]:
-            cur_start = bstart
-            while vi < len(variants) and variants[vi][2] < cur_start:
-                out.append(variants[vi][0])
+    cur_ctg: Optional[str] = None
+    variants: List[Tuple[str, int, int]] = []
+    vi = 0
+    for row in nonvariant_rows:
+        if row.startswith("#"):
+            continue
+        row = row.rstrip("\n")
+        cols = row.split("\t")
+        chrom = cols[0]
+        bstart = int(cols[1])
+        if len(cols) > 7 and cols[7].startswith("END="):  # canonical layout
+            bend = int(cols[7][4:])
+        else:
+            m = _END_RE.search(row)
+            bend = int(m.group(1)) if m else bstart
+        if chrom != cur_ctg:
+            while vi < len(variants):  # flush the previous contig's tail
+                yield variants[vi][0]
                 vi += 1
-            while vi < len(variants) and variants[vi][1] <= bend:
-                vrow, vstart, vend = variants[vi]
-                if vstart > cur_start:
-                    write_block(row, cur_start, vstart - 1, chrom, bstart, bend)
-                out.append(vrow)
-                cur_start = max(cur_start, vend + 1)
-                vi += 1
-            if cur_start <= bend:
-                write_block(row, cur_start, bend, chrom, bstart, bend)
-        while vi < len(variants):
-            out.append(variants[vi][0])
+            cur_ctg = chrom
+            variants = variants_by_ctg.pop(chrom, [])
+            vi = 0
+        cur_start = bstart
+        while vi < len(variants) and variants[vi][2] < cur_start:
+            yield variants[vi][0]
             vi += 1
-    return out
+        while vi < len(variants) and variants[vi][1] <= bend:
+            vrow, vstart, vend = variants[vi]
+            if vstart > cur_start:
+                yield split_block(row, cur_start, vstart - 1, chrom, bstart, bend)
+            yield vrow
+            cur_start = max(cur_start, vend + 1)
+            vi += 1
+        if cur_start <= bend:
+            yield split_block(row, cur_start, bend, chrom, bstart, bend)
+    while vi < len(variants):
+        yield variants[vi][0]
+        vi += 1
+    # contigs with variant calls but no non-variant blocks
+    for chrom in ctg_seen:
+        for vrow, _, _ in variants_by_ctg.get(chrom, ()):
+            yield vrow
+
+
+def merge_variant_and_nonvariant(
+    variant_rows: Iterable[str],
+    nonvariant_rows: Iterable[str],
+    ref_base_at: Callable[[str, int], str],
+) -> List[str]:
+    """List form of :func:`merge_variant_and_nonvariant_stream`."""
+    return list(merge_variant_and_nonvariant_stream(
+        variant_rows, nonvariant_rows, ref_base_at))

@@ -201,9 +201,22 @@ class VcfWriter:
 
     def write_rows(self, rows, chunk: int = 8192) -> None:
         """Batched row writing: one join + encode per chunk instead of a
-        Python call round-trip per row (matters at gVCF scale, ~10^6 rows)."""
-        for i in range(0, len(rows), chunk):
-            s = "\n".join(r.rstrip("\n") for r in rows[i:i + chunk])
+        Python call round-trip per row (matters at gVCF scale, ~10^6 rows).
+        Accepts any iterable; generators stream without materializing."""
+        if isinstance(rows, (list, tuple)):
+            for i in range(0, len(rows), chunk):
+                s = "\n".join(r.rstrip("\n") for r in rows[i:i + chunk])
+                if s:
+                    self._write_str(s + "\n")
+            return
+        from itertools import islice
+
+        it = iter(rows)
+        while True:
+            part = list(islice(it, chunk))
+            if not part:
+                return
+            s = "\n".join(r.rstrip("\n") for r in part)
             if s:
                 self._write_str(s + "\n")
 

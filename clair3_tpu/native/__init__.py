@@ -510,6 +510,13 @@ class NativeGvcfWriter:
         finally:
             self._lib.clair3t_gvcf_rows_free(out_p)
 
+    def drain(self) -> List[str]:
+        """Completed rows so far (streaming spill support); the open block
+        stays internal until finish()."""
+        out = self.rows + self._take(False)
+        self.rows = []
+        return out
+
     def finish(self) -> List[str]:
         self.rows.extend(self._take(True))
         return self.rows

@@ -275,6 +275,19 @@ class VariantCaller:
                 gvcf_writer = NonVariantBlockWriter(
                     p_err=self.cfg.base_err, gq_bin_size=self.cfg.gq_bin_size,
                     contig_lengths=lengths)
+            # spill completed non-variant blocks to disk as chunks finish:
+            # WGS-scale block streams (tens of GB of rows) must never be
+            # memory-resident (reference keeps per-chunk .tmp.gvcf files)
+            from clair3_tpu.io.bgzf import BgzfWriter
+
+            os.makedirs(os.path.join(self.cfg.output_dir, "tmp"), exist_ok=True)
+            self._nonvar_spill_path = os.path.join(
+                self.cfg.output_dir, "tmp", "nonvar.gvcf.gz")
+            # level 1: the spill is a temp file, favor speed over ratio
+            # (the reference lz4-compresses its gvcf intermediates for the
+            # same reason, SortVcf.py:203-216)
+            nonvar_spill = BgzfWriter(self._nonvar_spill_path, level=1,
+                                      threads=self.cfg.threads)
         with ThreadPoolExecutor(max_workers=max(1, self.cfg.threads)) as pool:
             for task, (tensors, pos_infos, alt_infos, res) in self._bounded_map(
                 pool, self._extract_pileup_chunk, tasks,
@@ -295,6 +308,10 @@ class VariantCaller:
                         nr[d0: d0 + (s1 - s0)] = res.pos_ref_count[s0:s1]
                         nt[d0: d0 + (s1 - s0)] = res.pos_total_count[s0:s1]
                     gvcf_writer.feed(task.contig, task.start, ref_seq, nr, nt)
+                    done = gvcf_writer.drain()
+                    if done:
+                        nonvar_spill.write(
+                            ("\n".join(done) + "\n").encode())
                 if self._bed_tree is not None or self._known_sites is not None:
                     tensors, pos_infos, alt_infos = self._filter_candidates(
                         task.contig, tensors, pos_infos, alt_infos)
@@ -313,7 +330,10 @@ class VariantCaller:
                                     getattr(self, "_p_pending", None), decode_cfg))
             self._p_pending = None
         if gvcf_writer is not None:
-            self.nonvariant_rows = gvcf_writer.finish()
+            tail = gvcf_writer.finish()
+            if tail:
+                nonvar_spill.write(("\n".join(tail) + "\n").encode())
+            nonvar_spill.close()
             fa.close()
         logger.info(
             "[pileup] %d candidates -> %d rows in %.1fs",
@@ -442,19 +462,30 @@ class VariantCaller:
 
     def _write_gvcf(self, final_rows: Sequence[str]) -> Optional[str]:
         """Merge the final variant rows with the non-variant blocks into
-        merge_output.gvcf.gz (reference: MergeVcf.mergeNonVariant)."""
+        merge_output.gvcf.gz (reference: MergeVcf.mergeNonVariant).  The
+        block stream comes from the pileup stage's disk spill and is merged
+        and written incrementally — O(variants) memory, not O(genome)."""
         if not self.cfg.gvcf:
             return None
-        from clair3_tpu.gvcf import merge_variant_and_nonvariant
+        import gzip as _gzip
+
+        from clair3_tpu.gvcf import merge_variant_and_nonvariant_stream
 
         fa = FastaFile(self.cfg.ref_fn)
 
         def ref_base_at(chrom: str, pos1: int) -> str:
             return fa.fetch(chrom, pos1 - 1, pos1) or "N"
 
-        merged = merge_variant_and_nonvariant(
-            final_rows, self.nonvariant_rows, ref_base_at)
-        fa.close()
+        def nonvariant_iter():
+            spill = getattr(self, "_nonvar_spill_path", None)
+            if spill and os.path.exists(spill):
+                with _gzip.open(spill, "rt") as fh:
+                    yield from fh
+            else:  # tests may inject rows directly
+                yield from self.nonvariant_rows
+
+        merged = merge_variant_and_nonvariant_stream(
+            final_rows, nonvariant_iter(), ref_base_at)
         path = os.path.join(self.cfg.output_dir, "merge_output.gvcf.gz")
         # Header contigs: called contigs by default; --output_all_contigs_in_
         # gvcf_header keeps every fai contig (reference: SortVcf.py:276,346
@@ -469,8 +500,11 @@ class VariantCaller:
             reference_file_path=self.cfg.ref_fn,
             sample_name=self.cfg.sample_name, gvcf=True,
             contigs=header_contigs)
-        with VcfWriter(path, header, threads=self.cfg.threads) as w:
-            w.write_rows(merged)
+        try:
+            with VcfWriter(path, header, threads=self.cfg.threads) as w:
+                w.write_rows(merged)
+        finally:
+            fa.close()
         return path
 
     def _final_phasing(self, final_rows, contig_names, outputs) -> None:
