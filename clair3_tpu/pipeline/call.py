@@ -202,7 +202,7 @@ class VariantCaller:
                     return False
                 return True
 
-        return create_pileup_tensors(
+        tensors, pos_infos, alt_infos, res = create_pileup_tensors(
             self.cfg.bam_fn,
             self.cfg.ref_fn,
             task.contig,
@@ -219,6 +219,12 @@ class VariantCaller:
             threads=per_call,
             positions_filter=positions_filter,
         )
+        # window slicing is done; only the gVCF count arrays are consumed
+        # downstream — drop the dense [L,18] matrix so the bounded-prefetch
+        # window holds MBs per chunk, not the ~380 MB counts of a 5 Mb chunk
+        res.counts = None
+        res.depth = None
+        return tensors, pos_infos, alt_infos, res
 
     @staticmethod
     def _bounded_map(pool, fn, items, window: int):
