@@ -42,10 +42,11 @@ from clair3_tpu.pipeline.merge_sort import (
 )
 from clair3_tpu.pipeline.select import (
     CandidateBatch,
-    select_candidates,
-    select_het_snps,
-    select_phase_qual,
-    select_qual,
+    collect_pileup_stats,
+    select_candidates_from_stats,
+    select_het_snps_from_stats,
+    select_phase_qual_from_stats,
+    select_qual_from_stats,
 )
 from clair3_tpu.pileup.extractor import create_pileup_tensors
 
@@ -693,17 +694,21 @@ class VariantCaller:
             return outputs
 
         # --- full-alignment cascade ---
-        pileup_records = [parse_vcf_line(r) for r in pileup_rows]
-        var_qual, ref_qual = select_qual(
-            pileup_records, cfg.var_pct_full, cfg.ref_pct_full)
+        # compact routing stats: one pass over the row strings instead of a
+        # parsed VcfRecord per row (O(genome) objects on a real genome)
+        pileup_stats = collect_pileup_stats(pileup_rows)
+        var_qual, ref_qual = select_qual_from_stats(
+            pileup_stats, cfg.var_pct_full, cfg.ref_pct_full)
         logger.info("[select] var_qual=%.2f ref_qual=%.2f", var_qual, ref_qual)
 
         phased_by_contig: Dict[str, List] = {}
         if self.phaser is not None and not cfg.no_phasing_for_fa:
             with self._timed("phase"):
-                phase_qual = select_phase_qual(pileup_records, cfg.var_pct_phasing)
+                phase_qual = select_phase_qual_from_stats(
+                    pileup_stats, cfg.var_pct_phasing)
                 for ctg in contig_names:
-                    het_snps = select_het_snps(pileup_records, phase_qual, ctg)
+                    het_snps = select_het_snps_from_stats(
+                        pileup_rows, pileup_stats, phase_qual, ctg)
                     phased_by_contig[ctg] = self.phaser.phase(ctg, het_snps)
 
         fa_rows: List[str] = []
@@ -716,8 +721,8 @@ class VariantCaller:
                         def fetch_window(pos1, _ctg=ctg, _fa=_ent_fa):
                             return _fa.fetch(_ctg, max(0, pos1 - 17), pos1 + 16)
 
-                    batches = select_candidates(
-                        pileup_records, ctg, var_qual, ref_qual,
+                    batches = select_candidates_from_stats(
+                        pileup_stats, ctg, var_qual, ref_qual,
                         phased_rows=phased_by_contig.get(ctg, ()),
                         call_low_seq_entropy=cfg.call_low_seq_entropy,
                         seq_entropy_pro=cfg.seq_entropy_pro,

@@ -373,3 +373,59 @@ def test_select_candidates_low_entropy_routing():
     assert batches[0].positions == [300]  # only the homopolymer window
     # off: nothing routed (all quals above cutoff)
     assert select_candidates(rows, "chr1", 5.0, 5.0) == []
+
+
+def test_stats_select_path_matches_record_path():
+    """The WGS-scale array-based routing (collect_pileup_stats +
+    select_*_from_stats) must produce identical cutoffs, het-SNP sets and
+    candidate batches to the VcfRecord-based functions."""
+    import random
+
+    from clair3_tpu.io.vcf import parse_vcf_line
+    from clair3_tpu.pipeline.select import (
+        collect_pileup_stats, select_candidates, select_candidates_from_stats,
+        select_het_snps, select_het_snps_from_stats, select_phase_qual,
+        select_phase_qual_from_stats, select_qual, select_qual_from_stats)
+
+    rng = random.Random(17)
+    rows = []
+    for ctg in ("chr1", "chr2"):
+        pos = 50
+        for _ in range(400):
+            pos += rng.randint(5, 60)
+            r = rng.random()
+            if r < 0.35:
+                ref, alt, gt = "A", ".", "0/0"
+            elif r < 0.65:
+                ref, alt, gt = "C", "T", rng.choice(["0/1", "1/0", "0|1"])
+            elif r < 0.8:
+                ref, alt, gt = "G", "A", "1/1"
+            else:
+                ref, alt, gt = "A", "ATT", "0/1"
+            q = round(rng.uniform(0.2, 28), 4)
+            rows.append(f"{ctg}\t{pos}\t.\t{ref}\t{alt}\t{q}\t.\t.\t"
+                        f"GT:GQ:DP:AF:PS\t{gt}:{int(q)}:20:0.4:{pos}")
+    records = [parse_vcf_line(r) for r in rows]
+    stats = collect_pileup_stats(rows)
+
+    assert select_qual_from_stats(stats, 0.3, 0.1) == \
+        select_qual(records, 0.3, 0.1)
+    assert select_phase_qual_from_stats(stats, 0.7) == \
+        select_phase_qual(records, 0.7)
+
+    pq = select_phase_qual(records, 0.7)
+    for ctg in ("chr1", "chr2"):
+        a = select_het_snps(records, pq, ctg)
+        b = select_het_snps_from_stats(rows, stats, pq, ctg)
+        assert [(r.pos, r.qual) for r in a] == [(r.pos, r.qual) for r in b]
+
+    vq, rq = select_qual(records, 0.3, 0.1)
+    phased = select_het_snps(records, pq, "chr1")
+    for ctg in ("chr1", "chr2"):
+        a = select_candidates(records, ctg, vq, rq, phased_rows=phased,
+                              split_bed_size=37)
+        b = select_candidates_from_stats(stats, ctg, vq, rq,
+                                         phased_rows=phased,
+                                         split_bed_size=37)
+        assert [(x.contig, x.positions, x.phased_snps) for x in a] == \
+            [(x.contig, x.positions, x.phased_snps) for x in b]
