@@ -21,7 +21,7 @@ import logging
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -31,7 +31,7 @@ from clair3_tpu.decode import (DecodeConfig, batch_decode,
                                batch_decode_parallel, shutdown_decode_pool)
 from clair3_tpu.io.bam import BamReader
 from clair3_tpu.io.fasta import FastaFile
-from clair3_tpu.io.vcf import VcfReader, VcfWriter, get_header, parse_vcf_line
+from clair3_tpu.io.vcf import VcfReader, VcfWriter, get_header
 from clair3_tpu.pipeline.engine import rescale_high_coverage_pileup
 from clair3_tpu.pipeline.merge_sort import (
     mark_low_qual,
