@@ -474,9 +474,8 @@ class VariantCaller:
         and written incrementally — O(variants) memory, not O(genome)."""
         if not self.cfg.gvcf:
             return None
-        import gzip as _gzip
-
         from clair3_tpu.gvcf import merge_variant_and_nonvariant_stream
+        from clair3_tpu.io.bgzf import iter_lines
 
         fa = FastaFile(self.cfg.ref_fn)
 
@@ -486,8 +485,7 @@ class VariantCaller:
         def nonvariant_iter():
             spill = getattr(self, "_nonvar_spill_path", None)
             if spill and os.path.exists(spill):
-                with _gzip.open(spill, "rt") as fh:
-                    yield from fh
+                yield from iter_lines(spill)
             else:  # tests may inject rows directly
                 yield from self.nonvariant_rows
 

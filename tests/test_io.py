@@ -187,3 +187,17 @@ def test_bgzf_threaded_writer_byte_identical(tmp_path):
         for i in range(0, len(payload), 9973):
             w.write(payload[i:i + 9973])
     assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_bgzf_iter_lines(tmp_path):
+    import random
+
+    from clair3_tpu.io.bgzf import BgzfWriter, iter_lines
+
+    rng = random.Random(8)
+    lines = [f"chr1\t{i}\tEND={i+9}\t" + "x" * rng.randrange(0, 200)
+             for i in range(50_000)]
+    path = str(tmp_path / "t.gz")
+    with BgzfWriter(path, level=1) as w:
+        w.write(("\n".join(lines) + "\n").encode())
+    assert list(iter_lines(path)) == lines
