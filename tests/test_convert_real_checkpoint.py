@@ -263,3 +263,49 @@ def test_strict_conversion_rejects_missing_keys(tmp_path):
     torch.save(sd, path)
     with pytest.raises(KeyError):
         convert_checkpoint(path, "pileup")
+
+
+@pytest.mark.slow
+def test_cli_call_with_pt_checkpoints_end_to_end(tmp_path):
+    """A user's first-run path: a --model_path directory containing
+    reference-layout pileup.pt / full_alignment.pt (torch state_dicts,
+    run_clair3.py:147-149) drives the full CLI cascade."""
+    import torch
+
+    from clair3_tpu.cli import main as cli_main
+    from clair3_tpu.testing import SimVariant, random_reference, write_test_case
+
+    model_dir = tmp_path / "models"
+    model_dir.mkdir()
+    torch.manual_seed(0)
+    torch.save(RefClair3P(add_indel_length=False).state_dict(),
+               str(model_dir / "pileup.pt"))
+    # DDP-prefixed wrapper variant for the FA net (run_clair3.py:414-430)
+    fa_sd = RefClair3F(add_indel_length=True).state_dict()
+    torch.save({"state_dict": {f"module.{k}": v for k, v in fa_sd.items()}},
+               str(model_dir / "full_alignment.pt"))
+
+    d = tmp_path / "case"
+    d.mkdir()
+    ref = random_reference(1500, seed=23)
+    v = SimVariant(700, ref[700], "C" if ref[700] != "C" else "G", (1, 1))
+    fasta, bam, _, _ = write_test_case(
+        str(d), ref_length=1500, variants=[v], coverage=20,
+        read_length=500, seed=23, error_rate=0.01)
+    out = str(tmp_path / "out")
+    rc = cli_main([
+        "call", "--bam_fn", bam, "--ref_fn", fasta, "--output", out,
+        "--model_path", str(model_dir), "--platform", "hifi",
+        "--no_phasing_for_fa", "--var_pct_full", "1.0",
+        "--ref_pct_full", "1.0",
+    ])
+    assert rc == 0
+    import gzip as _gz
+    import os as _os
+
+    assert _os.path.exists(_os.path.join(out, "merge_output.vcf.gz"))
+    # untrained nets emit arbitrary genotypes; the pipeline ran end-to-end
+    # if the pileup stage produced scored rows
+    rows = [l for l in _gz.open(_os.path.join(out, "pileup.vcf.gz"), "rt")
+            if not l.startswith("#")]
+    assert rows
