@@ -61,8 +61,11 @@ def main():
     from clair3_tpu.train.data import TruthVariant, build_labels, write_bin
     from clair3_tpu.train.trainer import train_model
 
-    L = 260_000
-    TRAIN_END = 220_000
+    # scale knobs (env): larger runs give stronger accuracy evidence
+    L = int(os.environ.get("C3T_DEMO_L", 260_000))
+    TRAIN_END = int(os.environ.get("C3T_DEMO_TRAIN_END", L - 40_000))
+    STEPS_P = int(os.environ.get("C3T_DEMO_STEPS_P", 400))
+    STEPS_F = int(os.environ.get("C3T_DEMO_STEPS_F", 300))
     print(f"[full] simulating {L // 1000}kb diploid genome -> {out_dir}")
     fasta, bam, ref, variants = simulate(out_dir, L)
     truths = [TruthVariant("chr1", v.pos + 1, v.ref, v.alt, *sorted(v.genotype))
@@ -83,7 +86,7 @@ def main():
                         chunk_size_pileup=100, max_epoch=60, seed=0,
                         early_stop_patience=15)
     p_result = train_model([p_bin], os.path.join(out_dir, "pileup_model"),
-                           p_cfg, max_steps=400)
+                           p_cfg, max_steps=STEPS_P)
     print(f"[full] pileup best_val_loss={p_result['best_val_loss']:.4f}")
 
     # ---- stage 2 training data: FA tensors with haplotagging ----
@@ -110,7 +113,7 @@ def main():
                         chunk_size_fa=100, max_epoch=60, seed=0,
                         early_stop_patience=15)
     f_result = train_model([f_bin], os.path.join(out_dir, "fa_model"),
-                           f_cfg, max_steps=300)
+                           f_cfg, max_steps=STEPS_F)
     print(f"[full] FA best_val_loss={f_result['best_val_loss']:.4f}")
 
     # ---- full cascade on the held-out region ----
