@@ -166,9 +166,9 @@ def _validate_call_inputs(args) -> Optional[str]:
         shared = set(fa.references) & set(bam.references)
         fa.close()
         if args.ctg_name:
-            wanted = set(args.ctg_name.split(","))
-            if not wanted & shared:
-                return (f"contig(s) {args.ctg_name!r} absent from BAM+FASTA "
+            missing = [c for c in args.ctg_name.split(",") if c not in shared]
+            if missing:
+                return (f"contig(s) {','.join(missing)} absent from BAM+FASTA "
                         f"intersection (have: {sorted(shared)[:5]}...)")
         if not shared:
             return "no contigs shared between the BAM and the reference"
@@ -183,13 +183,15 @@ def cmd_call(args: argparse.Namespace) -> int:
     from clair3_tpu.config import CallConfig
     from clair3_tpu.pipeline.call import VariantCaller
 
+    # before validation: --disable_c_impl must also govern the readers
+    # the validators open (the flag exists to route around native code)
+    if args.disable_c_impl:
+        os.environ["CLAIR3T_DISABLE_NATIVE"] = "1"
+
     err = _validate_call_inputs(args)
     if err:
         print(f"[ERROR] {err}", file=sys.stderr)
         return 1
-
-    if args.disable_c_impl:
-        os.environ["CLAIR3T_DISABLE_NATIVE"] = "1"
 
     cfg = CallConfig(
         platform=args.platform,
@@ -552,24 +554,27 @@ def cmd_split_bam(args: argparse.Namespace) -> int:
 
     os.makedirs(args.output_dir, exist_ok=True)
     bam = BamReader(args.bam_fn)
-    hap1, hap2, untagged = [], [], 0
-    for read in bam:
-        hp = read.tags.get("HP")
-        if hp == 1:
-            hap1.append(read)
-        elif hp == 2:
-            hap2.append(read)
-        else:
-            untagged += 1
-            if args.include_untagged:
-                hap1.append(read)
-                hap2.append(read)
     outs = {}
-    for name, reads in (("hap1", hap1), ("hap2", hap2)):
+    untagged = 0
+    # one streaming pass per haplotype: write_bam consumes a generator, so
+    # a WGS-scale BAM never needs its reads resident in memory
+    for hap, name in ((1, "hap1"), (2, "hap2")):
+        n = untagged = 0
+
+        def reads():
+            nonlocal n, untagged
+            for read in BamReader(args.bam_fn):
+                hp = read.tags.get("HP")
+                if hp == hap or (hp not in (1, 2) and args.include_untagged):
+                    n += 1
+                    yield read
+                if hp not in (1, 2):
+                    untagged += 1
+
         path = os.path.join(args.output_dir, f"{name}.bam")
-        write_bam(path, bam.references, bam.lengths, reads)
+        write_bam(path, bam.references, bam.lengths, reads())
         outs[name] = path
-        print(f"[INFO] {name}: {len(reads)} reads -> {path}")
+        print(f"[INFO] {name}: {n} reads -> {path}")
     print(f"[INFO] untagged reads: {untagged} "
           f"({'included in both' if args.include_untagged else 'dropped'})")
     print("[INFO] call each haplotype with: clair3_tpu call --bam_fn "

@@ -99,8 +99,8 @@ class BgzfWriter:
         self.close()
 
 
-def iter_blocks(fh: BinaryIO) -> Iterator[bytes]:
-    """Yield decompressed BGZF blocks from a file handle."""
+def _iter_raw_blocks(fh: BinaryIO):
+    """Walk BGZF member framing, yielding (deflate_payload, isize) pairs."""
     while True:
         header = fh.read(12)
         if len(header) < 12:
@@ -124,6 +124,12 @@ def iter_blocks(fh: BinaryIO) -> Iterator[bytes]:
         if len(payload) < payload_len or len(footer) < 8:
             raise ValueError("truncated BGZF block")
         (_, isize) = struct.unpack("<II", footer)
+        yield payload, isize
+
+
+def iter_blocks(fh: BinaryIO) -> Iterator[bytes]:
+    """Yield decompressed BGZF blocks from a file handle."""
+    for payload, isize in _iter_raw_blocks(fh):
         try:
             data = zlib.decompress(payload, -15)
         except zlib.error as e:
@@ -146,7 +152,7 @@ def iter_lines(path: str) -> Iterator[str]:
             import ctypes
 
             lib = get_lib()
-            lib.clair3t_raw_inflate.restype = ctypes.c_int64
+            lib.clair3t_raw_inflate.restype = ctypes.c_int
             lib.clair3t_raw_inflate.argtypes = [
                 ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
                 ctypes.c_size_t]
@@ -162,27 +168,7 @@ def iter_lines(path: str) -> Iterator[str]:
 
     carry = b""
     with open(path, "rb") as fh:
-        while True:
-            header = fh.read(12)
-            if len(header) < 12:
-                break
-            (xlen,) = struct.unpack("<H", header[10:12])
-            extra = fh.read(xlen)
-            bsize = None
-            off = 0
-            while off + 4 <= len(extra):
-                si1, si2 = extra[off], extra[off + 1]
-                slen = struct.unpack("<H", extra[off + 2:off + 4])[0]
-                if si1 == 0x42 and si2 == 0x43 and slen == 2:
-                    bsize = struct.unpack("<H", extra[off + 4:off + 6])[0] + 1
-                off += 4 + slen
-            if bsize is None:
-                raise ValueError("BGZF block missing BC subfield")
-            payload = fh.read(bsize - 12 - xlen - 8)
-            footer = fh.read(8)
-            if len(footer) < 8:
-                raise ValueError("truncated BGZF block")
-            (_, isize) = struct.unpack("<II", footer)
+        for payload, isize in _iter_raw_blocks(fh):
             if not isize:
                 continue
             if native_inflate is not None:

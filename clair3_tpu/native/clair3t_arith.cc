@@ -188,7 +188,10 @@ bool rle_decode(Cur& c, size_t out_sz, int order, uint8_t* out) {
 }
 
 bool decompress(const uint8_t* in, size_t in_len, uint8_t* out,
-                size_t out_len) {
+                size_t out_len, int depth = 0) {
+  // the spec nests transforms at most one level (stripe of plain streams);
+  // an adversarial payload of nested stripes must not recurse unboundedly
+  if (depth > 2) return false;
   Cur c{in, in_len};
   int flags = c.u8();
   if (c.fail) return false;
@@ -209,7 +212,8 @@ bool decompress(const uint8_t* in, size_t in_len, uint8_t* out,
       size_t ulen = out_sz / X + ((out_sz % X) > (size_t)j ? 1 : 0);
       if (c.p + clens[j] > c.n) return false;
       sub.resize(ulen);
-      if (!decompress(c.d + c.p, clens[j], sub.data(), ulen)) return false;
+      if (!decompress(c.d + c.p, clens[j], sub.data(), ulen, depth + 1))
+        return false;
       c.p += clens[j];
       for (size_t i = 0; i < ulen; i++) out[i * X + j] = sub[i];
     }
@@ -252,6 +256,12 @@ bool decompress(const uint8_t* in, size_t in_len, uint8_t* out,
 
   if (has_pack) {  // same bit-unpack as rANS-Nx16 (io/rans_nx16.py)
     size_t fl = final_len;
+    // the unpack loop indexes target[(fl-1) >> shift]; a lying packed
+    // length must fail cleanly, not read past the stage buffer
+    if (nsym > 1 && fl > 0) {
+      int shift = nsym <= 2 ? 3 : (nsym <= 4 ? 2 : 1);
+      if (((fl - 1) >> shift) >= out_sz) return false;
+    }
     if (nsym <= 1) {
       if (nsym == 0 && fl > 0) return false;
       memset(out, nsym ? pmap[0] : 0, fl);

@@ -56,13 +56,12 @@ int base_index(char b) {
 constexpr int8_t kNt16ToIdx[16] = {
     -1, 0, 1, -1, 2, -1, -1, -1, 3, -1, -1, -1, -1, -1, -1, -1};
 
-// Counting-pass temp layout: 12 x uint16 per column (24 B vs the 76 B/pos
-// of the 18-ch int32 matrix + depth), so the read-span hot window stays
-// ~3x smaller in L2 and the per-base depth increment disappears (depth is
-// the channel sum at finalize).  Channels: A C G T N fwd | A C G T N rev |
-// del-span fwd | del-span rev.  uint16 bounds per-column per-strand depth
-// at 65535 — far above the reference's operating range (max_depth 144,
-// fuzz 1000x).
+// Counting-pass temp layout: 12 x uint32 per column (48 B vs the 76 B/pos
+// of the 18-ch int32 matrix + depth): smaller hot window, no per-base
+// depth increment (depth is the channel sum at finalize), and safe at any
+// real depth — amplicon runs exceed 65k reads per column, so a 16-bit
+// counter would wrap silently.  Channels: A C G T N fwd | A C G T N rev |
+// del-span fwd | del-span rev.
 constexpr int kTmpFeat = 12;
 constexpr int kTmpN = 4;       // ambiguous-base channel (depth only)
 constexpr int kTmpRev = 5;
@@ -107,7 +106,7 @@ struct ColIndels {
 //
 void count_subrange(const BamView& bam, int tid, int min_mq,
                     int64_t start, int64_t sub_s, int64_t sub_e,
-                    uint16_t* tmp,
+                    uint32_t* tmp,
                     std::unordered_map<int64_t, ColIndels>* indels) {
   for_each_record(bam, [&](const RecView& r) -> bool {
     if (r.tid != tid) return r.tid <= tid;  // stop once past our contig
@@ -127,7 +126,7 @@ void count_subrange(const BamView& bam, int tid, int min_mq,
       int64_t len = r.cigar[ci] >> 4;
       if (op == 0 || op == 7 || op == 8) {  // M =X
         int64_t lo = std::max(rpos, sub_s), hi = std::min(rpos + len, sub_e);
-        uint16_t* cp = tmp + (lo - start) * kTmpFeat + strand;
+        uint32_t* cp = tmp + (lo - start) * kTmpFeat + strand;
         int64_t qp = qpos + (lo - rpos);
         int64_t p = lo;
         if (p < hi && (qp & 1)) {  // align qp to a packed-byte boundary
@@ -164,7 +163,7 @@ void count_subrange(const BamView& bam, int tid, int min_mq,
           (rev ? col.dels_r : col.dels_f)[(int)len]++;
         }
         int64_t lo = std::max(rpos, sub_s), hi = std::min(rpos + len, sub_e);
-        uint16_t* cp = tmp + (lo - start) * kTmpFeat + (rev ? kTmpDelR : kTmpDelF);
+        uint32_t* cp = tmp + (lo - start) * kTmpFeat + (rev ? kTmpDelR : kTmpDelF);
         for (int64_t p = lo; p < hi; p++, cp += kTmpFeat) (*cp)++;
         rpos += len;
       } else if (op == 3) {
@@ -244,7 +243,7 @@ PileupOut* clair3t_pileup(
   }
   std::unordered_map<int64_t, ColIndels> indels;
   lap("load");
-  std::vector<uint16_t> tmp((size_t)L * kTmpFeat, 0);
+  std::vector<uint32_t> tmp((size_t)L * kTmpFeat, 0);
 
   if (n_threads <= 0) {
     unsigned hw = std::thread::hardware_concurrency();
@@ -314,8 +313,8 @@ PileupOut* clair3t_pileup(
   // 12-channel sum, and run candidate selection — one read of tmp, one
   // write of counts, no re-read
   for (int64_t idx = 0; idx < L; idx++) {
-    const uint16_t* t = tmp.data() + idx * kTmpFeat;
-    uint32_t d_sum = 0;
+    const uint32_t* t = tmp.data() + idx * kTmpFeat;
+    uint64_t d_sum = 0;
     for (int k = 0; k < kTmpFeat; k++) d_sum += t[k];
     if (!d_sum) continue;
     depth[idx] = (int32_t)d_sum;

@@ -248,9 +248,10 @@ bool rans1_decode(Cur& c, size_t out_sz, int N, uint8_t* out) {
   return true;
 }
 
-bool decompress(const uint8_t* in, size_t in_len, uint8_t* out, size_t out_len);
+bool decompress(const uint8_t* in, size_t in_len, uint8_t* out,
+                size_t out_len, int depth = 0);
 
-bool decode_stripe(Cur& c, size_t out_sz, uint8_t* out) {
+bool decode_stripe(Cur& c, size_t out_sz, uint8_t* out, int depth) {
   int X = c.u8();
   if (c.fail || X <= 0 || X > 64) return false;
   std::vector<uint64_t> clens(X);
@@ -261,14 +262,18 @@ bool decode_stripe(Cur& c, size_t out_sz, uint8_t* out) {
     size_t ulen = out_sz / X + ((out_sz % X) > (size_t)j ? 1 : 0);
     if (c.p + clens[j] > c.n) return false;
     sub.resize(ulen);
-    if (!decompress(c.d + c.p, clens[j], sub.data(), ulen)) return false;
+    if (!decompress(c.d + c.p, clens[j], sub.data(), ulen, depth + 1))
+      return false;
     c.p += clens[j];
     for (size_t i = 0; i < ulen; i++) out[i * X + j] = sub[i];
   }
   return true;
 }
 
-bool decompress(const uint8_t* in, size_t in_len, uint8_t* out, size_t out_len) {
+bool decompress(const uint8_t* in, size_t in_len, uint8_t* out,
+                size_t out_len, int depth) {
+  // adversarial nested stripes must not recurse unboundedly
+  if (depth > 2) return false;
   Cur c{in, in_len};
   int flags = c.u8();
   size_t out_sz = out_len;
@@ -277,7 +282,7 @@ bool decompress(const uint8_t* in, size_t in_len, uint8_t* out, size_t out_len) 
     if (out_sz != out_len) return false;
   }
   if (c.fail) return false;
-  if (flags & F_STRIPE) return decode_stripe(c, out_sz, out);
+  if (flags & F_STRIPE) return decode_stripe(c, out_sz, out, depth);
   int N = (flags & F_N32) ? 32 : 4;
 
   // PACK meta
@@ -374,6 +379,12 @@ bool decompress(const uint8_t* in, size_t in_len, uint8_t* out, size_t out_len) 
 
   if (has_pack) {
     size_t fl = final_len;
+    // the unpack loop indexes target[(fl-1) >> shift]; a lying packed
+    // length must fail cleanly, not read past the stage buffer
+    if (nsym > 1 && fl > 0) {
+      int shift = nsym <= 2 ? 3 : (nsym <= 4 ? 2 : 1);
+      if (((fl - 1) >> shift) >= out_sz) return false;
+    }
     if (nsym <= 1) {
       if (nsym == 0 && fl > 0) return false;
       memset(out, nsym ? pmap[0] : 0, fl);

@@ -254,8 +254,9 @@ class VariantCaller:
 
     def run_pileup(self, tasks: Sequence[ChunkTask]) -> List[str]:
         """Pileup-call all chunks; returns unsorted VCF body rows.  When
-        gVCF is enabled, non-variant blocks accumulate in
-        ``self.nonvariant_rows`` (reference: CreateTensorPileupFromCffi.py:399-441)."""
+        gVCF is enabled, completed non-variant blocks stream to the
+        ``tmp/nonvar.gvcf.gz`` spill as chunks finish (consumed by
+        _write_gvcf; reference: CreateTensorPileupFromCffi.py:399-441)."""
         decode_cfg = self._pileup_decode_config()
         rows: List[str] = []
         t0 = time.time()
@@ -749,7 +750,8 @@ class VariantCaller:
         for r in fa_rows:
             fa_by_ctg[r.split("\t", 1)[0]].append(r)
         merged: List[str] = []
-        self.__merge_t0 = time.time()
+        _merge_t = self._timed("merge")
+        _merge_t.__enter__()
         for ctg in contig_names:
             merged.extend(
                 merge_pileup_and_full_alignment(
@@ -762,8 +764,7 @@ class VariantCaller:
                     haploid_sensitive=cfg.haploid_sensitive,
                 )
             )
-        self.stage_times["merge"] = (
-            self.stage_times.get("merge", 0.0) + time.time() - self.__merge_t0)
+        _merge_t.__exit__(None, None, None)
         with self._timed("sort"):
             merged = self._genotyping_add_back(sort_rows(merged, contig_names))
         with self._timed("write_vcf"):

@@ -330,3 +330,30 @@ def test_fqzcomp_multiparam_stab_rev_dedup_both_decoders():
     nrc, got = _native_fqz_decode(payload, len(expected))
     assert nrc == 0
     assert got == bytes(expected)
+
+
+def test_adversarial_payloads_fail_cleanly():
+    """Crafted payloads that previously crashed the decoder must return
+    failure: (a) PACK with a lying zero packed-length, (b) deeply nested
+    STRIPE headers (stack exhaustion)."""
+    # (a) flags=F_PACK|F_NOSZ, nsym=2, pmap, packed out_sz=0
+    rc, _ = _native_arith_decode(bytes([0x48, 2, 65, 66, 0]), 1024)
+    assert rc != 0
+    # (b) ~200k nested stripe levels: F_STRIPE|F_NOSZ, X=1, clen covers rest
+    payload = bytearray()
+    for _ in range(200_000):
+        payload += bytes([0x0C, 1, 0x7F])  # stripe|nosz, X=1, clen=127
+    rc, _ = _native_arith_decode(bytes(payload), 64)
+    assert rc != 0
+    # same hardening in the rANS-Nx16 decoder
+    import ctypes
+
+    lib = native.get_lib()
+    lib.clair3t_rans_nx16_decode.restype = ctypes.c_int
+    lib.clair3t_rans_nx16_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
+    out = ctypes.create_string_buffer(1024)
+    assert lib.clair3t_rans_nx16_decode(
+        bytes([0x48, 2, 65, 66, 0]), 5, out, 1024) != 0
+    assert lib.clair3t_rans_nx16_decode(
+        bytes(payload), len(payload), out, 64) != 0
