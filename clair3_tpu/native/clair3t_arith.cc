@@ -229,7 +229,9 @@ bool decompress(const uint8_t* in, size_t in_len, uint8_t* out,
     if (c.fail || nsym > 16) return false;
     for (int i = 0; i < nsym; i++) pmap[i] = c.u8();
     out_sz = (size_t)read_uint7(c);
-    if (c.fail) return false;
+    // bit-packing never expands: a lying packed length must not drive a
+    // giant stage allocation (std::bad_alloc aborts across the C ABI)
+    if (c.fail || out_sz > final_len) return false;
   }
 
   std::vector<uint8_t> stage;
@@ -520,10 +522,14 @@ extern "C" {
 int clair3t_arith_decode(const uint8_t* payload, int64_t payload_len,
                          uint8_t* out, int64_t out_sz) {
   if (payload_len <= 0 || out_sz < 0) return 1;
-  return c3arith::decompress(payload, (size_t)payload_len, out,
-                             (size_t)out_sz)
-             ? 0
-             : 1;
+  try {
+    return c3arith::decompress(payload, (size_t)payload_len, out,
+                               (size_t)out_sz)
+               ? 0
+               : 1;
+  } catch (...) {  // bad_alloc etc. from corrupt length fields
+    return 1;
+  }
 }
 
 // Decode an fqzcomp quality payload into exactly out_sz bytes.
@@ -531,9 +537,14 @@ int clair3t_arith_decode(const uint8_t* payload, int64_t payload_len,
 int clair3t_fqzcomp_decode(const uint8_t* payload, int64_t payload_len,
                            uint8_t* out, int64_t out_sz) {
   if (payload_len <= 0 || out_sz < 0) return 1;
-  return c3fqz::decompress(payload, (size_t)payload_len, out, (size_t)out_sz)
-             ? 0
-             : 1;
+  try {
+    return c3fqz::decompress(payload, (size_t)payload_len, out,
+                             (size_t)out_sz)
+               ? 0
+               : 1;
+  } catch (...) {
+    return 1;
+  }
 }
 
 }  // extern "C"

@@ -155,7 +155,10 @@ int read_block(Cur& c, Block* b) {
   b->cid = read_itf8(c);
   int64_t comp_sz = read_itf8(c);
   int64_t raw_sz = read_itf8(c);
-  if (c.fail || comp_sz < 0 || raw_sz < 0) return E_CORRUPT;
+  // lying block sizes must not drive multi-GB allocations (bad_alloc
+  // aborts across the C ABI); real CRAM slices are << 1 GB
+  if (c.fail || comp_sz < 0 || raw_sz < 0 || raw_sz > (1ll << 31))
+    return E_CORRUPT;
   const uint8_t* comp;
   if (!c.take((size_t)comp_sz, &comp)) return E_CORRUPT;
   c.p += 4;  // CRC32 (not verified, matching the Python reader)
@@ -818,8 +821,20 @@ extern "C" {
 // Convert a CRAM 3.0 file to an indexed BAM.  Returns 0 on success; any
 // nonzero code means "use the Python fallback" (unsupported feature,
 // unsorted records) or a hard error.
+static int cram_to_bam_impl(const char* cram_path, const char* ref_fa,
+                            const char* out_bam);
+
 int clair3t_cram_to_bam(const char* cram_path, const char* ref_fa,
                         const char* out_bam) {
+  try {
+    return cram_to_bam_impl(cram_path, ref_fa, out_bam);
+  } catch (...) {  // bad_alloc etc. from corrupt size fields
+    return E_CORRUPT;
+  }
+}
+
+static int cram_to_bam_impl(const char* cram_path, const char* ref_fa,
+                            const char* out_bam) {
   FILE* fp = fopen(cram_path, "rb");
   if (!fp) return E_IO;
   uint8_t magic[6];

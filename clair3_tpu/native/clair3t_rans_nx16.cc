@@ -294,7 +294,11 @@ bool decompress(const uint8_t* in, size_t in_len, uint8_t* out,
     nsym = c.u8();
     if (nsym > 16) return false;
     for (int i = 0; i < nsym; i++) pmap[i] = c.u8();
-    out_sz = (size_t)read_uint7(c);
+    size_t packed_sz = (size_t)read_uint7(c);
+    // bit-packing never expands: a lying packed length must not drive a
+    // giant stage allocation
+    if (c.fail || packed_sz > out_sz) return false;
+    out_sz = packed_sz;
   }
   // RLE meta
   bool has_rle = flags & F_RLE;
@@ -304,7 +308,12 @@ bool decompress(const uint8_t* in, size_t in_len, uint8_t* out,
     rle_out_len = out_sz;
     uint64_t rle_meta_len = read_uint7(c);
     out_sz = (size_t)read_uint7(c);  // literal length
-    if (c.fail) return false;
+    // every literal yields >=1 expanded byte, so the literal stream can
+    // never exceed the expanded output; the meta holds the symbol list +
+    // one varint run per literal
+    if (c.fail || out_sz > rle_out_len ||
+        rle_meta_len / 2 > rle_out_len * 2 + 1024)
+      return false;
     if (rle_meta_len & 1) {
       size_t mlen = (size_t)((rle_meta_len - 1) / 2);
       if (c.p + mlen > c.n) return false;
@@ -410,8 +419,13 @@ extern "C" {
 int clair3t_rans_nx16_decode(const uint8_t* payload, int64_t payload_len,
                              uint8_t* out, int64_t out_sz) {
   if (payload_len <= 0 || out_sz < 0) return 1;
-  return nx16::decompress(payload, (size_t)payload_len, out, (size_t)out_sz)
-             ? 0 : 1;
+  try {
+    return nx16::decompress(payload, (size_t)payload_len, out,
+                            (size_t)out_sz)
+               ? 0 : 1;
+  } catch (...) {  // bad_alloc etc. from corrupt length fields
+    return 1;
+  }
 }
 
 }  // extern "C"
@@ -468,7 +482,9 @@ bool decompress(const uint8_t* in, size_t in_len, std::vector<uint8_t>* out) {
   uint64_t ulen = read_uint7(c);
   uint64_t nnames = read_uint7(c);
   int use_arith = c.u8();
-  if (c.fail) return false;
+  // each name occupies >=1 output byte (incl. its separator); corrupt
+  // counts must not drive giant vector allocations
+  if (c.fail || nnames > ulen || ulen > (uint64_t)1 << 40) return false;
 
   // read token streams
   std::vector<std::vector<Stream>> B;  // [pos][type]
@@ -648,11 +664,15 @@ extern "C" {
 int clair3t_tok3_decode(const uint8_t* payload, int64_t payload_len,
                         uint8_t* out, int64_t out_sz) {
   if (payload_len <= 0 || out_sz < 0) return 1;
-  std::vector<uint8_t> buf;
-  if (!tok3::decompress(payload, (size_t)payload_len, &buf)) return 1;
-  if ((int64_t)buf.size() != out_sz) return 1;
-  memcpy(out, buf.data(), out_sz);
-  return 0;
+  try {
+    std::vector<uint8_t> buf;
+    if (!tok3::decompress(payload, (size_t)payload_len, &buf)) return 1;
+    if ((int64_t)buf.size() != out_sz) return 1;
+    memcpy(out, buf.data(), out_sz);
+    return 0;
+  } catch (...) {
+    return 1;
+  }
 }
 
 }  // extern "C"

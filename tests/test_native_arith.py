@@ -357,3 +357,29 @@ def test_adversarial_payloads_fail_cleanly():
         bytes([0x48, 2, 65, 66, 0]), 5, out, 1024) != 0
     assert lib.clair3t_rans_nx16_decode(
         bytes(payload), len(payload), out, 64) != 0
+
+
+def test_garbage_payload_fuzz_no_crash():
+    """Pure-random payloads across all five codec decoders must fail
+    cleanly in-process: no segfault, no std::bad_alloc abort from lying
+    length fields (each decoder bounds stream-supplied sizes and catches
+    allocation failure at the C boundary)."""
+    import ctypes
+
+    lib = native.get_lib()
+    fns = ("clair3t_arith_decode", "clair3t_fqzcomp_decode",
+           "clair3t_rans_nx16_decode", "clair3t_rans_decode",
+           "clair3t_tok3_decode")
+    for fn in fns:
+        f = getattr(lib, fn)
+        f.restype = ctypes.c_int
+        f.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                      ctypes.c_char_p, ctypes.c_int64]
+    rng = random.Random(123)
+    buf = ctypes.create_string_buffer(2048)
+    for _ in range(400):
+        size = rng.choice([1, 2, 5, 17, 64, 300])
+        payload = bytes(rng.randrange(256) for _ in range(size))
+        out_sz = rng.choice([0, 1, 100, 2048])
+        for fn in fns:
+            getattr(lib, fn)(payload, len(payload), buf, out_sz)
