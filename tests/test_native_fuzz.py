@@ -297,3 +297,37 @@ print("ASAN_WORKLOAD_OK", len(rows))
     assert "AddressSanitizer" not in out, out[-4000:]
     assert proc.returncode == 0, out[-4000:]
     assert "ASAN_WORKLOAD_OK" in out
+
+
+def test_garbage_files_fail_cleanly(tmp_path, capfd):
+    """BGZF-wrapped random garbage posing as BAM, and raw garbage posing
+    as CRAM, must fail cleanly through the native file-level parsers (no
+    segfault / bad_alloc abort)."""
+    import random
+
+    from clair3_tpu.io.bgzf import BgzfWriter
+
+    rng = random.Random(7)
+    ref = "ACGT" * 300
+    for trial in range(25):
+        path = str(tmp_path / f"g{trial}.bam")
+        with BgzfWriter(path) as w:
+            if trial % 3 == 0:
+                w.write(b"BAM\x01" + bytes(rng.randrange(256)
+                                           for _ in range(rng.randrange(0, 400))))
+            else:
+                w.write(bytes(rng.randrange(256)
+                              for _ in range(rng.randrange(1, 600))))
+        try:
+            native.pileup_region_native(path, ref, 0, "chr1", 0, 1000)
+        except Exception:
+            pass
+        cpath = str(tmp_path / f"g{trial}.cram")
+        with open(cpath, "wb") as fh:
+            fh.write(b"CRAM\x03\x00" + bytes(rng.randrange(256)
+                                             for _ in range(rng.randrange(30, 800))))
+        try:
+            native.cram_to_bam_native(cpath, str(tmp_path / "none.fa"),
+                                      str(tmp_path / f"g{trial}_o.bam"))
+        except Exception:
+            pass
