@@ -76,12 +76,12 @@ PLATFORMS = {
     ),
     "hifi": PlatformPreset(
         name="hifi", snp_min_af=0.08, indel_min_af=0.08,
-        var_pct_full=0.3, ref_pct_full=0.3, var_pct_phasing=0.8,
+        var_pct_full=0.3, ref_pct_full=0.3, var_pct_phasing=0.7,
         matrix_depth=55,
     ),
     "ilmn": PlatformPreset(
         name="ilmn", snp_min_af=0.08, indel_min_af=0.08,
-        var_pct_full=0.3, ref_pct_full=0.3, var_pct_phasing=0.8,
+        var_pct_full=0.3, ref_pct_full=0.3, var_pct_phasing=0.7,
         matrix_depth=55,
     ),
 }
