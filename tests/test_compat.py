@@ -241,3 +241,55 @@ def test_train_compat_spelling(tmp_path):
     ])
     assert rc == 0
     assert os.path.exists(os.path.join(str(tmp_path / "model"), "best_val_loss.npz"))
+
+
+@pytest.mark.skipif(not HAS_REF, reason="no reference tree")
+def test_merge_vcf_compat_matches_reference(tmp_path):
+    """python -m clair3_tpu MergeVcf (reference spellings) row-matches the
+    reference MergeVcf submodule on identical inputs."""
+    import random
+
+    rng = random.Random(88)
+    pileup_rows = []
+    pos = 100
+    for _ in range(200):
+        pos += rng.randint(3, 40)
+        q = round(rng.uniform(0.5, 30), 2)
+        gt = rng.choice(["0/0", "0/1", "1/1"])
+        ref, alt = ("A", ".") if gt == "0/0" else ("A", "T")
+        pileup_rows.append(
+            f"chr1\t{pos}\t.\t{ref}\t{alt}\t{q:.2f}\tPASS\tP\t"
+            f"GT:GQ:DP:AD:AF\t{gt}:{int(q)}:30:15,15:0.5")
+    fa_rows = []
+    for r in pileup_rows[::3]:
+        cols = r.split("\t")
+        q = round(rng.uniform(5, 35), 2)
+        gt = rng.choice(["0/1", "1/1"])
+        fa_rows.append(f"chr1\t{cols[1]}\t.\tA\tG\t{q:.2f}\tPASS\tF\t"
+                       f"GT:GQ:DP:AD:AF\t{gt}:{int(q)}:30:15,15:0.5")
+
+    p_vcf = tmp_path / "pileup.vcf.gz"
+    f_vcf = tmp_path / "fa.vcf.gz"
+    with gzip.open(p_vcf, "wt") as f:
+        f.write(HEADER + "\n".join(pileup_rows) + "\n")
+    with gzip.open(f_vcf, "wt") as f:
+        f.write(HEADER + "\n".join(fa_rows) + "\n")
+
+    ref_out = tmp_path / "ref_merged.vcf"
+    _run_ref("MergeVcf.py",
+             ["--pileup_vcf_fn", str(p_vcf),
+              "--full_alignment_vcf_fn", str(f_vcf),
+              "--output_fn", str(ref_out), "--ctgName", "chr1",
+              "--platform", "ont", "--qual", "5",
+              "--print_ref_calls", "True"])
+    our_out = tmp_path / "our_merged.vcf"
+    assert _run_ours(["MergeVcf",
+                      "--pileup_vcf_fn", str(p_vcf),
+                      "--full_alignment_vcf_fn", str(f_vcf),
+                      "--output_fn", str(our_out), "--ctgName", "chr1",
+                      "--qual", "5", "--print_ref_calls", "True"]) == 0
+    ref_body = [l for l in ref_out.read_text().splitlines()
+                if l and not l.startswith("#")]
+    our_body = [l for l in our_out.read_text().splitlines()
+                if l and not l.startswith("#")]
+    assert our_body == ref_body
