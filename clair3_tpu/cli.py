@@ -97,14 +97,51 @@ def _add_call_args(p: argparse.ArgumentParser) -> None:
                    help="path to the longphase binary")
     p.add_argument("--use_haplotagging_for_final_output", action="store_true",
                    help="also write an HP/PS-tagged BAM (phased_output.bam)")
+    p.add_argument("--compute_dtype", default="auto",
+                   choices=("auto", "fp32", "bf16"),
+                   help="inference compute dtype; auto = bf16 on TPU "
+                        "(benchmarked production config), fp32 elsewhere")
     p.add_argument("--output_probabilities_fn", default=None,
                    help="DEBUG: dump raw head probabilities per candidate")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace of the run to this directory")
 
 
-def _load_engine(path: str, kind: str, platform: str):
+def resolve_compute_dtype(choice: str = "auto"):
+    """Production compute dtype: bf16 on TPU (the benchmarked configuration;
+    parity vs f32 is asserted by tests/test_bf16_parity.py), f32 elsewhere.
+    Override with --compute_dtype or CLAIR3T_COMPUTE_DTYPE."""
+    import os
+
+    import jax
     import jax.numpy as jnp
+
+    choice = os.environ.get("CLAIR3T_COMPUTE_DTYPE", choice or "auto").lower()
+    if choice in ("fp32", "f32", "float32"):
+        return jnp.float32
+    if choice in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
+def _use_pallas_lstm(compute_dtype) -> bool:
+    """The Pallas recurrence kernel ships only where it is compiled-tested:
+    real TPU + bf16 (the Mosaic pipeline rejects the f32 variant).
+    CLAIR3T_DISABLE_PALLAS=1 routes back to the lax.scan path."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get("CLAIR3T_DISABLE_PALLAS"):
+        return False
+    return (jax.default_backend() == "tpu"
+            and compute_dtype == jnp.bfloat16)
+
+
+def _load_engine(path: str, kind: str, platform: str,
+                 compute_dtype: str = "auto"):
+    import numpy as np
 
     from clair3_tpu.config import PLATFORMS
     from clair3_tpu.models import FullAlignmentNet, PileupNet
@@ -117,14 +154,19 @@ def _load_engine(path: str, kind: str, platform: str):
     else:
         variables = load_variables(path)
     params = variables["params"]
+    dt = resolve_compute_dtype(compute_dtype)
     if kind == "pileup":
         add_indel = "L5_3" in params
-        model = PileupNet(add_indel_length=add_indel)
+        model = PileupNet(add_indel_length=add_indel, compute_dtype=dt,
+                          use_pallas_lstm=_use_pallas_lstm(dt))
+        # int16 halves the host->device copy (counts are bounded by
+        # ~1.5x max_depth after the high-coverage rescale)
+        engine = InferenceEngine(model, variables, transfer_dtype=np.int16)
     else:
         in_ch = params["conv1"]["conv"]["kernel"].shape[2]
-        model = FullAlignmentNet(add_indel_length=True, input_channels=in_ch)
-    engine = InferenceEngine(model, variables)
-    if kind != "pileup":
+        model = FullAlignmentNet(add_indel_length=True, input_channels=in_ch,
+                                 compute_dtype=dt)
+        engine = InferenceEngine(model, variables)
         engine.fa_input_channels = in_ch
     return engine
 
@@ -259,14 +301,16 @@ def cmd_call(args: argparse.Namespace) -> int:
             print("[ERROR] no pileup model given (--pileup_model / --model_path)",
                   file=sys.stderr)
             return 1
-        pileup_engine = _load_engine(pileup_path, "pileup", args.platform)
+        pileup_engine = _load_engine(pileup_path, "pileup", args.platform,
+                                     compute_dtype=args.compute_dtype)
         fa_engine = None
         if not args.pileup_only:
             if fa_path is None:
                 print("[ERROR] no full-alignment model given "
                       "(--full_alignment_model / --model_path)", file=sys.stderr)
                 return 1
-            fa_engine = _load_engine(fa_path, "full_alignment", args.platform)
+            fa_engine = _load_engine(fa_path, "full_alignment", args.platform,
+                                     compute_dtype=args.compute_dtype)
             # reconcile the dwell flag with the checkpoint's input width
             # (reference auto-detects dwell from '*_with_mv' model names,
             # run_clair3.py:414-430; we read the conv1 kernel instead)

@@ -30,7 +30,13 @@ _DEFAULT_BUCKETS = (256, 1024, 4096)
 
 
 class InferenceEngine:
-    """Jit-compiled, data-sharded batch forward for one model."""
+    """Jit-compiled, data-sharded batch forward for one model.
+
+    ``transfer_dtype`` narrows the host->device copy: pileup count tensors
+    are int32 on the host but bounded by ~1.5x max_depth after the
+    high-coverage rescale, so shipping them as int16 halves the DMA/PCIe
+    bytes; the jit program widens to the model's compute dtype on device.
+    """
 
     def __init__(
         self,
@@ -38,10 +44,11 @@ class InferenceEngine:
         variables,
         mesh=None,
         buckets: Sequence[int] = _DEFAULT_BUCKETS,
-        compute_dtype=jnp.float32,
+        transfer_dtype=None,
     ):
         self.model = model
         self.mesh = mesh if mesh is not None else get_mesh()
+        self.transfer_dtype = transfer_dtype
         n_dev = self.mesh.devices.size
         # bucket sizes must divide evenly across the mesh
         self.buckets = tuple(sorted(max(b, n_dev) - (max(b, n_dev) % n_dev) or n_dev
@@ -59,6 +66,8 @@ class InferenceEngine:
     def warmup(self, input_shape, dtype) -> None:
         """Compile the forward program for every bucket size (call on a
         background thread so compilation overlaps host-side extraction)."""
+        if self.transfer_dtype is not None:
+            dtype = self.transfer_dtype
         for b in self.buckets:
             x = np.zeros((b,) + tuple(input_shape), dtype)
             dev = jax.device_put(x, self._in_sharding)
@@ -95,6 +104,8 @@ class InferenceEngine:
         Lets the caller overlap its CPU decode of batch i with the device
         computing batch i+1 (replacing the reference's shared-memory
         GPU-predict/CPU-decode split, CallVariantsFromCffi.py:299-353)."""
+        if self.transfer_dtype is not None and x.dtype != self.transfer_dtype:
+            x = x.astype(self.transfer_dtype)
         n = x.shape[0]
         handles: List = []
         top = self.buckets[-1]
