@@ -46,15 +46,18 @@ class PileupNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        x = x.astype(self.compute_dtype)
-        x = BiLSTM(self.lstm1_units, param_dtype=self.param_dtype,
-                   use_pallas=self.use_pallas_lstm, name="LSTM1")(x)
-        x = BiLSTM(self.lstm2_units, param_dtype=self.param_dtype,
-                   use_pallas=self.use_pallas_lstm, name="LSTM2")(x)
-        x = nn.Dropout(0.2, deterministic=not train, name="L3_dropout")(x)
-        x = x.reshape((x.shape[0], NO_OF_POSITIONS * 2 * self.lstm2_units))
         dt = self.compute_dtype
-        x = nn.selu(nn.Dense(self.l4_units, dtype=dt, param_dtype=self.param_dtype, name="L4")(x))
+        if self.use_pallas_lstm and not train:
+            x = self._fused_trunk(x)
+        else:
+            x = x.astype(dt)
+            x = BiLSTM(self.lstm1_units, param_dtype=self.param_dtype,
+                       name="LSTM1")(x)
+            x = BiLSTM(self.lstm2_units, param_dtype=self.param_dtype,
+                       name="LSTM2")(x)
+            x = nn.Dropout(0.2, deterministic=not train, name="L3_dropout")(x)
+            x = x.reshape((x.shape[0], NO_OF_POSITIONS * 2 * self.lstm2_units))
+            x = nn.selu(nn.Dense(self.l4_units, dtype=dt, param_dtype=self.param_dtype, name="L4")(x))
         x = nn.Dropout(0.5, deterministic=not train, name="L4_dropout")(x)
 
         n_heads = 4 if self.add_indel_length else 2
@@ -68,3 +71,42 @@ class PileupNet(nn.Module):
             # SELU-before-softmax is baked into the trained reference weights.
             outs.append(nn.softmax(nn.selu(logits.astype(jnp.float32))))
         return jnp.concatenate(outs, axis=-1)
+
+    def _fused_trunk(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Inference fast path: both BiLSTM layers + the L4 dense run as ONE
+        VMEM-resident Pallas kernel (ops/pallas_pileup.py); heads stay in
+        XLA.  Declares the exact same parameter tree as the lax.scan branch
+        so checkpoints are interchangeable."""
+        import jax
+
+        from clair3_tpu.ops.pallas_pileup import pileup_trunk_pallas
+
+        init_wi = nn.initializers.lecun_normal()
+        init_wh = nn.initializers.orthogonal()
+        p = {}
+        for lname, C, H in (
+            ("LSTM1", self.input_channels, self.lstm1_units),
+            ("LSTM2", 2 * self.lstm1_units, self.lstm2_units),
+        ):
+            scope = self.scope.push(lname)
+            per_dir = []
+            for d in ("fwd", "bwd"):
+                sd = scope.push(d)
+                per_dir.append((
+                    sd.param("wi", init_wi, (C, 4 * H), self.param_dtype),
+                    sd.param("wh", init_wh, (H, 4 * H), self.param_dtype),
+                    sd.param("b", nn.initializers.zeros, (4 * H,), self.param_dtype),
+                ))
+            p[lname] = tuple(jnp.stack(w) for w in zip(*per_dir))
+        s4 = self.scope.push("L4")
+        flat = NO_OF_POSITIONS * 2 * self.lstm2_units
+        wd = s4.param("kernel", init_wi, (flat, self.l4_units), self.param_dtype)
+        bd = s4.param("bias", nn.initializers.zeros, (self.l4_units,), self.param_dtype)
+        return pileup_trunk_pallas(
+            x,
+            *p["LSTM1"], *p["LSTM2"],
+            wd.reshape(NO_OF_POSITIONS, 2 * self.lstm2_units, self.l4_units),
+            bd,
+            compute_dtype=self.compute_dtype,
+            interpret=jax.default_backend() != "tpu",
+        )

@@ -1,0 +1,203 @@
+"""Pallas TPU kernel: the ENTIRE pileup-net trunk in one VMEM-resident pass.
+
+Why: under XLA, the pileup net (reference: clair3/model.py:58-161) is
+HBM-bound, not MXU-bound.  The two BiLSTM layers materialize their
+pre-projected gate tensors (``[B, 33, 8H]`` per layer, ~1.2 GB of HBM
+write+read per 8k batch) and round-trip the h/c carries through HBM on
+every one of the 66 sequential steps.  Measured: ~19.4 ms per 8192 batch
+(~10% MFU) with the recurrences taking ~15 ms.
+
+This kernel instead grids over batch tiles and keeps *everything*
+— input window, both recurrences, the layer-1 hidden sequence, and the
+flattened Dense-128 trunk — in VMEM.  HBM traffic per batch drops to the
+input (+weights once) and a ``[B, 128]`` trunk output; the input
+projections are folded into each recurrence step as batched MXU matmuls.
+
+Measured on v5e (B=8192, bf16): 1.12M candidates/s full-net vs 423k for
+the lax.scan path — 2.65x, ~27% MFU (from ~10%).
+
+Per-tile schedule:
+  loop t = 0..32:   # layer 1, both directions per step
+      gates = [x[t]; x[32-t]] @ wi1  +  h1 @ wh1  + b1     (f32 accum)
+      h1, c1 = lstm(gates);  save h1 -> h1_seq
+  loop t = 0..32:   # layer 2 + fused flatten/dense accumulation
+      gates = [h1_seq[t]; h1_seq[32-t]] @ wi2 + h2 @ wh2 + b2
+      h2, c2 = lstm(gates)
+      acc += h2_f @ wd[t, :160] + h2_b @ wd[32-t, 160:]
+  out = selu(acc + bd)
+
+The four heads (128->21/3/33 softmax-after-SELU) stay in XLA: they are
+<1% of the FLOPs and fuse into the surrounding program.
+
+Inference-only (no VJP); training uses the lax.scan path in ops/lstm.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# 256 measured fastest on v5e (64: 958k, 128: 1118k, 256: 1190k trunk
+# cand/s at B=8192); 512 exceeds the ~16 MB VMEM budget (x + h1_seq alone)
+BATCH_TILE = 256
+
+
+def _lstm_gates(gates, c, state_dtype):
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f)
+    g = jnp.tanh(g)
+    o = jax.nn.sigmoid(o)
+    c_new = f * c.astype(jnp.float32) + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new.astype(state_dtype), c_new.astype(state_dtype)
+
+
+def _trunk_kernel(x_ref, wi1_ref, wh1_ref, b1_ref, wi2_ref, wh2_ref, b2_ref,
+                  wd_ref, bd_ref, out_ref,
+                  h1_seq, h1_ref, c1_ref, h2_ref, c2_ref, acc_ref):
+    T = x_ref.shape[0]
+    dt = h1_ref.dtype
+
+    h1_ref[:] = jnp.zeros_like(h1_ref)
+    c1_ref[:] = jnp.zeros_like(c1_ref)
+
+    wi1 = wi1_ref[:]
+    wh1 = wh1_ref[:]
+    b1 = b1_ref[:]
+
+    def step1(t, _):
+        xf = x_ref[t]              # [bt, C]
+        xb = x_ref[T - 1 - t]
+        x2 = jnp.stack([xf, xb])   # [2, bt, C]
+        gates = (
+            jax.lax.dot_general(x2, wi1, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(h1_ref[:], wh1, (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+            + b1[:, None, :].astype(jnp.float32)
+        )
+        h, c = _lstm_gates(gates, c1_ref[:], dt)
+        h1_ref[:] = h
+        c1_ref[:] = c
+        # torch bidirectional layout: feature = [h_fwd(t) ; h_bwd(t)]
+        h1_seq[t, :, 0:h.shape[-1]] = h[0]
+        h1_seq[T - 1 - t, :, h.shape[-1]:] = h[1]
+        return 0
+
+    jax.lax.fori_loop(0, T, step1, 0)
+
+    h2_ref[:] = jnp.zeros_like(h2_ref)
+    c2_ref[:] = jnp.zeros_like(c2_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    wi2 = wi2_ref[:]
+    wh2 = wh2_ref[:]
+    b2 = b2_ref[:]
+    H2 = h2_ref.shape[-1]
+
+    def step2(t, _):
+        x2 = jnp.stack([h1_seq[t], h1_seq[T - 1 - t]])  # [2, bt, 2H1]
+        gates = (
+            jax.lax.dot_general(x2, wi2, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(h2_ref[:], wh2, (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+            + b2[:, None, :].astype(jnp.float32)
+        )
+        h, c = _lstm_gates(gates, c2_ref[:], dt)
+        h2_ref[:] = h
+        c2_ref[:] = c
+        # flatten order of reshape(B, T*2H2): row t*2H2+j of wd multiplies
+        # h_fwd(t) for j<H2 and h_bwd(t) for j>=H2
+        acc_ref[:] += jax.lax.dot_general(
+            h[0], wd_ref[t, 0:H2, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:] += jax.lax.dot_general(
+            h[1], wd_ref[T - 1 - t, H2:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, T, step2, 0)
+
+    trunk = acc_ref[:] + bd_ref[:].astype(jnp.float32)
+    # selu inlined: jax.nn.selu lowers via expm1, which Mosaic lacks
+    scale, alpha = 1.0507009873554805, 1.6732632423543772
+    selu = scale * jnp.where(trunk > 0, trunk, alpha * (jnp.exp(trunk) - 1.0))
+    out_ref[:] = selu.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("compute_dtype", "batch_tile", "interpret"))
+def pileup_trunk_pallas(
+    x: jnp.ndarray,     # [B, T, C] any numeric dtype
+    wi1: jnp.ndarray,   # [2, C, 4*H1]
+    wh1: jnp.ndarray,   # [2, H1, 4*H1]
+    b1: jnp.ndarray,    # [2, 4*H1]
+    wi2: jnp.ndarray,   # [2, 2*H1, 4*H2]
+    wh2: jnp.ndarray,   # [2, H2, 4*H2]
+    b2: jnp.ndarray,    # [2, 4*H2]
+    wd: jnp.ndarray,    # [T, 2*H2, D]   (reshape of the [T*2*H2, D] dense)
+    bd: jnp.ndarray,    # [D]
+    compute_dtype=jnp.bfloat16,
+    batch_tile: int = BATCH_TILE,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns the post-SELU Dense-D trunk activations ``[B, D]``."""
+    B, T, C = x.shape
+    H1 = wh1.shape[1]
+    H2 = wh2.shape[1]
+    D = wd.shape[-1]
+    dt = compute_dtype
+
+    bt = min(batch_tile, max(8, B))
+    pad = (-B) % bt
+    xt = jnp.swapaxes(x.astype(dt), 0, 1)   # [T, B, C]
+    if pad:
+        xt = jnp.pad(xt, ((0, 0), (0, pad), (0, 0)))
+    Bp = B + pad
+
+    args = [xt] + [w.astype(dt) for w in
+                   (wi1, wh1, b1, wi2, wh2, b2, wd, bd)]
+
+    out = pl.pallas_call(
+        _trunk_kernel,
+        grid=(Bp // bt,),
+        in_specs=[
+            pl.BlockSpec((T, bt, C), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, C, 4 * H1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, H1, 4 * H1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 4 * H1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 2 * H1, 4 * H2), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, H2, 4 * H2), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 4 * H2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 2 * H2, D), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D,), lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, D), dt),
+        scratch_shapes=[
+            pltpu.VMEM((T, bt, 2 * H1), dt),   # h1 sequence
+            pltpu.VMEM((2, bt, H1), dt),       # h1 state
+            pltpu.VMEM((2, bt, H1), dt),       # c1 state
+            pltpu.VMEM((2, bt, H2), dt),       # h2 state
+            pltpu.VMEM((2, bt, H2), dt),       # c2 state
+            pltpu.VMEM((bt, D), jnp.float32),  # dense accumulator
+        ],
+        interpret=interpret,
+    )(*args)
+    return out[:B] if pad else out
