@@ -1,30 +1,35 @@
 #!/usr/bin/env python
-"""Benchmark: END-TO-END cascade throughput (extraction -> inference ->
-decode) plus device-resident forward capacity.
+"""Benchmark: END-TO-END cascade throughput through the PRODUCTION code
+path, plus device-resident forward capacity.
 
-Two phases:
+Three phases:
 
-1. **Forward capacity** — jit-compiled bf16 forward throughput of both
-   networks with a device-resident loop: inputs are generated on-device from
-   a PRNG key inside one jitted ``lax.scan`` whose carry depends on every
-   iteration's output, so nothing can be elided/deduplicated, and exactly one
-   scalar returns to host.  (Matches production, where candidate tensors
-   stream from host extractors over local DMA — not over this sandbox's slow
-   network tunnel.)
+1. **Forward capacity** — jit-compiled throughput of both networks in the
+   shipped configuration (bf16 + fused-trunk Pallas kernel on TPU) with a
+   device-resident loop: inputs are generated on-device from a PRNG key
+   inside one jitted ``lax.scan`` whose carry depends on every iteration's
+   output, and exactly one scalar returns to host.  This is the chip
+   ceiling, independent of this sandbox's slow host<->device tunnel.
 
-2. **End-to-end cascade** — a synthetic ONT-like workload (coverage x Mbases,
-   realistic error rate) runs the real pipeline stages serially on this
-   host + chip: native C++ pileup extraction, pileup-net scoring (at the
-   measured device rate for the real candidate count), native C++ decode of
-   every candidate, then the var_pct_full-sized candidate subset through
-   native full-alignment extraction, FA-net scoring, and FA decode.  Serial
-   composition is a conservative lower bound — the production pipeline
-   overlaps host extraction/decode with device compute.
+2. **End-to-end cascade, serial** — a synthetic ONT-like workload
+   (30x coverage, realistic error rate, het SNPs for haplotagging) runs
+   the real pipeline stages chunk by chunk, strictly sequentially:
+   native C++ pileup extraction, *measured* InferenceEngine forward
+   (real host->device transfer + bucket padding, int16 narrowing), native
+   C++ decode, then the 0.3-routed candidate subset through native
+   full-alignment extraction WITH in-C haplotagging (phased het SNPs
+   supplied), FA forward through its engine, and FA decode.
 
-The JSON metric is the end-to-end cascade candidates/s/chip.  Baseline: the
-reference's fastest published configuration, ~20 min ONT WGS 30x on 32 CPU
-threads + RTX 4090 (docs/gpu_quick_start.md:3) ~= 3 Gb / 1200 s with ~5M
-pileup candidates -> ~4,200 candidates/s end-to-end.
+3. **End-to-end cascade, overlapped** — the same chunked workload driven
+   the way the production pipeline runs it: extraction threads prefetch
+   chunk i+1 while the device computes chunk i and the host decodes chunk
+   i-1 (`predict_async` one-deep pipelining, call.py:351-375).  The
+   headline metric is this overlapped rate; `overlap_speedup` in the
+   details records measured overlapped vs serial composition.
+
+Baseline: the reference's fastest published configuration, ~20 min ONT
+WGS 30x on 32 CPU threads + RTX 4090 (docs/gpu_quick_start.md:3) ~= 3 Gb
+/ 1200 s with ~5M pileup candidates -> ~4,200 candidates/s end-to-end.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -39,6 +44,10 @@ E2E_4090_BASELINE = 4_200.0   # cand/s, reference WGS 30x on 32 cores + 4090
 FWD_A100_BASELINE = 25_000.0  # cand/s, estimated torch cascade forward on A100
 FA_ROUTING_FRACTION = 0.3
 
+GENOME_MB = 2.0
+COVERAGE = 30
+N_CHUNKS = 4
+
 
 def bench_forward(model, variables, make_batch, batch: int, iters: int) -> float:
     """Candidates/sec of `model.apply` over `iters` on-device batches."""
@@ -50,7 +59,7 @@ def bench_forward(model, variables, make_batch, batch: int, iters: int) -> float
         def body(carry, i):
             x = make_batch(jax.random.fold_in(seed, i))
             y = model.apply(variables, x, train=False)
-            return carry + y.sum(), None
+            return carry + y.sum().astype(jnp.float32), None
 
         total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(iters))
         return total
@@ -66,138 +75,228 @@ def bench_forward(model, variables, make_batch, batch: int, iters: int) -> float
     return batch * iters / best
 
 
-def bench_e2e(pileup_cps: float, fa_cps: float):
-    """End-to-end synthetic workload; returns (cand_per_s, mbases_per_s,
-    details dict).  All host stages actually run; forward time is the real
-    candidate count at the measured device-resident rate."""
-    import tempfile
+def build_production_engines():
+    """The engines `cli call` builds: bf16 + fused Pallas trunk on TPU,
+    int16 transfer narrowing for pileup (cli._load_engine)."""
+    import jax
+    import jax.numpy as jnp
 
-    from clair3_tpu.decode import DecodeConfig
-    from clair3_tpu.native import (decode_batch_native, fa_region_native,
-                                   pileup_region_native)
-    from clair3_tpu.pileup.extractor import candidate_tensors
-    from clair3_tpu.testing import (PileupOracleEngine, FullAlignmentOracleEngine,
-                                    SimVariant, random_reference, write_test_case)
+    from clair3_tpu.models import FullAlignmentNet, PileupNet
+    from clair3_tpu.pipeline.engine import InferenceEngine
 
-    GENOME_MB = 0.5
-    COVERAGE = 30
+    on_tpu = jax.default_backend() == "tpu"
+    dt = jnp.bfloat16 if on_tpu else jnp.float32
+    pileup = PileupNet(add_indel_length=False, compute_dtype=dt,
+                       use_pallas_lstm=on_tpu)
+    vp = pileup.init(jax.random.PRNGKey(0), jnp.zeros((8, 33, 18), jnp.int32))
+    pe = InferenceEngine(pileup, vp, transfer_dtype=np.int16)
+    fa = FullAlignmentNet(add_indel_length=True, compute_dtype=dt)
+    vf = fa.init(jax.random.PRNGKey(0), jnp.zeros((8, 89, 33, 8), jnp.int8),
+                 train=False)
+    fe = InferenceEngine(fa, vf)
+    return pe, fe, (pileup, vp), (fa, vf)
+
+
+def make_workload(tmp_dir: str):
+    """Synthetic ONT-like case; returns (bam, ref, phased_hets, chunks)."""
+    from clair3_tpu.fullalign.extractor import PhasedVariant
+    from clair3_tpu.testing import SimVariant, random_reference, write_test_case
+
     L = int(GENOME_MB * 1e6)
-    d = tempfile.mkdtemp()
     ref = random_reference(L, seed=11)
     variants = []
+    hets = []
     for p in range(500, L - 500, 700):
         kind = p % 3
         if kind == 0:
-            variants.append(SimVariant(p, ref[p], "G" if ref[p] != "G" else "T", (0, 1)))
+            alt = "G" if ref[p] != "G" else "T"
+            variants.append(SimVariant(p, ref[p], alt, (0, 1)))
+            hets.append(PhasedVariant(p, ref[p], alt, 1, 1))
         elif kind == 1:
             variants.append(SimVariant(p, ref[p], ref[p] + "AC", (0, 1)))
         else:
             variants.append(SimVariant(p, ref[p:p + 3], ref[p], (1, 1)))
     _, bam, _, _ = write_test_case(
-        d, ref_length=L, variants=variants, coverage=COVERAGE,
+        tmp_dir, ref_length=L, variants=variants, coverage=COVERAGE,
         read_length=5000, seed=11, error_rate=0.03)
+    step = L // N_CHUNKS
+    chunks = [(i * step, min(L, (i + 1) * step)) for i in range(N_CHUNKS)]
+    return bam, ref, hets, chunks
 
-    def best_of(fn, reps=3):
-        """min-of-N wall time: this host's CPU is shared and run-to-run
-        throughput varies >2x, so single-shot timings are unusable."""
-        best, result = float("inf"), None
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            result = fn()
-            best = min(best, time.perf_counter() - t0)
-        return best, result
 
-    # --- pileup extraction (native C++, auto threads) ---
-    pileup_region_native(bam, ref, 0, "chr1", 0, min(L, 10_000))  # warm build
-    t_ext, res = best_of(
-        lambda: pileup_region_native(bam, ref, 0, "chr1", 0, L, threads=0))
-    tensors, pos_infos, alt_infos = candidate_tensors(res, "chr1")
-    n = len(pos_infos)
+def run_cascade(bam, ref, hets, chunks, pe, fe, *, overlapped: bool):
+    """One full cascade pass over the chunks; returns (wall_s, details).
 
-    # --- pileup forward (measured device-resident rate on the real count) ---
-    t_fwd = n / pileup_cps
+    ``overlapped=False``: extract -> sync predict -> decode, chunk by
+    chunk (serial composition).  ``overlapped=True``: a 2-deep extraction
+    prefetch window feeds predict_async while the previous chunk decodes
+    (the production pipeline's structure, call.py:299-345)."""
+    from concurrent.futures import ThreadPoolExecutor
 
-    # --- pileup decode (native C++, oracle-realistic probabilities) ---
-    probs = PileupOracleEngine().predict(tensors)
+    from clair3_tpu.decode import DecodeConfig
+    from clair3_tpu.native import (decode_batch_native, fa_region_native,
+                                   pileup_region_native)
+    from clair3_tpu.pileup.extractor import candidate_tensors
+
     cfg_p = DecodeConfig(add_indel_length=False, pileup=True, show_ref_calls=True)
-    decode_batch_native(pos_infos[:64], alt_infos[:64], probs[:64], cfg_p)  # warm
-    t_dec, rows = best_of(
-        lambda: decode_batch_native(pos_infos, alt_infos, probs, cfg_p))
-
-    # --- full-alignment stage on the routed fraction ---
-    n_fa = max(1, int(n * FA_ROUTING_FRACTION))
-    fa_cands = sorted(int(p.split(":")[-2]) - 1 for p in pos_infos[:n_fa])
-    t_fa_ext, (fa_mat, fa_pos, fa_alts) = best_of(
-        lambda: fa_region_native(bam, ref, 0, "chr1", fa_cands,
-                                 need_haplotagging=False))
-    t_fa_fwd = len(fa_pos) / fa_cps
-    fa_probs = FullAlignmentOracleEngine().predict(fa_mat)
-    fa_pis = [f"chr1:{p + 1}:{ref[max(0, p - 16):p + 17]}" for p in fa_pos]
     cfg_f = DecodeConfig(add_indel_length=True, pileup=False, show_ref_calls=True)
-    t_fa_dec, _ = best_of(
-        lambda: decode_batch_native(fa_pis, fa_alts, fa_probs, cfg_f))
 
-    total = t_ext + t_fwd + t_dec + t_fa_ext + t_fa_fwd + t_fa_dec
-    details = {
-        "candidates": n, "fa_candidates": len(fa_pos), "rows": len(rows),
-        "t_extract": round(t_ext, 3), "t_forward": round(t_fwd, 3),
-        "t_decode": round(t_dec, 3), "t_fa_extract": round(t_fa_ext, 3),
-        "t_fa_forward": round(t_fa_fwd, 3), "t_fa_decode": round(t_fa_dec, 3),
-    }
-    return n / total, GENOME_MB / total, details
+    def extract_pileup(span):
+        s, e = span
+        res = pileup_region_native(bam, ref, 0, "chr1", s, e, threads=0)
+        return candidate_tensors(res, "chr1")
+
+    def extract_fa(span_cands):
+        mat, pos, alts = fa_region_native(
+            bam, ref, 0, "chr1", span_cands, variants=hets,
+            need_haplotagging=True)
+        pis = [f"chr1:{p + 1}:{ref[max(0, p - 16):p + 17]}" for p in pos]
+        return mat, pis, alts
+
+    n_cand = n_fa = n_rows = 0
+    timings = {"t_extract": 0.0, "t_forward": 0.0, "t_decode": 0.0,
+               "t_fa_extract": 0.0, "t_fa_forward": 0.0, "t_fa_decode": 0.0}
+
+    def timed(key, fn, *a):
+        t0 = time.perf_counter()
+        out = fn(*a)
+        timings[key] += time.perf_counter() - t0
+        return out
+
+    fa_spans = []  # per-chunk routed FA candidate positions
+    t_wall = time.perf_counter()
+    if not overlapped:
+        for span in chunks:
+            tensors, pis, alts = timed("t_extract", extract_pileup, span)
+            probs = timed("t_forward", pe.predict, tensors)
+            rows = timed("t_decode", decode_batch_native, pis, alts, probs, cfg_p)
+            n_cand += len(pis)
+            n_rows += len(rows)
+            k = max(1, int(len(pis) * FA_ROUTING_FRACTION))
+            fa_spans.append(sorted(int(p.split(":")[-2]) - 1 for p in pis[:k]))
+        for cands in fa_spans:
+            mat, pis, alts = timed("t_fa_extract", extract_fa, cands)
+            probs = timed("t_fa_forward", fe.predict, mat)
+            timed("t_fa_decode", decode_batch_native, pis, alts, probs, cfg_f)
+            n_fa += len(pis)
+    else:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(extract_pileup, s) for s in chunks[:2]]
+            pending = None
+            for i, span in enumerate(chunks):
+                tensors, pis, alts = futs[i].result()
+                if i + 2 < len(chunks):
+                    futs.append(pool.submit(extract_pileup, chunks[i + 2]))
+                handles = pe.predict_async(tensors)
+                if pending is not None:
+                    p_pis, p_alts, p_handles = pending
+                    probs = pe.gather(p_handles)
+                    n_rows += len(decode_batch_native(p_pis, p_alts, probs, cfg_p))
+                pending = (pis, alts, handles)
+                n_cand += len(pis)
+                k = max(1, int(len(pis) * FA_ROUTING_FRACTION))
+                fa_spans.append(sorted(int(p.split(":")[-2]) - 1 for p in pis[:k]))
+            p_pis, p_alts, p_handles = pending
+            probs = pe.gather(p_handles)
+            n_rows += len(decode_batch_native(p_pis, p_alts, probs, cfg_p))
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(extract_fa, c) for c in fa_spans[:2]]
+            pending = None
+            for i, cands in enumerate(fa_spans):
+                mat, pis, alts = futs[i].result()
+                if i + 2 < len(fa_spans):
+                    futs.append(pool.submit(extract_fa, fa_spans[i + 2]))
+                handles = fe.predict_async(mat)
+                if pending is not None:
+                    p_pis, p_alts, p_handles = pending
+                    probs = fe.gather(p_handles)
+                    decode_batch_native(p_pis, p_alts, probs, cfg_f)
+                pending = (pis, alts, handles)
+                n_fa += len(pis)
+            p_pis, p_alts, p_handles = pending
+            probs = fe.gather(p_handles)
+            decode_batch_native(p_pis, p_alts, probs, cfg_f)
+    wall = time.perf_counter() - t_wall
+    details = {"candidates": n_cand, "fa_candidates": n_fa, "rows": n_rows}
+    if not overlapped:
+        details.update({k: round(v, 3) for k, v in timings.items()})
+    return wall, details
 
 
 def main():
+    import tempfile
+
     import jax
     import jax.numpy as jnp
 
-    from clair3_tpu.models import FullAlignmentNet, PileupNet
     from clair3_tpu.parallel.mesh import get_mesh
 
     mesh = get_mesh()
     n_dev = mesh.devices.size
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
 
-    B_P, ITERS_P = 8192, 30
-    pileup = PileupNet(add_indel_length=False, compute_dtype=jnp.bfloat16,
-                       use_pallas_lstm=True)
-    vp = pileup.init(jax.random.PRNGKey(0), jnp.zeros((8, 33, 18), jnp.int32))
+    pe, fe, (pileup, vp), (fa, vf) = build_production_engines()
 
+    B_P, ITERS_P = 8192, 30
     def pileup_batch(key):
         return jax.random.randint(key, (B_P, 33, 18), -30, 30, jnp.int32)
 
     pileup_cps = bench_forward(pileup, vp, pileup_batch, B_P, ITERS_P)
-    print(f"[bench] pileup forward: {pileup_cps:,.0f} candidates/s", file=sys.stderr)
+    print(f"[bench] pileup forward (production config): "
+          f"{pileup_cps:,.0f} candidates/s", file=sys.stderr)
 
     B_F, ITERS_F = 2048, 30
-    fa = FullAlignmentNet(add_indel_length=True, compute_dtype=jnp.bfloat16)
-    vf = fa.init(jax.random.PRNGKey(0), jnp.zeros((8, 89, 33, 8), jnp.int8), train=False)
-
     def fa_batch(key):
-        return jax.random.randint(key, (B_F, 89, 33, 8), -100, 100, jnp.int32).astype(jnp.int8)
+        return jax.random.randint(key, (B_F, 89, 33, 8), -100, 100,
+                                  jnp.int32).astype(jnp.int8)
 
     fa_cps = bench_forward(fa, vf, fa_batch, B_F, ITERS_F)
-    print(f"[bench] full-alignment forward: {fa_cps:,.0f} candidates/s", file=sys.stderr)
+    print(f"[bench] full-alignment forward: {fa_cps:,.0f} candidates/s",
+          file=sys.stderr)
 
     fwd_combined = 1.0 / (1.0 / pileup_cps + FA_ROUTING_FRACTION / fa_cps)
     print(
         f"[bench] forward-only cascade capacity: {fwd_combined:,.0f} candidates/s "
-        f"({fwd_combined / n_dev:,.0f}/chip, {fwd_combined / n_dev / FWD_A100_BASELINE:.2f}x "
-        f"A100-forward estimate)",
+        f"({fwd_combined / n_dev:,.0f}/chip, "
+        f"{fwd_combined / n_dev / FWD_A100_BASELINE:.2f}x A100-forward estimate)",
         file=sys.stderr,
     )
 
-    e2e_cps, e2e_mbps, details = bench_e2e(pileup_cps, fa_cps)
-    print(f"[bench] e2e stage breakdown: {details}", file=sys.stderr)
+    d = tempfile.mkdtemp()
+    bam, ref, hets, chunks = make_workload(d)
+    # compile every engine bucket before timing (production warms up in
+    # parallel with extraction; here we keep timing clean)
+    pe.warmup((33, 18), np.int32)
+    fe.warmup((89, 33, 8), np.int8)
+
+    # serial composition: best of 2 passes (shared-vCPU noise)
+    serial_wall, serial_details = run_cascade(
+        bam, ref, hets, chunks, pe, fe, overlapped=False)
+    w2, _ = run_cascade(bam, ref, hets, chunks, pe, fe, overlapped=False)
+    serial_wall = min(serial_wall, w2)
+    print(f"[bench] serial cascade: {serial_wall:.2f}s "
+          f"{serial_details}", file=sys.stderr)
+
+    over_wall, over_details = run_cascade(
+        bam, ref, hets, chunks, pe, fe, overlapped=True)
+    w2, _ = run_cascade(bam, ref, hets, chunks, pe, fe, overlapped=True)
+    over_wall = min(over_wall, w2)
+
+    n = over_details["candidates"]
+    e2e_cps = n / over_wall
+    speedup = serial_wall / over_wall
     print(
-        f"[bench] e2e cascade: {e2e_cps:,.0f} candidates/s, "
-        f"{e2e_mbps:.2f} Mbases/s (genome), serial composition",
+        f"[bench] overlapped cascade: {over_wall:.2f}s = {e2e_cps:,.0f} "
+        f"candidates/s, {GENOME_MB / over_wall:.2f} Mbases/s "
+        f"(overlap speedup {speedup:.2f}x vs serial)",
         file=sys.stderr,
     )
 
     per_chip = e2e_cps / n_dev
     print(json.dumps({
-        "metric": "e2e cascade candidates/s/chip (native extract + bf16 infer + native decode, pileup + 0.3x FA)",
+        "metric": ("e2e cascade candidates/s/chip, overlapped production path "
+                   "(native extract + real-transfer bf16 engine infer + "
+                   "in-C haplotagging FA + native decode, pileup + 0.3x FA)"),
         "value": round(per_chip, 1),
         "unit": "candidates/s/chip",
         "vs_baseline": round(per_chip / E2E_4090_BASELINE, 3),

@@ -506,23 +506,52 @@ def cmd_sort_vcf(args: argparse.Namespace) -> int:
 
 
 def cmd_merge_vcf(args: argparse.Namespace) -> int:
-    """Merge pileup + full-alignment VCFs (MergeVcf equivalent: FA calls win
-    at their positions)."""
+    """Merge pileup + full-alignment VCFs (MergeVcf equivalent).  Default:
+    FA calls win at their positions.  --platform ilmn: region-scoped merge
+    (realignment shifts candidate positions, so inside each full-alignment
+    window only FA calls survive; reference MergeVcf.py:59-155)."""
+    import os
+
     from clair3_tpu.io.vcf import VcfWriter, get_header
     from clair3_tpu.io.bgzf import decompress, is_gzipped
     from clair3_tpu.pipeline.merge_sort import (
-        merge_pileup_and_full_alignment, sort_rows)
+        RegionIndex, merge_pileup_and_full_alignment,
+        merge_pileup_and_full_alignment_illumina, read_full_aln_regions,
+        sort_rows)
 
     def read_rows(path):
         text = decompress(path).decode() if is_gzipped(path) else open(path).read()
         return [l + "\n" for l in text.splitlines() if l and not l.startswith("#")]
 
-    merged = merge_pileup_and_full_alignment(
-        read_rows(args.pileup_vcf_fn), read_rows(args.full_alignment_vcf_fn),
-        contig=args.ctg_name, qual_cutoff=args.qual,
-        print_ref_calls=args.print_ref_calls,
-        haploid_precise=args.haploid_precise,
-        haploid_sensitive=args.haploid_sensitive)
+    if args.platform == "ilmn":
+        paths = list(args.full_aln_regions or [])
+        if args.bed_fn_prefix:
+            # the reference concatenates every {ctg}.* shard in the
+            # candidate folder (MergeVcf.py:71-80)
+            prefix = args.ctg_name + "." if args.ctg_name else ""
+            paths += sorted(
+                os.path.join(args.bed_fn_prefix, f)
+                for f in os.listdir(args.bed_fn_prefix)
+                if not prefix or f.startswith(prefix))
+        if not paths:
+            print("[ERROR] --platform ilmn merge needs --full_aln_regions "
+                  "or --bed_fn_prefix", file=sys.stderr)
+            return 1
+        merged = merge_pileup_and_full_alignment_illumina(
+            read_rows(args.pileup_vcf_fn),
+            read_rows(args.full_alignment_vcf_fn),
+            RegionIndex(read_full_aln_regions(paths)),
+            contig=args.ctg_name, qual_cutoff=args.qual,
+            print_ref_calls=args.print_ref_calls,
+            haploid_precise=args.haploid_precise,
+            haploid_sensitive=args.haploid_sensitive)
+    else:
+        merged = merge_pileup_and_full_alignment(
+            read_rows(args.pileup_vcf_fn), read_rows(args.full_alignment_vcf_fn),
+            contig=args.ctg_name, qual_cutoff=args.qual,
+            print_ref_calls=args.print_ref_calls,
+            haploid_precise=args.haploid_precise,
+            haploid_sensitive=args.haploid_sensitive)
     merged = sort_rows(merged)
     header = get_header(reference_file_path=args.ref_fn,
                         sample_name=args.sample_name)
@@ -732,6 +761,12 @@ def main(argv=None) -> int:
     mv.add_argument("--print_ref_calls", action="store_true")
     mv.add_argument("--haploid_precise", action="store_true")
     mv.add_argument("--haploid_sensitive", action="store_true")
+    mv.add_argument("--platform", default="ont", choices=("ont", "hifi", "ilmn"))
+    mv.add_argument("--full_aln_regions", nargs="+", default=None,
+                    help="ilmn: full-alignment region BED file(s)")
+    mv.add_argument("--bed_fn_prefix", default=None,
+                    help="ilmn: candidate folder holding {ctg}.* region "
+                         "shards (reference spelling)")
     mv.set_defaults(func=cmd_merge_vcf)
 
     dp = sub.add_parser("decode_probabilities",

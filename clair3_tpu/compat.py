@@ -443,6 +443,8 @@ def cmd_merge_vcf(argv: List[str]) -> int:
     p.add_argument("--print_ref_calls", type=_str2bool, default=False)
     p.add_argument("--haploid_precise", type=_str2bool, default=False)
     p.add_argument("--haploid_sensitive", type=_str2bool, default=False)
+    p.add_argument("--platform", default="ont")
+    p.add_argument("--bed_fn_prefix", default=None)
     args, _ = p.parse_known_args(argv)
 
     from clair3_tpu.cli import main as cli_main
@@ -452,7 +454,10 @@ def cmd_merge_vcf(argv: List[str]) -> int:
            "--full_alignment_vcf_fn", args.full_alignment_vcf_fn,
            "--output_fn", args.output_fn,
            "--sample_name", args.sampleName,
+           "--platform", args.platform,
            "--qual", str(args.qual)]
+    if args.bed_fn_prefix:
+        cmd += ["--bed_fn_prefix", args.bed_fn_prefix]
     if args.ref_fn and args.ref_fn != "EMPTY":
         cmd += ["--ref_fn", args.ref_fn]
     if args.ctgName and args.ctgName != "EMPTY":

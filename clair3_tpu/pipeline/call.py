@@ -562,11 +562,11 @@ class VariantCaller:
                 out.append(row)
         return out
 
-    def _realign_illumina(self, contigs) -> None:
-        """ilmn platform: local read realignment before feature extraction
-        (reference: RealignReads as the first stage of the ilmn pipe,
-        CallVarBam.py:160-175).  Rewrites self.cfg.bam_fn to the realigned
-        BAM."""
+    def _realign_illumina(self, contigs) -> str:
+        """ilmn platform: local read realignment for the full-alignment
+        stage (reference: RealignReads as the first stage of the ilmn FA
+        pipe, CallVarBam.py:99,160-175 — the pileup stage reads the RAW
+        BAM).  Returns the realigned BAM path."""
         from clair3_tpu.io.bam import BamReader, write_bam
         from clair3_tpu.io.fasta import FastaFile
         from clair3_tpu.realign.realigner import realign_reads_in_region
@@ -595,7 +595,43 @@ class VariantCaller:
         out_path = os.path.join(self.cfg.output_dir, "tmp", "realigned.bam")
         write_bam(out_path, bam.references, bam.lengths, all_reads)
         logger.info("[realign] %d reads realigned -> %s", total, out_path)
-        self.cfg = dataclasses.replace(self.cfg, bam_fn=out_path)
+        return out_path
+
+    def _ilmn_fa_regions_and_candidates(self, contig, positions, fa_bam):
+        """ilmn full-alignment work units: 1000 bp windows anchored at the
+        routed low-qual positions (SelectCandidates.py:262-269), candidates
+        RE-DETECTED inside each window from the REALIGNED BAM (realignment
+        shifts them; reference CreateTensorFullAlignment re-runs candidate
+        selection over the realigned reads).  Returns (bed_rows, cand_pos):
+        bed_rows in the full_aln_regions file convention for the
+        region-scoped merge."""
+        region_size = 1000
+        pad = NO_OF_POSITIONS
+        anchors = sorted({max(p // region_size * region_size, 1)
+                          for p in positions})
+        bed_rows = []
+        spans = []
+        for a in anchors:
+            win_start = max(a - pad, 1)           # 1-based inclusive
+            win_end = a + region_size + pad       # 1-based exclusive-ish
+            bed_rows.append((contig, max(win_start - 1, 0), win_end - 1))
+            if spans and win_start <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], win_end))
+            else:
+                spans.append((win_start, win_end))
+        cand_pos: List[int] = []
+        for s, e in spans:
+            _, pos_infos, _, _ = create_pileup_tensors(
+                fa_bam, self.cfg.ref_fn, contig, s, e,
+                min_mq=self.cfg.min_mq,
+                min_depth=self.cfg.min_coverage,
+                min_snp_af=self.cfg.snp_min_af,
+                min_indel_af=self.cfg.indel_min_af,
+                max_indel_length=self.cfg.max_indel_length,
+                call_snp_only=self.cfg.call_snp_only,
+            )
+            cand_pos.extend(int(p.split(":")[-2]) for p in pos_infos)
+        return bed_rows, sorted(set(cand_pos))
 
     def _join_warmups(self) -> None:
         """Join in-flight warmup_async compiles before returning: a daemon
@@ -654,10 +690,6 @@ class VariantCaller:
             self.fa_engine.warmup_async(
                 (self.cfg.matrix_depth, NO_OF_POSITIONS, self.cfg.fa_channels),
                 np.int8)
-        if cfg.platform == "ilmn":
-            with _timed("realign"):
-                self._realign_illumina(contigs)
-            cfg = self.cfg
         self._timed = _timed
         contig_names = [c for c, _ in contigs]
         chunk_size = cfg.chunk_size
@@ -710,6 +742,14 @@ class VariantCaller:
                         pileup_rows, pileup_stats, phase_qual, ctg)
                     phased_by_contig[ctg] = self.phaser.phase(ctg, het_snps)
 
+        # ilmn: realign reads for the FA stage only (the pileup stage read
+        # the raw BAM, matching the reference's CallVarBam.py:99 split)
+        fa_bam = None
+        ilmn_bed_rows: List[Tuple[str, int, int]] = []
+        if cfg.platform == "ilmn":
+            with self._timed("realign"):
+                fa_bam = self._realign_illumina(contigs)
+
         fa_rows: List[str] = []
         _ent_fa = FastaFile(cfg.ref_fn) if cfg.call_low_seq_entropy else None
         try:
@@ -728,8 +768,31 @@ class VariantCaller:
                         var_pct_full=cfg.var_pct_full,
                         fetch_window=fetch_window,
                     )
+                    if batches and fa_bam is not None:
+                        # region windows + candidate re-detection on the
+                        # realigned BAM (positions shift under realignment)
+                        routed = [p for b in batches for p in b.positions]
+                        bed_rows, cand_pos = self._ilmn_fa_regions_and_candidates(
+                            ctg, routed, fa_bam)
+                        ilmn_bed_rows.extend(bed_rows)
+                        phased_all = sorted(
+                            {ps for b in batches for ps in b.phased_snps})
+                        batches = [
+                            CandidateBatch(ctg, cand_pos[i: i + 10_000],
+                                           phased_all)
+                            for i in range(0, len(cand_pos), 10_000)
+                        ]
                     if batches:
-                        fa_rows.extend(self.run_full_alignment(batches))
+                        if fa_bam is not None:
+                            raw_cfg = self.cfg
+                            self.cfg = dataclasses.replace(
+                                self.cfg, bam_fn=fa_bam)
+                            try:
+                                fa_rows.extend(self.run_full_alignment(batches))
+                            finally:
+                                self.cfg = raw_cfg
+                        else:
+                            fa_rows.extend(self.run_full_alignment(batches))
         finally:
             if _ent_fa is not None:
                 _ent_fa.close()
@@ -752,7 +815,37 @@ class VariantCaller:
         merged: List[str] = []
         _merge_t = self._timed("merge")
         _merge_t.__enter__()
+        region_index = None
+        if fa_bam is not None:
+            from clair3_tpu.pipeline.merge_sort import RegionIndex
+
+            region_index = RegionIndex(ilmn_bed_rows)
+            # keep the windows inspectable, as the reference's
+            # candidate_bed/ shards are (SelectCandidates.py:262-294)
+            regions_path = os.path.join(cfg.output_dir, "tmp",
+                                        "full_aln_regions.bed")
+            os.makedirs(os.path.dirname(regions_path), exist_ok=True)
+            with open(regions_path, "w") as fh:
+                for row in ilmn_bed_rows:
+                    fh.write("\t".join(str(x) for x in row) + "\n")
         for ctg in contig_names:
+            if region_index is not None:
+                from clair3_tpu.pipeline.merge_sort import (
+                    merge_pileup_and_full_alignment_illumina)
+
+                merged.extend(
+                    merge_pileup_and_full_alignment_illumina(
+                        pileup_by_ctg.get(ctg, []),
+                        fa_by_ctg.get(ctg, []),
+                        region_index,
+                        contig=ctg,
+                        qual_cutoff=cfg.qual,
+                        print_ref_calls=cfg.print_ref_calls,
+                        haploid_precise=cfg.haploid_precise,
+                        haploid_sensitive=cfg.haploid_sensitive,
+                    )
+                )
+                continue
             merged.extend(
                 merge_pileup_and_full_alignment(
                     pileup_by_ctg.get(ctg, []),

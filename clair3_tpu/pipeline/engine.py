@@ -26,7 +26,7 @@ import numpy as np
 
 from clair3_tpu.parallel.mesh import batch_sharding, get_mesh, replicated_sharding
 
-_DEFAULT_BUCKETS = (256, 1024, 4096)
+_DEFAULT_BUCKETS = (256, 1024, 2048, 4096)
 
 
 class InferenceEngine:

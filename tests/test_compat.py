@@ -293,3 +293,83 @@ def test_merge_vcf_compat_matches_reference(tmp_path):
     our_body = [l for l in our_out.read_text().splitlines()
                 if l and not l.startswith("#")]
     assert our_body == ref_body
+
+
+@pytest.mark.skipif(not HAS_REF, reason="no reference tree")
+def test_merge_vcf_illumina_compat_matches_reference(tmp_path):
+    """--platform ilmn region-scoped merge is row-identical to the reference
+    MergeVcf_illumina (MergeVcf.py:59-155): inside each full_aln_regions
+    window only FA calls survive (realignment shifts positions there);
+    outside, pileup calls survive."""
+    import random
+
+    rng = random.Random(1234)
+    # region shards the way SelectCandidates writes them for ilmn
+    # (SelectCandidates.py:262-269): window = pos//1000*1000 +- padding,
+    # emitted as (start-1, end-1) BED rows split over two files
+    window_anchors = [2000, 5000, 9000]
+    prefix = tmp_path / "candidates"
+    prefix.mkdir()
+    rows0, rows1 = [], []
+    for i, anchor in enumerate(window_anchors):
+        start = max(anchor - 33, 1)
+        end = anchor + 1000 + 33
+        (rows0 if i % 2 == 0 else rows1).append(
+            f"chr1\t{max(start - 1, 0)}\t{end - 1}")
+    (prefix / "chr1.0_2").write_text("\n".join(rows0) + "\n")
+    (prefix / "chr1.1_2").write_text("\n".join(rows1) + "\n")
+    # decoy from another contig: must be ignored with --ctgName chr1
+    (prefix / "chr2.0_1").write_text("chr2\t0\t100000\n")
+
+    def vcf_row(pos, qual, gt, ref="A", alt="T", tag="P"):
+        if gt == "0/0":
+            ref, alt = "A", "."
+        return (f"chr1\t{pos}\t.\t{ref}\t{alt}\t{qual:.2f}\tPASS\t{tag}\t"
+                f"GT:GQ:DP:AD:AF\t{gt}:{int(qual)}:30:15,15:0.5")
+
+    pileup_rows, fa_rows = [], []
+    pos = 150
+    while pos < 11_000:
+        pos += rng.randint(5, 60)
+        q = round(rng.uniform(0.5, 30), 2)
+        gt = rng.choice(["0/0", "0/1", "1/1"])
+        pileup_rows.append(vcf_row(pos, q, gt))
+        # FA re-called the window: same sites shifted by realignment
+        for anchor in window_anchors:
+            if anchor <= pos < anchor + 1000:
+                q2 = round(rng.uniform(5, 35), 2)
+                fa_rows.append(vcf_row(pos + rng.randint(-3, 3), q2,
+                                       rng.choice(["0/1", "1/1"]),
+                                       alt="G", tag="F"))
+    p_vcf = tmp_path / "pileup.vcf.gz"
+    f_vcf = tmp_path / "fa.vcf.gz"
+    with gzip.open(p_vcf, "wt") as f:
+        f.write(HEADER + "\n".join(pileup_rows) + "\n")
+    with gzip.open(f_vcf, "wt") as f:
+        f.write(HEADER + "\n".join(fa_rows) + "\n")
+
+    for extra in ([], ["--print_ref_calls", "True"],
+                  ["--haploid_sensitive", "True"]):
+        ref_out = tmp_path / "ref_merged.vcf"
+        _run_ref("MergeVcf.py",
+                 ["--pileup_vcf_fn", str(p_vcf),
+                  "--full_alignment_vcf_fn", str(f_vcf),
+                  "--output_fn", str(ref_out), "--ctgName", "chr1",
+                  "--platform", "ilmn", "--qual", "5",
+                  "--bed_fn_prefix", str(prefix)] + extra)
+        our_out = tmp_path / "our_merged.vcf"
+        assert _run_ours(["MergeVcf",
+                          "--pileup_vcf_fn", str(p_vcf),
+                          "--full_alignment_vcf_fn", str(f_vcf),
+                          "--output_fn", str(our_out), "--ctgName", "chr1",
+                          "--platform", "ilmn", "--qual", "5",
+                          "--bed_fn_prefix", str(prefix)] + extra) == 0
+        ref_body = [l for l in ref_out.read_text().splitlines()
+                    if l and not l.startswith("#")]
+        our_body = [l for l in our_out.read_text().splitlines()
+                    if l and not l.startswith("#")]
+        assert our_body == ref_body, f"ilmn merge diverged with {extra}"
+        # sanity: the merge actually did region routing (some FA rows in,
+        # some pileup rows dropped inside windows)
+        assert any("\tF\t" in l for l in our_body)
+        assert any("\tP\t" in l for l in our_body)

@@ -133,14 +133,19 @@ def test_realignment_leaves_clean_reads_alone():
 
 
 def test_ilmn_pipeline_with_realignment(tmp_path):
-    """End-to-end ilmn cascade: misaligned deletion reads are realigned and
-    the deletion is called."""
+    """End-to-end ilmn cascade with reference semantics (CallVarBam.py:99
+    ``need_realignment = ... and not pileup``): the PILEUP stage reads the
+    raw BAM, where the misaligned deletion shows up as shifted mismatch
+    candidates; the FULL-ALIGNMENT stage realigns, re-detects candidates
+    inside the 1000 bp region windows, and calls the true deletion; the
+    region-scoped merge (MergeVcf.py:59-155) keeps exactly the FA
+    representation inside the window and drops the stale pileup rows."""
     from clair3_tpu.config import CallConfig
     from clair3_tpu.io.bam import write_bam
     from clair3_tpu.io.fasta import write_fasta
     from clair3_tpu.io.vcf import VcfReader
     from clair3_tpu.pipeline.call import VariantCaller
-    from clair3_tpu.testing import PileupOracleEngine
+    from clair3_tpu.testing import FullAlignmentOracleEngine, PileupOracleEngine
 
     ref = random_reference(800, seed=86)
     del_start, del_len = 400, 4
@@ -158,8 +163,11 @@ def test_ilmn_pipeline_with_realignment(tmp_path):
     write_bam(bam, ["chr1"], [800], reads)
 
     cfg = CallConfig(platform="ilmn", bam_fn=bam, ref_fn=fasta,
-                     output_dir=str(tmp_path / "out"), pileup_only=True)
-    outputs = VariantCaller(cfg, pileup_engine=PileupOracleEngine()).run()
+                     output_dir=str(tmp_path / "out"),
+                     var_pct_full=1.0, ref_pct_full=1.0,
+                     no_phasing_for_fa=True)
+    outputs = VariantCaller(cfg, pileup_engine=PileupOracleEngine(),
+                            fa_engine=FullAlignmentOracleEngine()).run()
     recs = list(VcfReader(outputs["merge_output"]))
     by_pos = {r.pos: r for r in recs}
     anchor1 = del_start  # 1-based anchor = del_start (0-based anchor del_start-1)
@@ -167,6 +175,25 @@ def test_ilmn_pipeline_with_realignment(tmp_path):
     rec = by_pos[anchor1]
     assert rec.ref == ref[del_start - 1: del_start + del_len]
     assert rec.alt == ref[del_start - 1]
+    # exactly ONE representation survives inside the window, and it is the
+    # FA call (INFO tag F): the raw-BAM pileup saw the deletion as shifted
+    # SNP candidates, which the region merge must drop
+    in_window = [r for r in recs if abs(r.pos - anchor1) <= 50]
+    assert all(r.info == "F" for r in in_window), (
+        [(r.pos, r.info, r.ref, r.alt) for r in in_window])
+    indels = [r for r in in_window if len(r.ref) != len(r.alt or "")]
+    assert len(indels) == 1
+
+    # the pileup VCF alone (raw BAM) must NOT contain the true deletion --
+    # proving the FA stage, not the pileup, recovered it
+    pileup_recs = list(VcfReader(outputs["pileup"]))
+    assert not any(r.pos == anchor1 and len(r.ref) == del_len + 1
+                   for r in pileup_recs)
+    # and the region windows were materialized for inspection
+    import os
+
+    assert os.path.exists(os.path.join(str(tmp_path / "out"), "tmp",
+                                       "full_aln_regions.bed"))
 
 
 def test_dbg_native_matches_python():
