@@ -20,6 +20,13 @@ from clair3_tpu.train.data import TruthVariant
 
 MAX_CLUSTER_CANDIDATES = 10
 MAX_CALCULATE_COUNT = 10_000   # combination budget (UnifyRepresentation.py:1409)
+# Max het sites whose phasings are enumerated per partition.  Oversized
+# clusters are SPLIT at their largest gaps and each part searched fully —
+# the reference's partition-and-search (split_variants_truths caps sites
+# per partition at partition_size=15 and the option-product at
+# max_calculate_count, UnifyRepresentation.py:660-735) — instead of
+# truncating the enumeration as pre-r03 code did.
+MAX_PARTITION_HETS = 14
 WINDOW_PAD = 16
 _GT_OPTIONS = ((0, 1), (1, 0), (1, 1))
 
@@ -140,6 +147,22 @@ def _cluster(items: Sequence, pos_of, gap: int) -> List[List]:
     return clusters
 
 
+def _is_het(t: TruthVariant) -> bool:
+    return t.genotype1 != t.genotype2
+
+
+def _split_dense_cluster(cluster: List, max_hets: int) -> List[List]:
+    """Recursively split a truth cluster at its largest internal gap until
+    each part has <= max_hets het sites (reference partition-and-search:
+    bounded option-product per partition instead of truncated search)."""
+    if sum(1 for t in cluster if _is_het(t)) <= max_hets or len(cluster) < 2:
+        return [cluster]
+    gaps = [cluster[i + 1].pos - cluster[i].pos for i in range(len(cluster) - 1)]
+    cut = max(range(len(gaps)), key=gaps.__getitem__) + 1
+    return (_split_dense_cluster(cluster[:cut], max_hets)
+            + _split_dense_cluster(cluster[cut:], max_hets))
+
+
 def unify_representation(
     truths: Sequence[TruthVariant],
     candidates: Sequence[CandidateAllele],
@@ -163,7 +186,10 @@ def unify_representation(
     out: List[TruthVariant] = []
     cand_sorted = sorted(candidates, key=lambda c: c.pos)
 
-    for cluster in _cluster(truths, lambda t: t.pos, 2 * window_pad):
+    clusters = [part
+                for cl in _cluster(truths, lambda t: t.pos, 2 * window_pad)
+                for part in _split_dense_cluster(cl, MAX_PARTITION_HETS)]
+    for cluster in clusters:
         ctg = cluster[0].ctg
         lo = cluster[0].pos - window_pad
         hi = cluster[-1].pos + max(len(t.ref) for t in cluster) + window_pad
@@ -202,19 +228,24 @@ def unify_representation(
             out.extend(cluster)
             continue
 
-        truth_pair = None
-        # try both phasings of het truth edits (bounded)
+        # enumerate ALL phasings of the het truth edits (the partition
+        # split above bounds this at 2^(MAX_PARTITION_HETS-1); the first
+        # het is pinned because the haplotype pair is unordered, so the
+        # global flip is a symmetry — unique_genotypes_selection's dedup,
+        # UnifyRepresentation.py:92-114)
         het_idx = [i for i, e in enumerate(truth_edits) if e[3] != (1, 1)]
+        het_pos = {i: k for k, i in enumerate(het_idx)}
         target_pairs = set()
-        for phases in itertools.product((0, 1), repeat=min(len(het_idx), 6)):
+        n_free = max(len(het_idx) - 1, 0)
+        for tail in itertools.product((0, 1), repeat=n_free):
+            phases = (0,) + tail
             edits = []
             for i, e in enumerate(truth_edits):
                 pos, ref, alt, gt = e
                 if gt == (1, 1):
                     edits.append((pos, ref, alt, (1, 1)))
                 else:
-                    k = het_idx.index(i) if i in het_idx else 0
-                    flip = phases[k] if k < len(phases) else 0
+                    flip = phases[het_pos[i]]
                     edits.append((pos, ref, alt, (1, 0) if flip else (0, 1)))
             pair = _haplotype_pair(ref_window, window_start, edits)
             if pair is not None:
@@ -241,31 +272,77 @@ def unify_representation(
                 reads, window_start, window_start + len(ref_window) - 1,
                 ref_window)
 
-        # search subsets x genotype assignments of candidate alleles under a
-        # combination budget; collect every haplotype-matching assignment
+        # DFS over per-site genotype options ((0,0) = skip the site) with
+        # HAPLOTYPE-PREFIX PRUNING against the target pair(s): a partial
+        # assignment whose built haplotypes are not prefixes of any target
+        # cannot complete, so dense clusters stay tractable where blind
+        # subset enumeration (and the reference's genotypes_combination
+        # product, which collapses to all-(0,0) past its budget) explode.
         matches: List[Tuple[int, int, int, List[TruthVariant]]] = []
         tried = 0
         order = 0
-        for r in range(1, len(near) + 1):
-            if tried >= max_calculate_count:
-                break
-            for subset in itertools.combinations(near, r):
-                if tried >= max_calculate_count:
-                    break
-                for gts in itertools.product(_GT_OPTIONS, repeat=r):
-                    tried += 1
-                    if tried > max_calculate_count:
-                        break
-                    edits = [(c.pos, c.ref, c.alt, gt) for c, gt in zip(subset, gts)]
-                    pair = _haplotype_pair(ref_window, window_start, edits)
-                    if pair is None or pair not in target_pairs:
-                        continue
-                    sup = (support[pair[0]] + support[pair[1]]) if support is not None else 0
-                    rows = _emit_matched(ctg, subset, gts)
-                    if rows is None:
-                        continue
-                    matches.append((-sup, r, order, rows))
+        targets = sorted(target_pairs)
+
+        def _prefix_ok(h1: str, h2: str) -> bool:
+            for t1, t2 in targets:
+                if (t1.startswith(h1) and t2.startswith(h2)) or \
+                        (t1.startswith(h2) and t2.startswith(h1)):
+                    return True
+            return False
+
+        def _apply(state, c: CandidateAllele):
+            s, cursor = state
+            if c.pos < cursor:
+                return None  # overlaps the previous edit on this haplotype
+            off = c.pos - window_start
+            if off + len(c.ref) > len(ref_window):
+                return None
+            if ref_window[off: off + len(c.ref)] != c.ref:
+                return None
+            return (s + ref_window[cursor - window_start: off] + c.alt,
+                    c.pos + len(c.ref))
+
+        def _dfs(i, hap1, hap2, chosen):
+            nonlocal tried, order
+            if tried > max_calculate_count:
+                return
+            if i == len(near):
+                tried += 1
+                if not chosen:
+                    return
+                f1 = hap1[0] + ref_window[hap1[1] - window_start:]
+                f2 = hap2[0] + ref_window[hap2[1] - window_start:]
+                pair = tuple(sorted((f1, f2)))
+                if pair not in target_pairs:
+                    return
+                sup = (support[pair[0]] + support[pair[1]]) if support is not None else 0
+                subset = [c for c, _ in chosen]
+                gts = [g for _, g in chosen]
+                rows = _emit_matched(ctg, subset, gts)
+                if rows is not None:
+                    matches.append((-sup, len(chosen), order, rows))
                     order += 1
+                return
+            c = near[i]
+            for gt in ((0, 0),) + _GT_OPTIONS:
+                tried += 1
+                if tried > max_calculate_count:
+                    return
+                if gt == (0, 0):
+                    _dfs(i + 1, hap1, hap2, chosen)
+                    continue
+                n1, n2 = hap1, hap2
+                if gt[0]:
+                    n1 = _apply(hap1, c)
+                if gt[1]:
+                    n2 = _apply(hap2, c)
+                if n1 is None or n2 is None:
+                    continue
+                if not _prefix_ok(n1[0], n2[0]):
+                    continue
+                _dfs(i + 1, n1, n2, chosen + [(c, gt)])
+
+        _dfs(0, ("", window_start), ("", window_start), [])
         if not matches:
             out.extend(cluster)
             continue
