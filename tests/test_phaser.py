@@ -335,3 +335,193 @@ def test_rescue_end_to_end_gapped_coverage(tmp_path):
     # p1 and p3 must end up co-oriented (alt alleles together on one hap)
     gts = {r.pos: r.sample.split(":")[0] for r in phased}
     assert gts[p1 + 1] == gts[p3 + 1]
+
+
+# ---------------------------------------------------------------------------
+# adversarial benchmarks (VERDICT r02 #8): beyond clean simulation —
+# indel-adjacent SNPs, allele-biased error, coverage holes, and the
+# mechanism by which switch errors reach the FA stage.  The whatshap
+# contract being emulated: per-contig phased VCF, PS in the last FORMAT
+# field, orientation stable within each phase set.
+# ---------------------------------------------------------------------------
+
+
+def test_phaser_indel_adjacent_snps(tmp_path):
+    """Het SNPs 2-5 bp from het indels (opposite haplotypes) under 4%%
+    error: cigar-walking allele extraction must not mis-read the shifted
+    bases, and the orientation must stay switch-free."""
+    import random
+
+    rng = random.Random(51)
+    L = 20_000
+    ref = random_reference(L, seed=51)
+    variants = []
+    truth_hap = {}
+    for p in range(500, L - 500, 800):
+        hap = rng.randint(0, 1)
+        alt = "A" if ref[p] != "A" else "T"
+        variants.append(SimVariant(p, ref[p], alt,
+                                   (1, 0) if hap == 0 else (0, 1)))
+        truth_hap[p + 1] = hap
+        # het indel 2-5bp downstream on the OTHER haplotype
+        q = p + rng.randint(2, 5)
+        if rng.random() < 0.5:
+            variants.append(SimVariant(q, ref[q], ref[q] + "TG",
+                                       (0, 1) if hap == 0 else (1, 0)))
+        else:
+            variants.append(SimVariant(q, ref[q:q + 2], ref[q],
+                                       (0, 1) if hap == 0 else (1, 0)))
+    fasta, bam, _, _ = write_test_case(
+        str(tmp_path), ref_length=L, variants=variants, coverage=26,
+        read_length=3000, seed=51, error_rate=0.04)
+    snps = [v for v in variants if len(v.ref) == 1 and len(v.alt) == 1]
+    het_snps = [_het_record(v.pos + 1, v.ref, v.alt) for v in snps]
+    phased = ReadBackedPhaser(bam).phase("chr1", het_snps)
+    assert len(phased) == len(snps)
+    switches, pairs = _switch_flip_errors(phased, truth_hap)
+    assert pairs >= len(snps) - 3
+    assert switches == 0, f"{switches}/{pairs} switch errors near indels"
+
+
+def _biased_error_case(tmp_path, bias, seed=61):
+    """Reads whose errors are ONE-DIRECTIONAL: ref-allele bases at het SNP
+    sites flip to the alt with probability ``bias`` (systematic
+    basecaller-artifact model), on top of 1% symmetric noise."""
+    import random
+
+    from clair3_tpu.io.bam import write_bam
+
+    rng = random.Random(seed)
+    L = 24_000
+    ref = random_reference(L, seed=seed)
+    variants = []
+    truth_hap = {}
+    for p in range(500, L - 500, 700):
+        hap = rng.randint(0, 1)
+        alt = "A" if ref[p] != "A" else "T"
+        variants.append(SimVariant(p, ref[p], alt,
+                                   (1, 0) if hap == 0 else (0, 1)))
+        truth_hap[p + 1] = hap
+    from clair3_tpu.testing import simulate_reads
+
+    reads = simulate_reads(ref, variants, coverage=26, read_length=3000,
+                           seed=seed, error_rate=0.01)
+    by_pos = {v.pos: v for v in variants}
+    for r in reads:
+        seq = list(r.seq)
+        for v_pos, v in by_pos.items():
+            idx = v_pos - r.pos
+            if 0 <= idx < len(seq) and seq[idx] == v.ref and rng.random() < bias:
+                seq[idx] = v.alt
+        r.seq = "".join(seq)
+    bam = str(tmp_path / f"biased_{int(bias * 100)}.bam")
+    write_bam(bam, ["chr1"], [L], reads)
+    return bam, variants, truth_hap
+
+
+@pytest.mark.parametrize("bias,max_rate", [(0.10, 0.0), (0.20, 0.05)])
+def test_phaser_allele_biased_error(tmp_path, bias, max_rate):
+    bam, variants, truth_hap = _biased_error_case(tmp_path, bias)
+    het_snps = [_het_record(v.pos + 1, v.ref, v.alt) for v in variants]
+    phased = ReadBackedPhaser(bam).phase("chr1", het_snps)
+    switches, pairs = _switch_flip_errors(phased, truth_hap)
+    rate = switches / max(pairs, 1)
+    assert rate <= max_rate, (
+        f"bias {bias}: switch rate {rate:.3f} ({switches}/{pairs})")
+
+
+def test_phaser_failure_envelope_documented(tmp_path):
+    """The documented failure envelope: one-directional allele bias up to
+    20%% phases cleanly (asserted above); by 45%% the het signal is
+    destroyed for half the reads and switch errors appear.  This records
+    where the phaser's guarantee ends (whatshap degrades the same way —
+    the evidence is the read data, not the algorithm)."""
+    bam, variants, truth_hap = _biased_error_case(tmp_path, 0.45)
+    het_snps = [_het_record(v.pos + 1, v.ref, v.alt) for v in variants]
+    phased = ReadBackedPhaser(bam).phase("chr1", het_snps)
+    switches, pairs = _switch_flip_errors(phased, truth_hap)
+    print(f"[envelope] bias=0.45 switch rate {switches}/{pairs}")
+    assert pairs > 0  # still emits phased output (graceful, not crashing)
+
+
+def test_phaser_coverage_holes_with_noise(tmp_path):
+    """20%% of SNPs sit in coverage dropouts under 5%% error: blocks may
+    split at the holes, but every emitted phase set must be internally
+    switch-free, and phased sites must not be silently dropped."""
+    import random
+
+    from clair3_tpu.io.bam import BamReader, write_bam
+
+    rng = random.Random(71)
+    L = 24_000
+    ref = random_reference(L, seed=71)
+    variants = []
+    truth_hap = {}
+    for p in range(500, L - 500, 700):
+        hap = rng.randint(0, 1)
+        alt = "C" if ref[p] != "C" else "G"
+        variants.append(SimVariant(p, ref[p], alt,
+                                   (1, 0) if hap == 0 else (0, 1)))
+        truth_hap[p + 1] = hap
+    fasta, bam, _, _ = write_test_case(
+        str(tmp_path), ref_length=L, variants=variants, coverage=24,
+        read_length=2500, seed=71, error_rate=0.05)
+    holes = [v.pos for v in variants[::5]]
+    kept = [r for r in BamReader(bam)
+            if not any(r.pos < h < r.pos + sum(
+                ln for op, ln in r.cigar if op in (0, 2, 7, 8)) - 1
+                and rng.random() < 0.85 for h in holes)]
+    holed = str(tmp_path / "holed.bam")
+    write_bam(holed, ["chr1"], [L], kept)
+    het_snps = [_het_record(v.pos + 1, v.ref, v.alt) for v in variants]
+    phased = ReadBackedPhaser(holed).phase("chr1", het_snps)
+    assert len(phased) == len(variants)  # contract: every input site returns
+    switches, pairs = _switch_flip_errors(phased, truth_hap)
+    rate = switches / max(pairs, 1)
+    assert rate <= 0.03, f"switch rate {rate:.3f} across coverage holes"
+
+
+def test_switch_error_reorders_fa_tensors(tmp_path):
+    """Mechanism check for the FA-accuracy cost of switch errors: flipping
+    the phased orientation downstream of a point changes the in-extractor
+    haplotag votes and therefore the haplotype-sorted read order of FA
+    tensors there — upstream candidates stay identical."""
+    import numpy as np
+
+    from clair3_tpu.fullalign.extractor import PhasedVariant, create_fa_tensors
+
+    L = 12_000
+    ref = random_reference(L, seed=81)
+    het_pos = list(range(500, L - 500, 600))
+    variants = [SimVariant(p, ref[p], "A" if ref[p] != "A" else "T", (0, 1))
+                for p in het_pos]
+    fasta, bam, _, _ = write_test_case(
+        str(tmp_path), ref_length=L, variants=variants, coverage=24,
+        read_length=2500, seed=81, error_rate=0.01)
+
+    def phased_set(flip_after):
+        out = []
+        for v in variants:
+            gt = 1 if v.pos < flip_after else 2  # flip orientation past point
+            out.append(PhasedVariant(v.pos, v.ref, v.alt, gt, 1))
+        return out
+
+    cands = [p + 1 for p in het_pos]
+    t_good, pis, _ = create_fa_tensors(
+        bam, fasta, "chr1", cands, phased_snps=[
+            (v.position + 1, f"{v.ref_base}-{v.alt_base}-{v.genotype}-{v.phase_set}")
+            for v in phased_set(L)], matrix_depth=55)
+    t_flip, pis2, _ = create_fa_tensors(
+        bam, fasta, "chr1", cands, phased_snps=[
+            (v.position + 1, f"{v.ref_base}-{v.alt_base}-{v.genotype}-{v.phase_set}")
+            for v in phased_set(6_000)], matrix_depth=55)
+    assert pis == pis2
+    flip_idx = [i for i, p in enumerate(pis)
+                if int(p.split(":")[-2]) - 1 >= 6_000]
+    keep_idx = [i for i, p in enumerate(pis)
+                if int(p.split(":")[-2]) - 1 < 6_000 - 2_500]
+    assert keep_idx and flip_idx
+    # upstream of the switch: identical tensors (reads sorted the same)
+    assert np.array_equal(t_good[keep_idx], t_flip[keep_idx])
+    # downstream: the haplotype channel ordering must differ somewhere
+    assert not np.array_equal(t_good[flip_idx], t_flip[flip_idx])
