@@ -105,6 +105,14 @@ def _add_call_args(p: argparse.ArgumentParser) -> None:
                    help="DEBUG: dump raw head probabilities per candidate")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace of the run to this directory")
+    # multi-host (pod slice) execution: every process runs this same
+    # command; chunks are strided across processes and each writes
+    # {output}/proc{i}; merge the per-process VCFs with `sort_vcf`
+    p.add_argument("--dist_coordinator", default=None,
+                   help="coordinator address host:port of process 0 "
+                        "(omit on TPU pod slices with runtime bootstrap)")
+    p.add_argument("--dist_num_processes", type=int, default=None)
+    p.add_argument("--dist_process_id", type=int, default=None)
 
 
 def resolve_compute_dtype(choice: str = "auto"):
@@ -235,6 +243,22 @@ def cmd_call(args: argparse.Namespace) -> int:
         print(f"[ERROR] {err}", file=sys.stderr)
         return 1
 
+    dist_id, dist_count = 0, 1
+    if (args.dist_coordinator is not None
+            or (args.dist_num_processes or 0) > 1):
+        from clair3_tpu.parallel.distributed import init_distributed
+
+        dist_id, dist_count = init_distributed(
+            coordinator_address=args.dist_coordinator,
+            num_processes=args.dist_num_processes,
+            process_id=args.dist_process_id)
+        if dist_count > 1:
+            args.output_dir = os.path.join(args.output_dir, f"proc{dist_id}")
+            print(f"[INFO] multi-host: process {dist_id}/{dist_count}, "
+                  f"outputs -> {args.output_dir}; merge the per-process "
+                  "VCFs afterwards with `clair3_tpu sort_vcf`",
+                  file=sys.stderr)
+
     cfg = CallConfig(
         platform=args.platform,
         bam_fn=args.bam_fn,
@@ -258,6 +282,8 @@ def cmd_call(args: argparse.Namespace) -> int:
         min_contig_size=args.min_contig_size,
         base_err=args.base_err,
         gq_bin_size=args.gq_bin_size,
+        dist_process_id=dist_id,
+        dist_process_count=dist_count,
         pileup_only=args.pileup_only,
         print_ref_calls=args.print_ref_calls,
         gvcf=args.gvcf,

@@ -148,6 +148,11 @@ class CallConfig:
     chunk_size: int = 5_000_000        # run_clair3.py:50
     batch_size: int = 2048             # device batch (statically padded)
     use_bf16: bool = True
+    # Multi-host (pod slice): this process owns every
+    # dist_process_count-th genome chunk (parallel/distributed.py;
+    # reference analogue: manual contig splits / torchrun RANK)
+    dist_process_id: int = 0
+    dist_process_count: int = 1
 
     # Models
     pileup_model: Optional[str] = None

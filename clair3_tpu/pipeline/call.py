@@ -700,6 +700,14 @@ class VariantCaller:
             longest = max((l for _, l in contigs), default=1)
             chunk_size = (longest + n - 1) // n if cfg.chunk_num > 0 else 1 << 40
         tasks = plan_chunks(contigs, chunk_size)
+        if cfg.dist_process_count > 1:
+            from clair3_tpu.parallel.distributed import own_tasks
+
+            tasks = own_tasks(tasks, cfg.dist_process_id,
+                              cfg.dist_process_count)
+            logger.info("[plan] process %d/%d owns %d chunks",
+                        cfg.dist_process_id, cfg.dist_process_count,
+                        len(tasks))
         logger.info("[plan] %d contigs, %d chunks", len(contigs), len(tasks))
 
         with self._timed("pileup"):

@@ -164,7 +164,26 @@ def main():
     recall = hits / max(len(truth), 1)
     print(f"[soak] truth sites: {len(truth)}, called rows: {len(recs)}, "
           f"site recall: {recall:.4f}", flush=True)
+    # precision / recall / F1, genotype-exact, per variant class
+    from clair3_tpu.io.vcf import VcfRecord
+    from clair3_tpu.postprocess import variant_metrics
+
+    truth_recs = [
+        VcfRecord(ctg, v.pos + 1, v.ref, v.alt, 60, "PASS", ".", "GT",
+                  "1/1" if tuple(sorted(v.genotype)) == (1, 1) else "0/1")
+        for ctg, v in truth
+    ]
+    m = variant_metrics(truth_recs, recs)
+    header = ["VariantType", "FP", "FN", "TP", "Precision", "Recall", "F1-score"]
+    print("".join(h.ljust(13) for h in header))
+    for vt in ("SNP", "INDEL"):
+        r = m[vt]
+        print("".join(str(x).ljust(13) for x in (
+            vt, r.query_fp, r.truth_fn, r.truth_tp, r.precision, r.recall,
+            r.f1)), flush=True)
     assert recall >= 0.95, f"recall {recall:.3f} too low"
+    assert m["SNP"].f1 >= 0.95, f"SNP F1 {m['SNP'].f1} too low"
+    assert m["INDEL"].f1 >= 0.90, f"INDEL F1 {m['INDEL'].f1} too low"
     assert rss <= args.max_rss_gb, f"peak RSS {rss:.2f} GB > {args.max_rss_gb}"
     print(f"[soak] OK — total {time.time() - t0:.0f}s, peak RSS {rss:.2f} GB")
 
