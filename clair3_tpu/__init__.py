@@ -12,4 +12,4 @@ feature extraction runs on the TPU-VM host (numpy reference implementation in
 `clair3_tpu/native`).
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"

@@ -174,7 +174,9 @@ def _load_engine(path: str, kind: str, platform: str,
         in_ch = params["conv1"]["conv"]["kernel"].shape[2]
         model = FullAlignmentNet(add_indel_length=True, input_channels=in_ch,
                                  compute_dtype=dt)
-        engine = InferenceEngine(model, variables)
+        # depth_crop: ship only the centered nonzero depth band (FA tensors
+        # are center-padded; ~2x fewer host->device bytes at 30x coverage)
+        engine = InferenceEngine(model, variables, depth_crop=True)
         engine.fa_input_channels = in_ch
     return engine
 

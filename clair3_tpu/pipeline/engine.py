@@ -45,10 +45,18 @@ class InferenceEngine:
         mesh=None,
         buckets: Sequence[int] = _DEFAULT_BUCKETS,
         transfer_dtype=None,
+        depth_crop: bool = False,
     ):
         self.model = model
         self.mesh = mesh if mesh is not None else get_mesh()
         self.transfer_dtype = transfer_dtype
+        # Full-alignment tensors are CENTER-padded along the depth axis
+        # (reference: sort_read_name_by_haplotype center-pad,
+        # clair3_full_alignment_dwell.c:117-156), so at 30x coverage with
+        # matrix_depth 89 most depth rows are zeros.  depth_crop ships only
+        # the centered band and zero-pads back INSIDE the jit program —
+        # bit-exact reconstruction, ~2x fewer host->device bytes.
+        self.depth_crop = depth_crop
         n_dev = self.mesh.devices.size
         # bucket sizes must divide evenly across the mesh
         self.buckets = tuple(sorted(max(b, n_dev) - (max(b, n_dev) % n_dev) or n_dev
@@ -57,21 +65,57 @@ class InferenceEngine:
         self._rep = replicated_sharding(self.mesh)
         self.variables = jax.device_put(variables, self._rep)
 
-        @partial(jax.jit, out_shardings=self._in_sharding)
-        def _forward(variables, x):
+        @partial(jax.jit, out_shardings=self._in_sharding, static_argnums=(2,))
+        def _forward(variables, x, full_depth=None):
+            if full_depth is not None and x.shape[1] < full_depth:
+                top = (full_depth - x.shape[1]) // 2
+                x = jnp.pad(x, ((0, 0), (top, full_depth - x.shape[1] - top),
+                                (0, 0), (0, 0)))
             return self.model.apply(variables, x, train=False)
 
         self._forward = _forward
 
+    @staticmethod
+    def _depth_buckets(full_depth: int):
+        """(cropped, full): one reduced band covering typical coverage plus
+        the full depth; two compiles per batch bucket."""
+        crop = min(full_depth, ((int(full_depth * 0.55) + 7) // 8) * 8)
+        return (crop, full_depth) if crop < full_depth else (full_depth,)
+
+    def _crop_depth(self, chunk: np.ndarray):
+        """Crop the centered depth band; returns (cropped, full_depth) or
+        (chunk, None) when cropping is off/ineligible."""
+        if not self.depth_crop or chunk.ndim != 4:
+            return chunk, None
+        D = chunk.shape[1]
+        nz = np.flatnonzero(chunk.any(axis=(0, 2, 3)))
+        lo, hi = (int(nz[0]), int(nz[-1]) + 1) if len(nz) else (D // 2, D // 2)
+        for db in self._depth_buckets(D):
+            top = (D - db) // 2
+            if top <= lo and hi <= top + db:
+                if db == D:
+                    return chunk, None
+                return np.ascontiguousarray(chunk[:, top: top + db]), D
+        return chunk, None
+
     def warmup(self, input_shape, dtype) -> None:
-        """Compile the forward program for every bucket size (call on a
-        background thread so compilation overlaps host-side extraction)."""
+        """Compile the forward program for every bucket size (and depth
+        band, when cropping); call on a background thread so compilation
+        overlaps host-side extraction."""
         if self.transfer_dtype is not None:
             dtype = self.transfer_dtype
+        depths = ((None,) if not self.depth_crop or len(input_shape) != 3
+                  else self._depth_buckets(input_shape[0]))
         for b in self.buckets:
-            x = np.zeros((b,) + tuple(input_shape), dtype)
-            dev = jax.device_put(x, self._in_sharding)
-            self._forward(self.variables, dev)
+            for db in depths:
+                shape = tuple(input_shape)
+                full = None
+                if db is not None and db != shape[0]:
+                    full = shape[0]
+                    shape = (db,) + shape[1:]
+                x = np.zeros((b,) + shape, dtype)
+                dev = jax.device_put(x, self._in_sharding)
+                self._forward(self.variables, dev, full)
 
     def warmup_async(self, input_shape, dtype):
         import threading
@@ -99,25 +143,44 @@ class InferenceEngine:
         top = self.buckets[-1]
         return ((n + top - 1) // top) * top
 
+    def _submitter_pool(self):
+        """One dedicated dispatch thread: host->device copies and forward
+        dispatches run off the caller's thread, so the caller can decode
+        batch i-1 while batch i is still CROSSING the link (device_put
+        blocks its calling thread for the copy duration)."""
+        if getattr(self, "_submitter", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._submitter = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="engine-submit")
+        return self._submitter
+
+    def _put_and_forward(self, chunk: np.ndarray, bucket: int):
+        if self.transfer_dtype is not None and chunk.dtype != self.transfer_dtype:
+            chunk = chunk.astype(self.transfer_dtype)
+        chunk, full_depth = self._crop_depth(chunk)
+        m = chunk.shape[0]
+        if m < bucket:
+            pad = np.zeros((bucket - m,) + chunk.shape[1:], chunk.dtype)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        dev = jax.device_put(chunk, self._in_sharding)
+        return self._forward(self.variables, dev, full_depth)
+
     def predict_async(self, x: np.ndarray) -> List:
-        """Enqueue a host batch; returns device handles (no host sync).
-        Lets the caller overlap its CPU decode of batch i with the device
-        computing batch i+1 (replacing the reference's shared-memory
-        GPU-predict/CPU-decode split, CallVariantsFromCffi.py:299-353)."""
-        if self.transfer_dtype is not None and x.dtype != self.transfer_dtype:
-            x = x.astype(self.transfer_dtype)
+        """Enqueue a host batch; returns handles (no host sync, no copy on
+        the caller's thread).  Lets the caller overlap its CPU decode of
+        batch i-1 with batch i's transfer AND the device computing it
+        (replacing the reference's shared-memory GPU-predict/CPU-decode
+        split, CallVariantsFromCffi.py:299-353)."""
         n = x.shape[0]
+        pool = self._submitter_pool()
         handles: List = []
         top = self.buckets[-1]
         for lo in range(0, n, top):
             chunk = x[lo: lo + top]
             m = chunk.shape[0]
             b = self._bucket_for(m)
-            if m < b:
-                pad = np.zeros((b - m,) + chunk.shape[1:], chunk.dtype)
-                chunk = np.concatenate([chunk, pad], axis=0)
-            dev = jax.device_put(chunk, self._in_sharding)
-            handles.append((self._forward(self.variables, dev), m))
+            handles.append((pool.submit(self._put_and_forward, chunk, b), m))
         return handles
 
     @staticmethod
@@ -125,7 +188,12 @@ class InferenceEngine:
         """Fetch async handles to host probabilities [N, 24|90]."""
         if not handles:
             return np.zeros((0, 90), np.float32)
-        return np.concatenate([np.asarray(y)[:m] for y, m in handles], axis=0)
+        out = []
+        for y, m in handles:
+            if hasattr(y, "result"):
+                y = y.result()
+            out.append(np.asarray(y)[:m])
+        return np.concatenate(out, axis=0)
 
     def predict(self, x: np.ndarray) -> np.ndarray:
         """Forward a host batch; returns probabilities [N, 24|90] float32."""

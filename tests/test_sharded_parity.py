@@ -99,3 +99,35 @@ def test_train_step_parity_1_vs_8_devices():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-4,
             err_msg=f"parameter diverged at {path}")
+
+
+def test_depth_crop_engine_bit_exact():
+    """depth_crop ships the centered depth band and zero-pads back inside
+    jit: predictions must be IDENTICAL to the uncropped engine, including
+    the fallback for bands too wide to crop."""
+    model = FullAlignmentNet(add_indel_length=True)
+    v = model.init(jax.random.PRNGKey(3), jnp.zeros((2, 89, 33, 8), jnp.int8),
+                   train=False)
+    rng = np.random.default_rng(5)
+    # 30x-like: ~30 reads centered in the 89-deep matrix
+    x = np.zeros((12, 89, 33, 8), np.int8)
+    for i in range(12):
+        d = int(rng.integers(18, 34))
+        top = (89 - d) // 2
+        x[i, top: top + d] = rng.integers(-100, 100, (d, 33, 8))
+    # one candidate at full depth (crop must fall back, not corrupt)
+    x[0] = rng.integers(-100, 100, (89, 33, 8))
+
+    plain = InferenceEngine(model, v, mesh=get_mesh(n_devices=1), buckets=(16,))
+    cropped = InferenceEngine(model, v, mesh=get_mesh(n_devices=1),
+                              buckets=(16,), depth_crop=True)
+    p_plain = plain.predict(x)
+    p_crop = cropped.predict(x)
+    np.testing.assert_array_equal(p_crop, p_plain)
+
+    # and the cropping really engages for a shallow batch
+    shallow = x[1:]
+    c2, full = cropped._crop_depth(shallow)
+    assert full == 89 and c2.shape[1] < 89
+    np.testing.assert_array_equal(cropped.predict(shallow),
+                                  plain.predict(shallow))
