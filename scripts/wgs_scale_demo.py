@@ -63,7 +63,9 @@ def build_input(out_dir: str, mbases: float, contigs: int, coverage: int,
     def variants_for(name, seq, ci):
         out = []
         for p in range(500, per_ctg - 500, 1500):
-            kind = p % 3
+            # NOT p % 3: the 1500 step is 0 mod 3, which made every
+            # variant the same kind (pre-r03 the soak was all-deletions)
+            kind = (p // 1500) % 3
             if kind == 0:
                 out.append(SimVariant(p, seq[p], "G" if seq[p] != "G" else "T",
                                       (0, 1) if p % 2 else (1, 1)))
