@@ -124,3 +124,67 @@ def test_two_process_cpu_smoke(tmp_path):
     assert losses[0] == pytest.approx(losses[1], rel=1e-6)
     counts = [int(l[4]) for l in ok_lines]
     assert sorted(counts) == [5, 6]
+
+
+@pytest.mark.slow
+def test_multiprocess_calling_shards_merge_identically(tmp_path):
+    """Chunk-ownership calling equivalence: two processes each calling
+    their owned chunks (dist_process_id/count), merged by sort_vcf, must
+    produce exactly the rows of a single-process run."""
+    import gzip
+
+    from clair3_tpu.config import CallConfig
+    from clair3_tpu.pipeline.call import VariantCaller
+    from clair3_tpu.testing import (FullAlignmentOracleEngine,
+                                    PileupOracleEngine, SimVariant,
+                                    random_reference, write_test_case)
+
+    L = 30_000
+    ref = random_reference(L, seed=91)
+    variants = []
+    for p in range(600, L - 600, 800):
+        kind = (p // 800) % 3
+        if kind == 0:
+            variants.append(SimVariant(p, ref[p], "A" if ref[p] != "A" else "C",
+                                       (0, 1)))
+        elif kind == 1:
+            variants.append(SimVariant(p, ref[p], ref[p] + "GT", (1, 1)))
+        else:
+            variants.append(SimVariant(p, ref[p:p + 2], ref[p], (0, 1)))
+    fasta, bam, _, _ = write_test_case(
+        str(tmp_path), ref_length=L, variants=variants, coverage=20,
+        read_length=900, seed=91, error_rate=0.02)
+
+    def call(out, pid=0, count=1):
+        cfg = CallConfig(
+            platform="hifi", bam_fn=bam, ref_fn=fasta, output_dir=out,
+            no_phasing_for_fa=True, var_pct_full=1.0, ref_pct_full=1.0,
+            chunk_size=7_000, threads=2,
+            dist_process_id=pid, dist_process_count=count)
+        return VariantCaller(cfg, pileup_engine=PileupOracleEngine(),
+                             fa_engine=FullAlignmentOracleEngine()).run()
+
+    single = call(str(tmp_path / "single"))
+    shard0 = call(str(tmp_path / "p0"), 0, 2)
+    shard1 = call(str(tmp_path / "p1"), 1, 2)
+
+    def rows(path):
+        return [l for l in gzip.open(path, "rt") if not l.startswith("#")]
+
+    # merge with sort_vcf semantics (position dedup): chunk-BOUNDARY
+    # candidates (e.g. an indel whose anchor window spans two chunks) are
+    # emitted by the processes owning both neighbouring chunks, with
+    # byte-identical rows — exactly like adjacent chunks within one process
+    from clair3_tpu.pipeline.merge_sort import sort_rows
+
+    r0, r1 = rows(shard0["merge_output"]), rows(shard1["merge_output"])
+    merged = sort_rows(r0 + r1)
+    want = rows(single["merge_output"])
+    assert merged == want
+    # shards are disjoint apart from boundary rows, and both non-trivial
+    assert r0 and r1
+    dup = {r.split("\t")[1] for r in r0} & {r.split("\t")[1] for r in r1}
+    for pos in dup:
+        a = [r for r in r0 if r.split("\t")[1] == pos]
+        b = [r for r in r1 if r.split("\t")[1] == pos]
+        assert a == b, f"boundary rows diverged at {pos}"
