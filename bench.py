@@ -281,18 +281,21 @@ def main():
     pe.warmup((33, 18), np.int32)
     fe.warmup((89, 33, 8), np.int8)
 
-    # serial composition: best of 2 passes (shared-vCPU noise)
+    # serial composition: best of 3 passes (shared-vCPU + tunnel noise)
     serial_wall, serial_details = run_cascade(
         bam, ref, hets, chunks, pe, fe, overlapped=False)
-    w2, _ = run_cascade(bam, ref, hets, chunks, pe, fe, overlapped=False)
-    serial_wall = min(serial_wall, w2)
+    for _ in range(2):
+        w2, d2 = run_cascade(bam, ref, hets, chunks, pe, fe, overlapped=False)
+        if w2 < serial_wall:
+            serial_wall, serial_details = w2, d2
     print(f"[bench] serial cascade: {serial_wall:.2f}s "
           f"{serial_details}", file=sys.stderr)
 
     over_wall, over_details = run_cascade(
         bam, ref, hets, chunks, pe, fe, overlapped=True)
-    w2, _ = run_cascade(bam, ref, hets, chunks, pe, fe, overlapped=True)
-    over_wall = min(over_wall, w2)
+    for _ in range(2):
+        w2, _ = run_cascade(bam, ref, hets, chunks, pe, fe, overlapped=True)
+        over_wall = min(over_wall, w2)
 
     n = over_details["candidates"]
     e2e_cps = n / over_wall
