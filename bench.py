@@ -242,6 +242,9 @@ def main():
     import jax.numpy as jnp
 
     from clair3_tpu.parallel.mesh import get_mesh
+    from clair3_tpu.utils.common import enable_compilation_cache
+
+    enable_compilation_cache()
 
     mesh = get_mesh()
     n_dev = mesh.devices.size

@@ -240,6 +240,10 @@ def cmd_call(args: argparse.Namespace) -> int:
     if args.disable_c_impl:
         os.environ["CLAIR3T_DISABLE_NATIVE"] = "1"
 
+    from clair3_tpu.utils.common import enable_compilation_cache
+
+    enable_compilation_cache()
+
     err = _validate_call_inputs(args)
     if err:
         print(f"[ERROR] {err}", file=sys.stderr)
@@ -453,6 +457,9 @@ def cmd_tensor2bin(args: argparse.Namespace) -> int:
 def cmd_train(args: argparse.Namespace) -> int:
     from clair3_tpu.config import TrainConfig
     from clair3_tpu.train.trainer import train_model
+    from clair3_tpu.utils.common import enable_compilation_cache
+
+    enable_compilation_cache()
 
     init_variables = None
     if args.chkpnt_fn:

@@ -310,3 +310,31 @@ def test_dump_tensors_fixture_format(cli_case, tmp_path):
     ft = np.load(fprefix + ".npy")
     assert ft.shape[1:] == (55, 33, 8)
     assert ft.dtype == np.int8
+
+
+def test_compilation_cache_round_trip(tmp_path, monkeypatch):
+    """enable_compilation_cache points JAX at an on-disk cache; a jit
+    compile then materializes cache entries a later process can reuse
+    (the CLI's per-process startup win; verified live through the axon
+    TPU backend as well)."""
+    from clair3_tpu.utils.common import enable_compilation_cache
+
+    cache = tmp_path / "xla"
+    monkeypatch.setenv("CLAIR3T_COMPILE_CACHE", str(cache))
+    assert enable_compilation_cache() == str(cache)
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        # a shape no other test compiles, so the write is attributable
+        jax.jit(lambda x: (x * 3 + 1).sum())(jnp.ones((17, 13)))
+        assert any(cache.iterdir())
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
+
+    monkeypatch.setenv("CLAIR3T_COMPILE_CACHE", "0")
+    assert enable_compilation_cache() is None
