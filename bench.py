@@ -89,11 +89,12 @@ def build_production_engines():
     pileup = PileupNet(add_indel_length=False, compute_dtype=dt,
                        use_pallas_lstm=on_tpu)
     vp = pileup.init(jax.random.PRNGKey(0), jnp.zeros((8, 33, 18), jnp.int32))
-    pe = InferenceEngine(pileup, vp, transfer_dtype=np.int16)
+    pe = InferenceEngine(pileup, vp, transfer_dtype=np.int16,
+                         pileup_compact=True)
     fa = FullAlignmentNet(add_indel_length=True, compute_dtype=dt)
     vf = fa.init(jax.random.PRNGKey(0), jnp.zeros((8, 89, 33, 8), jnp.int8),
                  train=False)
-    fe = InferenceEngine(fa, vf, depth_crop=True)
+    fe = InferenceEngine(fa, vf, depth_crop=True, fa_compact=True)
     return pe, fe, (pileup, vp), (fa, vf)
 
 
@@ -319,7 +320,13 @@ def main():
     t_transfer = max(
         0.0,
         serial_details["t_forward"] + serial_details["t_fa_forward"] - t_compute)
-    mb_moved = (n * 33 * 18 * 2 + over_details["fa_candidates"] * 89 * 33 * 8) / 1e6
+    # pileup ships the uint8 compact form (magnitudes + neg-channel index);
+    # FA ships the depth-cropped compact decomposition (per-cell channels
+    # + bitmask + scalars + ref column)
+    db = fe._depth_buckets(89)[0]
+    fa_bytes = db * (33 * 3 + 5 + 4) + 33 * 2
+    mb_moved = (n * (33 * 18 + 33)
+                + over_details["fa_candidates"] * fa_bytes) / 1e6
     print(
         f"[bench] sandbox link: ~{mb_moved:.0f} MB of candidate tensors took "
         f"~{t_transfer:.1f}s of the {serial_wall:.2f}s serial wall "

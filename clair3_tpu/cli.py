@@ -168,15 +168,21 @@ def _load_engine(path: str, kind: str, platform: str,
         model = PileupNet(add_indel_length=add_indel, compute_dtype=dt,
                           use_pallas_lstm=_use_pallas_lstm(dt))
         # int16 halves the host->device copy (counts are bounded by
-        # ~1.5x max_depth after the high-coverage rescale)
-        engine = InferenceEngine(model, variables, transfer_dtype=np.int16)
+        # ~1.5x max_depth after the high-coverage rescale); pileup_compact
+        # halves it again (uint8 magnitudes + negated-ref-channel index,
+        # ops/pileup_compact.py; verified bit-exact per batch)
+        engine = InferenceEngine(model, variables, transfer_dtype=np.int16,
+                                 pileup_compact=True)
     else:
         in_ch = params["conv1"]["conv"]["kernel"].shape[2]
         model = FullAlignmentNet(add_indel_length=True, input_channels=in_ch,
                                  compute_dtype=dt)
         # depth_crop: ship only the centered nonzero depth band (FA tensors
-        # are center-padded; ~2x fewer host->device bytes at 30x coverage)
-        engine = InferenceEngine(model, variables, depth_crop=True)
+        # are center-padded; ~2x fewer host->device bytes at 30x coverage);
+        # fa_compact: lossless channel decomposition, ~2.4x fewer bytes on
+        # top (ops/fa_compact.py; verified bit-exact per batch)
+        engine = InferenceEngine(model, variables, depth_crop=True,
+                                 fa_compact=True)
         engine.fa_input_channels = in_ch
     return engine
 

@@ -1,0 +1,90 @@
+"""Compact host->device transfer form for full-alignment tensors.
+
+The FA tensor [N, depth, 33, 8|9] int8 (reference layout:
+src/clair3_full_alignment_dwell.c:899-948) is highly redundant along the
+33-position axis: for every read row, strand (ch2), mapping quality (ch3),
+haplotype (ch7) and the candidate-AF value (ch5) are constant wherever the
+read covers a column, the reference channel (ch0) depends only on the
+column, and the remaining channels (alt ch1, BQ ch4, insert ch6, dwell
+ch8) are genuinely per-cell.  ``pack_fa`` losslessly decomposes a batch
+into
+
+* ``cells``   int8  [N, D, 33, 3|4] — the per-cell channels,
+* ``bitmask`` uint8 [N, D, 5]       — coverage mask, packbits over 33 cols,
+* ``scalars`` int8  [N, D, 4]       — strand, MQ, HP, AF per read row,
+* ``refcol``  int8  [N, 33]         — reference-base values per column,
+
+cutting transferred bytes ~2.4x (on top of the engine's depth-band crop);
+``unpack_fa_jax`` rebuilds the exact int8 tensor inside the jit program so
+the model sees bit-identical input.  ``pack_fa`` VERIFIES every derived
+channel against the original and returns None on any mismatch (the engine
+then ships the full tensor), so the fast path can never change results.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+_MASK_BYTES = 5  # ceil(33 / 8)
+
+
+def pack_fa(matrix: np.ndarray) -> Optional[Dict[str, np.ndarray]]:
+    """Decompose [N, D, 33, 8|9] int8; None if the batch violates the
+    per-read/per-column structure (then callers ship the full tensor)."""
+    if matrix.ndim != 4 or matrix.shape[2] != 33 or matrix.shape[3] not in (8, 9):
+        return None
+    m = matrix
+    cover = m[..., 2] != 0                      # strand set <=> cell filled
+    strand = m[..., 2].max(axis=2)              # per-read scalars (all >= 0)
+    mq = m[..., 3].max(axis=2)
+    hap = m[..., 7].max(axis=2)
+    af = m[..., 5].max(axis=2)
+    refcol = m[..., 0].max(axis=1)              # per-column ref value
+    if not (
+        (m[..., 2] == strand[..., None] * cover).all()
+        and (m[..., 3] == mq[..., None] * cover).all()
+        and (m[..., 7] == hap[..., None] * cover).all()
+        and (m[..., 0] == refcol[:, None, :] * cover).all()
+        and (m[..., 5] == af[..., None] * (m[..., 0] != 0)).all()
+    ):
+        return None
+    cell_ch = (1, 4, 6) if m.shape[3] == 8 else (1, 4, 6, 8)
+    return {
+        "cells": np.ascontiguousarray(m[..., cell_ch]),
+        "bitmask": np.packbits(cover, axis=2),  # [N, D, 5], bit 7 = col 0
+        "scalars": np.ascontiguousarray(
+            np.stack([strand, mq, hap, af], axis=-1)),
+        "refcol": np.ascontiguousarray(refcol),
+    }
+
+
+def _unpack(xp, cells, bitmask, scalars, refcol):
+    """Shared numpy/jax reconstruction: returns [N, D, 33, 8|9] int8."""
+    n_pos = cells.shape[2]
+    idx = xp.arange(n_pos) // 8
+    shift = (7 - xp.arange(n_pos) % 8).astype(xp.uint8)
+    cover = ((bitmask[..., idx] >> shift) & 1).astype(xp.int8)  # [N, D, 33]
+    ref = (refcol[:, None, :] * cover).astype(xp.int8)
+    strand = (scalars[..., 0:1] * cover).astype(xp.int8)
+    mq = (scalars[..., 1:2] * cover).astype(xp.int8)
+    hap = (scalars[..., 2:3] * cover).astype(xp.int8)
+    af = (scalars[..., 3:4] * (ref != 0)).astype(xp.int8)
+    chans = [ref, cells[..., 0], strand, mq, cells[..., 1], af,
+             cells[..., 2], hap]
+    if cells.shape[-1] == 4:
+        chans.append(cells[..., 3])
+    return xp.stack(chans, axis=-1)
+
+
+def unpack_fa_numpy(packed: Dict[str, np.ndarray]) -> np.ndarray:
+    return _unpack(np, packed["cells"], packed["bitmask"],
+                   packed["scalars"], packed["refcol"])
+
+
+def unpack_fa_jax(cells, bitmask, scalars, refcol):
+    """Reconstruction inside jit; all integer ops, bit-exact."""
+    import jax.numpy as jnp
+
+    return _unpack(jnp, cells, bitmask, scalars, refcol)

@@ -46,10 +46,24 @@ class InferenceEngine:
         buckets: Sequence[int] = _DEFAULT_BUCKETS,
         transfer_dtype=None,
         depth_crop: bool = False,
+        fa_compact: bool = False,
+        pileup_compact: bool = False,
     ):
         self.model = model
         self.mesh = mesh if mesh is not None else get_mesh()
         self.transfer_dtype = transfer_dtype
+        # fa_compact ships full-alignment batches as their lossless
+        # decomposition (per-cell channels + coverage bitmask + per-read
+        # scalars + ref column, ops/fa_compact.py) — ~2.4x fewer bytes on
+        # the wire; the jit program rebuilds the exact int8 tensor before
+        # the forward.  pack_fa verifies exactness and falls back to the
+        # full tensor on any violation.
+        self.fa_compact = fa_compact
+        # pileup_compact is the pileup-tensor analogue (ops/pileup_compact):
+        # abs counts as uint8 + the negated ref-channel index per column —
+        # halves the int16 wire form; rebuilt bit-exact inside jit, with
+        # the same verify-or-fallback contract.
+        self.pileup_compact = pileup_compact
         # Full-alignment tensors are CENTER-padded along the depth axis
         # (reference: sort_read_name_by_haplotype center-pad,
         # clair3_full_alignment_dwell.c:117-156), so at 30x coverage with
@@ -74,6 +88,33 @@ class InferenceEngine:
             return self.model.apply(variables, x, train=False)
 
         self._forward = _forward
+
+        if fa_compact:
+            from clair3_tpu.ops.fa_compact import unpack_fa_jax
+
+            @partial(jax.jit, out_shardings=self._in_sharding,
+                     static_argnums=(5,))
+            def _forward_compact(variables, cells, bitmask, scalars, refcol,
+                                 full_depth=None):
+                x = unpack_fa_jax(cells, bitmask, scalars, refcol)
+                if full_depth is not None and x.shape[1] < full_depth:
+                    top = (full_depth - x.shape[1]) // 2
+                    x = jnp.pad(
+                        x, ((0, 0), (top, full_depth - x.shape[1] - top),
+                            (0, 0), (0, 0)))
+                return self.model.apply(variables, x, train=False)
+
+            self._forward_compact = _forward_compact
+
+        if pileup_compact:
+            from clair3_tpu.ops.pileup_compact import unpack_pileup_jax
+
+            @partial(jax.jit, out_shardings=self._in_sharding)
+            def _forward_pileup_compact(variables, mags, negidx):
+                return self.model.apply(
+                    variables, unpack_pileup_jax(mags, negidx), train=False)
+
+            self._forward_pileup_compact = _forward_pileup_compact
 
     @staticmethod
     def _depth_buckets(full_depth: int):
@@ -116,6 +157,23 @@ class InferenceEngine:
                 x = np.zeros((b,) + shape, dtype)
                 dev = jax.device_put(x, self._in_sharding)
                 self._forward(self.variables, dev, full)
+                if self.fa_compact and len(shape) == 3:
+                    from clair3_tpu.ops.fa_compact import pack_fa
+
+                    packed = pack_fa(x)
+                    pdev = {k: jax.device_put(v, self._in_sharding)
+                            for k, v in packed.items()}
+                    self._forward_compact(
+                        self.variables, pdev["cells"], pdev["bitmask"],
+                        pdev["scalars"], pdev["refcol"], full)
+                if self.pileup_compact and len(shape) == 2:
+                    from clair3_tpu.ops.pileup_compact import pack_pileup
+
+                    packed = pack_pileup(x)
+                    pdev = {k: jax.device_put(v, self._in_sharding)
+                            for k, v in packed.items()}
+                    self._forward_pileup_compact(
+                        self.variables, pdev["mags"], pdev["negidx"])
 
     def warmup_async(self, input_shape, dtype):
         import threading
@@ -159,7 +217,37 @@ class InferenceEngine:
         if self.transfer_dtype is not None and chunk.dtype != self.transfer_dtype:
             chunk = chunk.astype(self.transfer_dtype)
         chunk, full_depth = self._crop_depth(chunk)
+        packed = None
+        if self.fa_compact:
+            from clair3_tpu.ops.fa_compact import pack_fa
+
+            packed = pack_fa(chunk)
         m = chunk.shape[0]
+        if packed is not None:
+            if m < bucket:
+                packed = {
+                    k: np.concatenate(
+                        [v, np.zeros((bucket - m,) + v.shape[1:], v.dtype)])
+                    for k, v in packed.items()}
+            dev = {k: jax.device_put(v, self._in_sharding)
+                   for k, v in packed.items()}
+            return self._forward_compact(
+                self.variables, dev["cells"], dev["bitmask"],
+                dev["scalars"], dev["refcol"], full_depth)
+        if self.pileup_compact and chunk.ndim == 3:
+            from clair3_tpu.ops.pileup_compact import pack_pileup
+
+            ppacked = pack_pileup(chunk)
+            if ppacked is not None:
+                if m < bucket:
+                    ppacked = {
+                        k: np.concatenate(
+                            [v, np.zeros((bucket - m,) + v.shape[1:], v.dtype)])
+                        for k, v in ppacked.items()}
+                dev = {k: jax.device_put(v, self._in_sharding)
+                       for k, v in ppacked.items()}
+                return self._forward_pileup_compact(
+                    self.variables, dev["mags"], dev["negidx"])
         if m < bucket:
             pad = np.zeros((bucket - m,) + chunk.shape[1:], chunk.dtype)
             chunk = np.concatenate([chunk, pad], axis=0)
