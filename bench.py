@@ -302,14 +302,20 @@ def main():
         over_wall = min(over_wall, w2)
 
     n = over_details["candidates"]
-    e2e_cps = n / over_wall
     speedup = serial_wall / over_wall
     print(
-        f"[bench] overlapped cascade: {over_wall:.2f}s = {e2e_cps:,.0f} "
+        f"[bench] overlapped cascade: {over_wall:.2f}s = {n / over_wall:,.0f} "
         f"candidates/s, {GENOME_MB / over_wall:.2f} Mbases/s "
         f"(overlap speedup {speedup:.2f}x vs serial)",
         file=sys.stderr,
     )
+    # headline = the faster composition: since the compact wire forms cut
+    # the transfer bytes ~3.7x, the serial composition can beat the
+    # overlapped one on this single-vCPU host (the overlap threads contend
+    # for the one core more than they hide transfer)
+    best_wall = min(over_wall, serial_wall)
+    best_name = "overlapped" if over_wall <= serial_wall else "serial"
+    e2e_cps = n / best_wall
 
     # Quantify the sandbox's host<->device link: this environment reaches
     # the chip through a network tunnel; a production TPU-VM host feeds
@@ -338,11 +344,13 @@ def main():
 
     per_chip = e2e_cps / n_dev
     print(json.dumps({
-        "metric": ("e2e cascade candidates/s/chip, overlapped production path "
-                   "incl. real host->device transfers over this sandbox's "
-                   "~20MB/s tunnel (native extract + bf16 engine infer + "
-                   "in-C haplotagging FA + native decode, pileup + 0.3x FA; "
-                   "see stderr for link analysis + chip-ceiling capacity)"),
+        "metric": ("e2e cascade candidates/s/chip, production path (best of "
+                   "serial/overlapped composition, here %s) incl. real "
+                   "host->device transfers over this sandbox's ~20MB/s "
+                   "tunnel (native extract + bf16 engine infer + compact "
+                   "wire forms + in-C haplotagging FA + native decode, "
+                   "pileup + 0.3x FA; see stderr for link analysis + "
+                   "chip-ceiling capacity)" % best_name),
         "value": round(per_chip, 1),
         "unit": "candidates/s/chip",
         "vs_baseline": round(per_chip / E2E_4090_BASELINE, 3),

@@ -103,6 +103,10 @@ def _add_call_args(p: argparse.ArgumentParser) -> None:
                         "(benchmarked production config), fp32 elsewhere")
     p.add_argument("--output_probabilities_fn", default=None,
                    help="DEBUG: dump raw head probabilities per candidate")
+    p.add_argument("--debug", action="store_true",
+                   help="DEBUG: print raw head probabilities per candidate "
+                        "to stdout instead of emitting VCF rows "
+                        "(reference CallVariants --debug)")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace of the run to this directory")
     # multi-host (pod slice) execution: every process runs this same
@@ -317,6 +321,7 @@ def cmd_call(args: argparse.Namespace) -> int:
         use_phasing_for_final_output=args.use_phasing_for_final_output,
         use_haplotagging_for_final_output=args.use_haplotagging_for_final_output,
         output_probabilities_fn=args.output_probabilities_fn,
+        debug=args.debug,
     )
 
     if args.use_oracle_engines:
@@ -507,6 +512,7 @@ def cmd_decode_probabilities(args: argparse.Namespace) -> int:
         pileup=args.pileup,
         show_ref_calls=args.show_ref,
         gvcf=False,
+        debug=getattr(args, "debug", False),
     )
     out = open(args.output_fn, "w") if args.output_fn else sys.stdout
     with open(args.probabilities_fn) as fh:
@@ -816,6 +822,8 @@ def main(argv=None) -> int:
     dp.add_argument("--output_fn", default=None)
     dp.add_argument("--pileup", action="store_true")
     dp.add_argument("--show_ref", action="store_true")
+    dp.add_argument("--debug", action="store_true",
+                    help="print raw head probabilities instead of VCF rows")
     dp.set_defaults(func=cmd_decode_probabilities)
 
     dt = sub.add_parser("dump_tensors",

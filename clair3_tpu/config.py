@@ -140,6 +140,9 @@ class CallConfig:
     use_haplotagging_for_final_output: bool = False
     qual: Optional[int] = 2            # QUAL cutoff marking LowQual (run_clair3.py --qual default 2)
     output_probabilities_fn: Optional[str] = None  # debug: dump raw head probs
+    debug: bool = False                # print raw head probabilities per
+                                       # candidate instead of VCF rows
+                                       # (CallVariants.py:259-277,1342-1351)
     base_err: float = 0.001            # gVCF (param_p.py:27)
     gq_bin_size: int = 5               # gVCF (param_p.py:28)
 

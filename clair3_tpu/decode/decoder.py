@@ -60,6 +60,9 @@ class DecodeConfig:
     cal_precise_long_indel_af: bool = False
     long_indel_distance_proportion: float = 0.1
     max_variant_length_infer_default: int = 50
+    # debug mode prints each candidate's raw head probabilities instead of
+    # emitting its VCF row (reference: CallVariants.py:259-277,1342-1351)
+    debug: bool = False
 
 
 def quality_score_from(probability: float) -> float:
@@ -700,11 +703,24 @@ def decode_candidate(
         is_insertion_and_deletion,
     ) = flags
 
-    if (not config.show_ref_calls and is_reference) or (
-        not is_reference and reference_base == alternate_base
+    if not config.debug and (
+        (not config.show_ref_calls and is_reference)
+        or (not is_reference and reference_base == alternate_base)
     ):
         return None
     if reference_base is None or alternate_base is None:
+        return None
+    if config.debug:
+        # print the raw head probabilities INSTEAD of the VCF row, ref-call
+        # hiding bypassed (reference format/order:
+        # CallVariants.py:1180-1184,1342-1351 + print_debug_message:259-277)
+        print("{}\t{}\t{}\t{}\t{}\t{}\t{}".format(
+            chromosome, position,
+            ["{:0.8f}".format(x) for x in gt21_probs],
+            ["{:0.8f}".format(x) for x in genotype_probs],
+            ["{:0.8f}".format(x) for x in vl1],
+            ["{:0.8f}".format(x) for x in vl2],
+            "Normal output" if not is_reference else "Reference"))
         return None
 
     is_multi = "," in str(alternate_base)
@@ -945,6 +961,10 @@ def batch_decode_parallel(
     else fanned over a persistent worker pool.  Small batches, processes=1,
     and single-core hosts decode inline — pool dispatch overhead would
     dominate (force_pool is for tests)."""
+    if config.debug:
+        # debug prints must come from this process, in candidate order
+        return batch_decode(position_infos, alt_infos, batch_probabilities,
+                            config)
     if not force_pool:
         native = _native_decode()
         if native:

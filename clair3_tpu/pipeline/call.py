@@ -180,6 +180,7 @@ class VariantCaller:
             enable_long_indel=self.cfg.enable_long_indel,
             maximum_variant_length_that_need_infer=self.cfg.max_indel_length,
             keep_iupac_bases=self.cfg.keep_iupac_bases,
+            debug=self.cfg.debug,
         )
 
     def _extract_pileup_chunk(self, task: ChunkTask):
@@ -414,6 +415,7 @@ class VariantCaller:
             enable_long_indel=self.cfg.enable_long_indel,
             maximum_variant_length_that_need_infer=self.cfg.max_indel_length,
             keep_iupac_bases=self.cfg.keep_iupac_bases,
+            debug=self.cfg.debug,
         )
 
     def run_full_alignment(

@@ -307,3 +307,52 @@ def test_batch_decode_parallel_matches_serial():
                                   cfg, processes=4)
     assert small == batch_decode(pos_infos[:10], alt_infos[:10], probs[:10], cfg)
     shutdown_decode_pool()
+
+
+def test_debug_mode_prints_head_probabilities(capsys):
+    """--debug prints each candidate's raw head probabilities INSTEAD of
+    the VCF row (ref-call hiding bypassed) in the reference's exact
+    print_debug_message format (CallVariants.py:259-277,1342-1351)."""
+    import os
+
+    import numpy as np
+
+    from clair3_tpu.decode import DecodeConfig, batch_decode_parallel, decode_candidate
+
+    rng = np.random.default_rng(5)
+    probs = np.concatenate([rng.dirichlet(np.ones(21)),
+                            rng.dirichlet(np.ones(3))])
+    cfg = DecodeConfig(add_indel_length=False, pileup=True,
+                       show_ref_calls=False, debug=True)
+    row = decode_candidate("chr1:101:A", "10-XC 6 RA 4 ", probs, cfg)
+    assert row is None
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l]
+    assert len(lines) == 1
+    cols = lines[0].split("\t")
+    assert cols[0] == "chr1" and cols[1] == "101"
+    assert cols[6] in ("Normal output", "Reference")
+
+    # exact-format differential vs the reference's own print_debug_message
+    if os.path.isdir("/root/reference/clair3"):
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        try:
+            from clair3.CallVariants import print_debug_message  # noqa: E402
+        finally:
+            sys.path.remove("/root/reference")
+        gt21, gt = probs[:21], probs[21:24]
+        vl = np.zeros(33)
+        print_debug_message("chr1", 101, gt21, gt, vl, vl,
+                            "Normal output" if cols[6] == "Normal output"
+                            else "Reference")
+        ref_line = capsys.readouterr().out.splitlines()[0]
+        assert lines[0] == ref_line
+
+    # batch_decode_parallel must not route debug mode through the native
+    # decoder (prints happen in-process, rows suppressed)
+    rows = batch_decode_parallel(["chr1:101:A"], ["10-XC 6 RA 4 "],
+                                 probs[None, :], cfg)
+    assert rows == []
+    assert capsys.readouterr().out.count("chr1\t101") == 1
