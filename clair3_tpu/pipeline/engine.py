@@ -106,6 +106,21 @@ class InferenceEngine:
 
             self._forward_compact = _forward_compact
 
+            from clair3_tpu.ops.fa_compact import unpack_fa_sparse_jax
+
+            @partial(jax.jit, out_shardings=self._in_sharding,
+                     static_argnums=(2,))
+            def _forward_sparse(variables, packed, full_depth=None):
+                x = unpack_fa_sparse_jax(packed)
+                if full_depth is not None and x.shape[1] < full_depth:
+                    top = (full_depth - x.shape[1]) // 2
+                    x = jnp.pad(
+                        x, ((0, 0), (top, full_depth - x.shape[1] - top),
+                            (0, 0), (0, 0)))
+                return self.model.apply(variables, x, train=False)
+
+            self._forward_sparse = _forward_sparse
+
         if pileup_compact:
             from clair3_tpu.ops.pileup_compact import unpack_pileup_jax
 
@@ -158,14 +173,22 @@ class InferenceEngine:
                 dev = jax.device_put(x, self._in_sharding)
                 self._forward(self.variables, dev, full)
                 if self.fa_compact and len(shape) == 3:
-                    from clair3_tpu.ops.fa_compact import pack_fa
+                    from clair3_tpu.ops.fa_compact import (K_BUCKETS,
+                                                           pack_fa_sparse)
 
-                    packed = pack_fa(x)
-                    pdev = {k: jax.device_put(v, self._in_sharding)
-                            for k, v in packed.items()}
-                    self._forward_compact(
-                        self.variables, pdev["cells"], pdev["bitmask"],
-                        pdev["scalars"], pdev["refcol"], full)
+                    # production hits the sparse program on the cropped
+                    # band; plant >K0 alt entries to warm the larger K too
+                    # (the v1/full fallbacks compile lazily if ever hit)
+                    for kb in K_BUCKETS:
+                        w = x.copy()
+                        if kb > K_BUCKETS[0]:
+                            # > K0 nonzero alt cells per row forces this K
+                            w[:, : K_BUCKETS[0] // 33 + 1, :, 1] = 1
+                        packed = pack_fa_sparse(w)
+                        if packed is None or packed["sidx"].shape[1] != kb:
+                            continue
+                        pdev = jax.device_put(packed, self._in_sharding)
+                        self._forward_sparse(self.variables, pdev, full)
                 if self.pileup_compact and len(shape) == 2:
                     from clair3_tpu.ops.pileup_compact import pack_pileup
 
@@ -217,12 +240,23 @@ class InferenceEngine:
         if self.transfer_dtype is not None and chunk.dtype != self.transfer_dtype:
             chunk = chunk.astype(self.transfer_dtype)
         chunk, full_depth = self._crop_depth(chunk)
+        m = chunk.shape[0]
+        if self.fa_compact and chunk.ndim == 4:
+            from clair3_tpu.ops.fa_compact import pack_fa_sparse
+
+            sp = pack_fa_sparse(chunk)
+            if sp is not None:
+                if m < bucket:
+                    sp = {k: np.concatenate(
+                        [v, np.zeros((bucket - m,) + v.shape[1:], v.dtype)])
+                        for k, v in sp.items()}
+                dev = jax.device_put(sp, self._in_sharding)
+                return self._forward_sparse(self.variables, dev, full_depth)
         packed = None
-        if self.fa_compact:
+        if self.fa_compact and chunk.ndim == 4:
             from clair3_tpu.ops.fa_compact import pack_fa
 
             packed = pack_fa(chunk)
-        m = chunk.shape[0]
         if packed is not None:
             if m < bucket:
                 packed = {

@@ -118,3 +118,72 @@ def test_engine_compact_probabilities_identical(tmp_path):
     p0 = plain.predict(mat)
     p1 = compact.predict(mat)
     np.testing.assert_array_equal(p0, p1)
+
+
+@pytest.mark.parametrize("dwell", [False, True])
+def test_sparse_pack_roundtrip_bit_identical(tmp_path, dwell):
+    from clair3_tpu.ops.fa_compact import pack_fa_sparse, unpack_fa_sparse_numpy
+
+    mat = _extract(tmp_path, enable_dwell=dwell)
+    packed = pack_fa_sparse(mat)
+    assert packed is not None, "real extractor output must sparse-pack"
+    np.testing.assert_array_equal(unpack_fa_sparse_numpy(packed), mat)
+    # sparse form beats the v1 cells-trio form on the wire
+    from clair3_tpu.ops.fa_compact import pack_fa
+
+    v1 = sum(v.nbytes for v in pack_fa(mat).values())
+    v2 = sum(v.nbytes for v in packed.values())
+    assert v2 < 0.75 * v1
+    assert v2 < 0.3 * mat.nbytes
+
+
+def test_sparse_pack_k_bucket_selection_and_overflow(tmp_path):
+    from clair3_tpu.ops.fa_compact import K_BUCKETS, pack_fa_sparse
+
+    mat = _extract(tmp_path, error_rate=0.02)
+    packed = pack_fa_sparse(mat)
+    assert packed["sidx"].shape[1] == K_BUCKETS[0]
+    # force > K0 alt entries in one row -> the larger bucket
+    dense = mat.copy()
+    dense[0, : K_BUCKETS[0] // 33 + 1, :, 1] = 9
+    packed = pack_fa_sparse(dense)
+    assert packed is not None and packed["sidx"].shape[1] == K_BUCKETS[-1]
+    from clair3_tpu.ops.fa_compact import unpack_fa_sparse_numpy
+
+    np.testing.assert_array_equal(unpack_fa_sparse_numpy(packed), dense)
+    # overflow every bucket -> None (callers fall back to v1/full)
+    dense[0, :, :, 1] = 9
+    assert dense[0].size // 8 > K_BUCKETS[-1]
+    assert pack_fa_sparse(dense) is None
+
+
+def test_sparse_jax_unpack_matches_numpy(tmp_path):
+    from clair3_tpu.ops.fa_compact import (pack_fa_sparse,
+                                           unpack_fa_sparse_jax,
+                                           unpack_fa_sparse_numpy)
+
+    mat = _extract(tmp_path)
+    packed = pack_fa_sparse(mat)
+    out = np.asarray(unpack_fa_sparse_jax(packed))
+    np.testing.assert_array_equal(out, unpack_fa_sparse_numpy(packed))
+    np.testing.assert_array_equal(out, mat)
+
+
+def test_engine_sparse_path_probabilities_identical(tmp_path):
+    """The engine's sparse fast path (fa_compact=True now prefers it) must
+    be invisible in the outputs, including when batches pad to the
+    bucket."""
+    from clair3_tpu.models import FullAlignmentNet
+    from clair3_tpu.ops.fa_compact import pack_fa_sparse
+    from clair3_tpu.pipeline.engine import InferenceEngine
+
+    mat = _extract(tmp_path)
+    variables = _fa_variables()
+    net = FullAlignmentNet(add_indel_length=True)
+    plain = InferenceEngine(net, variables, buckets=(32,))
+    compact = InferenceEngine(net, variables, buckets=(32,),
+                              depth_crop=True, fa_compact=True)
+    cropped, _ = compact._crop_depth(mat)
+    assert pack_fa_sparse(cropped) is not None, \
+        "fixture must exercise the sparse path, not a fallback"
+    np.testing.assert_array_equal(plain.predict(mat), compact.predict(mat))
