@@ -327,10 +327,10 @@ def main():
         0.0,
         serial_details["t_forward"] + serial_details["t_fa_forward"] - t_compute)
     # pileup ships the uint8 compact form (magnitudes + neg-channel index);
-    # FA ships the depth-cropped compact decomposition (per-cell channels
-    # + bitmask + scalars + ref column)
+    # FA ships the depth-cropped sparse decomposition (dense BQ + bitmask
+    # + scalars + ref column + K=128 alt/insert COO pairs)
     db = fe._depth_buckets(89)[0]
-    fa_bytes = db * (33 * 3 + 5 + 4) + 33 * 2
+    fa_bytes = db * (33 + 5 + 4) + 33 + 128 * 3
     mb_moved = (n * (33 * 18 + 33)
                 + over_details["fa_candidates"] * fa_bytes) / 1e6
     print(

@@ -174,7 +174,8 @@ def _load_engine(path: str, kind: str, platform: str,
         # int16 halves the host->device copy (counts are bounded by
         # ~1.5x max_depth after the high-coverage rescale); pileup_compact
         # halves it again (uint8 magnitudes + negated-ref-channel index,
-        # ops/pileup_compact.py; verified bit-exact per batch)
+        # ops/pileup_compact.py; structure-validated per batch, dense
+        # fallback on violation)
         engine = InferenceEngine(model, variables, transfer_dtype=np.int16,
                                  pileup_compact=True)
     else:
@@ -183,8 +184,9 @@ def _load_engine(path: str, kind: str, platform: str,
                                  compute_dtype=dt)
         # depth_crop: ship only the centered nonzero depth band (FA tensors
         # are center-padded; ~2x fewer host->device bytes at 30x coverage);
-        # fa_compact: lossless channel decomposition, ~2.4x fewer bytes on
-        # top (ops/fa_compact.py; verified bit-exact per batch)
+        # fa_compact: lossless sparse decomposition, ~3.7x fewer bytes on
+        # top (ops/fa_compact.py; structure-validated per batch, dense
+        # fallback on violation)
         engine = InferenceEngine(model, variables, depth_crop=True,
                                  fa_compact=True)
         engine.fa_input_channels = in_ch

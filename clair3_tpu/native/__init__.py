@@ -25,7 +25,8 @@ _SRCS = [os.path.join(_DIR, "clair3t_arith.cc"),
          os.path.join(_DIR, "clair3t_gvcf.cc"),
          os.path.join(_DIR, "clair3t_rans.cc"),
          os.path.join(_DIR, "clair3t_rans_nx16.cc"),
-         os.path.join(_DIR, "clair3t_cram.cc")]
+         os.path.join(_DIR, "clair3t_cram.cc"),
+         os.path.join(_DIR, "clair3t_pack.cc")]
 _HDRS = [os.path.join(_DIR, "common.h")]
 _SO = os.path.join(_DIR, "libclair3t.so")
 _lock = threading.Lock()
@@ -580,6 +581,90 @@ def dbg_consensus_native(
         return blob.split("\n") if blob else []
     finally:
         lib.clair3t_dbg_free(out_p)
+
+
+def _bind_pack(lib):
+    if getattr(lib, "_pack_bound", False):
+        return
+    _i8p = ctypes.POINTER(ctypes.c_int8)
+    _u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.clair3t_fa_pack_sparse.restype = ctypes.c_int
+    lib.clair3t_fa_pack_sparse.argtypes = [
+        _i8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        _i8p, _u8p, _i8p, _i8p, ctypes.POINTER(ctypes.c_uint16), _i8p,
+        _i8p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+    lib.clair3t_pileup_pack.restype = ctypes.c_int
+    lib.clair3t_pileup_pack.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+        _u8p, _i8p]
+    lib._pack_bound = True
+
+
+def fa_pack_sparse_native(matrix: np.ndarray, k_buckets) -> Optional[dict]:
+    """Native counterpart of ops.fa_compact.pack_fa_sparse (the numpy
+    packer is the differential oracle).  Returns the packed dict with
+    sidx/sval narrowed to the smallest fitting K bucket, or None on a
+    structure violation / overflow (callers fall back)."""
+    if (matrix.ndim != 4 or matrix.shape[2] != 33
+            or matrix.shape[3] not in (8, 9) or matrix.dtype != np.int8
+            or not matrix.flags.c_contiguous):
+        return None
+    lib = get_lib()
+    _bind_pack(lib)
+    N, D, _, C = matrix.shape
+    kmax = int(k_buckets[-1])
+    bq = np.empty((N, D, 33), np.int8)
+    bitmask = np.empty((N, D, 5), np.uint8)
+    scalars = np.empty((N, D, 4), np.int8)
+    refcol = np.empty((N, 33), np.int8)
+    sidx = np.empty((N, kmax), np.uint16)
+    sval = np.empty((N, kmax), np.int8)
+    dwell = np.empty((N, D, 33), np.int8) if C == 9 else None
+    max_count = ctypes.c_int64(0)
+    _i8p = ctypes.POINTER(ctypes.c_int8)
+    rc = lib.clair3t_fa_pack_sparse(
+        matrix.ctypes.data_as(_i8p), N, D, C,
+        bq.ctypes.data_as(_i8p),
+        bitmask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        scalars.ctypes.data_as(_i8p), refcol.ctypes.data_as(_i8p),
+        sidx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        sval.ctypes.data_as(_i8p),
+        dwell.ctypes.data_as(_i8p) if dwell is not None else None,
+        kmax, ctypes.byref(max_count))
+    if rc != 0:
+        return None
+    k = next((kb for kb in k_buckets if max_count.value <= kb), None)
+    if k is None:
+        return None
+    if k < kmax:
+        sidx = np.ascontiguousarray(sidx[:, :k])
+        sval = np.ascontiguousarray(sval[:, :k])
+    packed = {"bq": bq, "bitmask": bitmask, "scalars": scalars,
+              "refcol": refcol, "sidx": sidx, "sval": sval}
+    if dwell is not None:
+        packed["dwell"] = dwell
+    return packed
+
+
+def pileup_pack_native(matrix: np.ndarray) -> Optional[dict]:
+    """Native counterpart of ops.pileup_compact.pack_pileup (the numpy
+    packer is the differential oracle)."""
+    if (matrix.ndim != 3 or matrix.shape[1] != 33 or matrix.shape[2] != 18
+            or matrix.dtype not in (np.int16, np.int32)
+            or not matrix.flags.c_contiguous):
+        return None
+    lib = get_lib()
+    _bind_pack(lib)
+    N = matrix.shape[0]
+    mags = np.empty((N, 33, 18), np.uint8)
+    negidx = np.empty((N, 33), np.int8)
+    rc = lib.clair3t_pileup_pack(
+        matrix.ctypes.data_as(ctypes.c_void_p), N, matrix.dtype.itemsize,
+        mags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        negidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+    if rc != 0:
+        return None
+    return {"mags": mags, "negidx": negidx}
 
 
 _CRAM_ERRORS = {

@@ -23,6 +23,7 @@ then ships the full tensor), so the fast path can never change results.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import numpy as np
@@ -30,9 +31,9 @@ import numpy as np
 _MASK_BYTES = 5  # ceil(33 / 8)
 
 
-def pack_fa(matrix: np.ndarray) -> Optional[Dict[str, np.ndarray]]:
-    """Decompose [N, D, 33, 8|9] int8; None if the batch violates the
-    per-read/per-column structure (then callers ship the full tensor)."""
+def _pack_base(matrix: np.ndarray) -> Optional[Dict[str, np.ndarray]]:
+    """Validate the per-read/per-column structure and build the shared
+    bitmask/scalars/refcol planes; None if the batch violates it."""
     if matrix.ndim != 4 or matrix.shape[2] != 33 or matrix.shape[3] not in (8, 9):
         return None
     m = matrix
@@ -50,14 +51,23 @@ def pack_fa(matrix: np.ndarray) -> Optional[Dict[str, np.ndarray]]:
         and (m[..., 5] == af[..., None] * (m[..., 0] != 0)).all()
     ):
         return None
-    cell_ch = (1, 4, 6) if m.shape[3] == 8 else (1, 4, 6, 8)
     return {
-        "cells": np.ascontiguousarray(m[..., cell_ch]),
         "bitmask": np.packbits(cover, axis=2),  # [N, D, 5], bit 7 = col 0
         "scalars": np.ascontiguousarray(
             np.stack([strand, mq, hap, af], axis=-1)),
         "refcol": np.ascontiguousarray(refcol),
     }
+
+
+def pack_fa(matrix: np.ndarray) -> Optional[Dict[str, np.ndarray]]:
+    """Decompose [N, D, 33, 8|9] int8; None if the batch violates the
+    per-read/per-column structure (then callers ship the full tensor)."""
+    base = _pack_base(matrix)
+    if base is None:
+        return None
+    cell_ch = (1, 4, 6) if matrix.shape[3] == 8 else (1, 4, 6, 8)
+    base["cells"] = np.ascontiguousarray(matrix[..., cell_ch])
+    return base
 
 
 def _unpack(xp, cells, bitmask, scalars, refcol):
@@ -106,8 +116,18 @@ _SPARSE_CH = (1, 6)     # alt, insert
 def pack_fa_sparse(matrix: np.ndarray) -> Optional[Dict[str, np.ndarray]]:
     """Decompose [N, D, 33, 8|9] int8 with sparse alt/insert; None if the
     batch violates the structure or overflows every K bucket (then callers
-    fall back to ``pack_fa`` / the full tensor)."""
-    base = pack_fa(matrix)
+    fall back to ``pack_fa`` / the full tensor).  A single-pass native C
+    packer (clair3t_pack.cc) serves production; this numpy body is its
+    differential oracle (tests/test_native_pack.py)."""
+    from clair3_tpu.native import fa_pack_sparse_native, native_available
+
+    if (matrix.ndim == 4 and matrix.dtype == np.int8
+            and matrix.flags.c_contiguous
+            and not os.environ.get("CLAIR3T_VERIFY_PACK")
+            and native_available()):
+        # rc != 0 <=> the numpy path would return None too (same checks)
+        return fa_pack_sparse_native(matrix, K_BUCKETS)
+    base = _pack_base(matrix)
     if base is None:
         return None
     m = matrix
@@ -141,8 +161,14 @@ def pack_fa_sparse(matrix: np.ndarray) -> Optional[Dict[str, np.ndarray]]:
     }
     if m.shape[3] == 9:
         packed["dwell"] = np.ascontiguousarray(m[..., 8])
-    if not (unpack_fa_sparse_numpy(packed) == m).all():
-        return None
+    # Losslessness is by construction once _pack_base validated the derived
+    # channels: bq/dwell ship dense, alt/insert are the exact nonzero set
+    # (unique indices, so the scatter cannot collide).  The full dense
+    # roundtrip is therefore only a debug assertion — it costs ~5x the
+    # pack itself (tests/test_fa_compact.py pins bit-identity instead).
+    if os.environ.get("CLAIR3T_VERIFY_PACK"):
+        if not (unpack_fa_sparse_numpy(packed) == m).all():
+            return None
     return packed
 
 

@@ -31,9 +31,21 @@ _NO_NEG = 18  # out-of-range channel: matches nothing during reconstruction
 
 def pack_pileup(matrix: np.ndarray) -> Optional[Dict[str, np.ndarray]]:
     """Decompose [N, 33, 18] integer counts; None if values exceed uint8
-    or the negation pattern is not the ref-channel-pair structure."""
+    or the negation pattern is not the ref-channel-pair structure.  A
+    single-pass native C packer (clair3t_pack.cc) serves production; this
+    numpy body is its differential oracle (tests/test_native_pack.py)."""
     if matrix.ndim != 3 or matrix.shape[2] != 18:
         return None
+    import os
+
+    if (matrix.shape[1] == 33 and matrix.dtype in (np.int16, np.int32)
+            and matrix.flags.c_contiguous
+            and not os.environ.get("CLAIR3T_VERIFY_PACK")):
+        from clair3_tpu.native import native_available, pileup_pack_native
+
+        if native_available():
+            # rc != 0 <=> the rebuild-and-compare below would fail too
+            return pileup_pack_native(matrix)
     m = matrix
     a = np.abs(m)
     if m.size and int(a.max()) > 255:
