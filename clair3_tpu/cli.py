@@ -78,6 +78,10 @@ def _add_call_args(p: argparse.ArgumentParser) -> None:
                    action="store_true")
     p.add_argument("--use_oracle_engines", action="store_true",
                    help="TESTING: use tensor-sniffing oracle predictors instead of models")
+    p.add_argument("--remote_engines", default=None, metavar="URL",
+                   help="run forward passes on a `clair3_tpu serve` engine "
+                        "server (e.g. http://tpu-host:8618); no local "
+                        "models needed")
     p.add_argument("--use_phasing_for_final_output", action="store_true",
                    help="phase the final merged VCF (internal phaser)")
     # external-phaser interop (reference run_clair3.py:116-117,148-150):
@@ -331,6 +335,19 @@ def cmd_call(args: argparse.Namespace) -> int:
 
         pileup_engine = PileupOracleEngine()
         fa_engine = None if args.pileup_only else FullAlignmentOracleEngine()
+    elif args.remote_engines:
+        # forward passes on a serving TPU host (`clair3_tpu serve`); this
+        # process only extracts/decodes (reference remote-inference analogue:
+        # the Triton client mode, CallVariantsFromCffi.py:201-214)
+        from clair3_tpu.serve import RemoteEngine
+
+        pileup_engine = RemoteEngine(args.remote_engines, "pileup")
+        fa_engine = None
+        if not args.pileup_only:
+            fa_engine = RemoteEngine(args.remote_engines, "full_alignment")
+            fa_in = getattr(fa_engine, "fa_input_channels", None)
+            if fa_in is not None and fa_in != cfg.fa_channels:
+                cfg.enable_dwell_time = fa_in == 9
     else:
         pileup_path = args.pileup_model
         fa_path = args.full_alignment_model
@@ -730,6 +747,44 @@ def cmd_metrics(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_serve(args: argparse.Namespace) -> int:
+    """Serve the production inference engines over HTTP (TPU host side of
+    the remote-inference split; reference analogue: the Triton serving
+    mode, CallVariantsFromCffi.py:201-214)."""
+    import numpy as np
+
+    from clair3_tpu.config import PLATFORMS
+    from clair3_tpu.serve import build_server
+    from clair3_tpu.utils.common import enable_compilation_cache
+
+    if not args.model_path and not args.pileup_model:
+        print("[ERROR] serve needs --model_path or --pileup_model",
+              file=sys.stderr)
+        return 1
+    enable_compilation_cache()
+    server = build_server(
+        args.model_path, platform=args.platform,
+        compute_dtype=args.compute_dtype, host=args.host, port=args.port,
+        pileup_model=args.pileup_model, fa_model=args.full_alignment_model)
+    # compile every bucket up front so first client batches are fast
+    plat = PLATFORMS[args.platform]
+    for kind, eng in server.engines.items():
+        if not hasattr(eng, "warmup"):
+            continue
+        if kind == "pileup":
+            eng.warmup((33, 18), np.int32)
+        else:
+            ch = getattr(eng, "fa_input_channels", 8)
+            eng.warmup((plat.matrix_depth, 33, ch), np.int8)
+    print(f"[INFO] serving {sorted(server.engines)} on {server.address}",
+          file=sys.stderr)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def main(argv=None) -> int:
     logging.basicConfig(format="%(message)s", level=logging.INFO)
     if argv is None:
@@ -855,6 +910,22 @@ def main(argv=None) -> int:
     sb.add_argument("--include_untagged", action="store_true",
                     help="route untagged reads into both haplotype BAMs")
     sb.set_defaults(func=cmd_split_bam)
+
+    srv = sub.add_parser(
+        "serve", help="serve the inference engines over HTTP (remote "
+                      "calling hosts use `call --remote_engines`)")
+    srv.add_argument("--model_path", default=None,
+                     help="directory with pileup.{npz,pt} / "
+                          "full_alignment.{npz,pt}")
+    srv.add_argument("--pileup_model", default=None)
+    srv.add_argument("--full_alignment_model", default=None)
+    srv.add_argument("--platform", default="ont",
+                     choices=("ont", "hifi", "ilmn"))
+    srv.add_argument("--compute_dtype", default="auto",
+                     choices=("auto", "fp32", "bf16"))
+    srv.add_argument("--host", default="0.0.0.0")
+    srv.add_argument("--port", type=int, default=8618)
+    srv.set_defaults(func=cmd_serve)
 
     mt = sub.add_parser("metrics", help="SNP/Indel P/R/F1 vs a truth set")
     mt.add_argument("--truth_vcf_fn", default=None)

@@ -1,0 +1,221 @@
+"""Remote inference serving: a TPU-resident engine server + thin client.
+
+The reference offers remote inference through a Triton gRPC client mode
+(`--use_triton_gpu`, reference: clair3/CallVariantsFromCffi.py:201-214):
+tensor-creation hosts ship batches to a GPU serving process.  The
+TPU-native equivalent is this pair:
+
+* ``python -m clair3_tpu serve --model_path ... --port N`` loads both
+  production engines on the TPU host (bf16 + Pallas + compact wire forms,
+  exactly `cli call`'s engines) and serves batch predictions over HTTP —
+  raw ``.npy`` bodies in, raw ``.npy`` probabilities out, stdlib-only.
+* ``RemoteEngine`` implements the engine protocol the pipeline consumes
+  (``predict`` / ``predict_async`` / ``gather``), so CPU-only extraction
+  hosts run the full cascade with ``call --remote_engines URL`` while the
+  forward passes execute on the serving TPU.
+
+Batches are self-describing (dtype + shape ride in the npy header), the
+server runs one engine per model kind behind the InferenceEngine's own
+submitter thread (jit dispatch already serialized), and prediction is
+stateless — any number of calling hosts can share one server.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import numpy as np
+
+_MAX_BODY = 1 << 31  # 2 GiB: a full 4096-candidate FA batch is ~96 MB
+
+
+def _dump_npy(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, np.ascontiguousarray(arr), allow_pickle=False)
+    return buf.getvalue()
+
+
+def _load_npy(data: bytes) -> np.ndarray:
+    return np.load(io.BytesIO(data), allow_pickle=False)
+
+
+class EngineServer:
+    """HTTP server around loaded inference engines.
+
+    ``engines`` maps kind ("pileup" / "full_alignment") to objects with a
+    ``predict(np.ndarray) -> np.ndarray`` method (normally InferenceEngine,
+    oracle engines in tests)."""
+
+    def __init__(self, engines: Dict[str, object], host: str = "127.0.0.1",
+                 port: int = 0):
+        self.engines = engines
+        info = {"models": {}}
+        for kind, eng in engines.items():
+            meta = {}
+            fa_in = getattr(eng, "fa_input_channels", None)
+            if fa_in is not None:
+                meta["input_channels"] = int(fa_in)
+            info["models"][kind] = meta
+        self._info = json.dumps(info).encode()
+
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _reply(self, code: int, body: bytes,
+                       ctype: str = "application/octet-stream"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/info":
+                    self._reply(200, server._info, "application/json")
+                else:
+                    self._reply(404, b"not found", "text/plain")
+
+            def do_POST(self):
+                if not self.path.startswith("/predict/"):
+                    self._reply(404, b"not found", "text/plain")
+                    return
+                kind = self.path[len("/predict/"):]
+                eng = server.engines.get(kind)
+                if eng is None:
+                    self._reply(404, f"no engine {kind!r}".encode(),
+                                "text/plain")
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                if n <= 0 or n > _MAX_BODY:
+                    self._reply(400, b"bad Content-Length", "text/plain")
+                    return
+                try:
+                    x = _load_npy(self.rfile.read(n))
+                    probs = eng.predict(x)
+                except Exception as exc:  # surface to the client
+                    self._reply(400, repr(exc).encode(), "text/plain")
+                    return
+                self._reply(200, _dump_npy(np.asarray(probs)))
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._httpd.daemon_threads = True
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def address(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def serve_background(self) -> str:
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self.address
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        self._httpd.server_close()
+
+
+class RemoteEngine:
+    """Engine-protocol client for an EngineServer.
+
+    ``predict_async`` ships batches from a single background thread so the
+    caller's decode of batch i-1 overlaps batch i's network round-trip —
+    the same overlap contract as InferenceEngine.predict_async."""
+
+    def __init__(self, url: str, kind: str, timeout: float = 300.0):
+        self.url = url.rstrip("/")
+        self.kind = kind
+        self.timeout = timeout
+        self._pool: Optional[ThreadPoolExecutor] = None
+        if kind == "full_alignment":
+            ch = self.info().get("models", {}).get(kind, {}) \
+                .get("input_channels")
+            if ch is not None:
+                self.fa_input_channels = int(ch)
+
+    def info(self) -> dict:
+        import urllib.request
+
+        with urllib.request.urlopen(self.url + "/info",
+                                    timeout=self.timeout) as r:
+            return json.loads(r.read().decode())
+
+    def _post(self, x: np.ndarray) -> np.ndarray:
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.url}/predict/{self.kind}", data=_dump_npy(x),
+            headers={"Content-Type": "application/octet-stream"})
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                return _load_npy(r.read())
+        except Exception as exc:
+            import urllib.error
+
+            if isinstance(exc, urllib.error.HTTPError):
+                raise RuntimeError(
+                    f"remote engine {self.kind} failed: "
+                    f"{exc.read().decode(errors='replace')}") from exc
+            raise
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        return self._post(np.asarray(x))
+
+    def predict_async(self, x: np.ndarray) -> List:
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="remote-engine")
+        return [self._pool.submit(self._post, np.asarray(x))]
+
+    @staticmethod
+    def gather(handles: List) -> np.ndarray:
+        return np.concatenate([h.result() for h in handles], axis=0)
+
+
+def build_server(model_path: str, platform: str = "ont",
+                 compute_dtype: str = "auto", host: str = "127.0.0.1",
+                 port: int = 8618, pileup_model: Optional[str] = None,
+                 fa_model: Optional[str] = None,
+                 pileup_prefix: str = "pileup",
+                 fa_prefix: str = "full_alignment") -> EngineServer:
+    """Load `cli call`'s production engines and wrap them in a server."""
+    import os
+
+    from clair3_tpu.cli import _load_engine
+
+    engines: Dict[str, object] = {}
+    for kind, given, prefix in (("pileup", pileup_model, pileup_prefix),
+                                ("full_alignment", fa_model, fa_prefix)):
+        path = given
+        if path is None and model_path:
+            for ext in (".npz", ".pt"):
+                cand = os.path.join(model_path, prefix + ext)
+                if os.path.exists(cand):
+                    path = cand
+                    break
+        if path is None:
+            if kind == "pileup":
+                raise FileNotFoundError(
+                    f"no pileup model under {model_path!r}")
+            continue  # FA model optional (pileup-only serving)
+        engines[kind] = _load_engine(path, kind, platform,
+                                     compute_dtype=compute_dtype)
+    return EngineServer(engines, host=host, port=port)
