@@ -326,13 +326,10 @@ def main():
     t_transfer = max(
         0.0,
         serial_details["t_forward"] + serial_details["t_fa_forward"] - t_compute)
-    # pileup ships the uint8 compact form (magnitudes + neg-channel index);
-    # FA ships the depth-cropped sparse decomposition (dense BQ + bitmask
-    # + scalars + ref column + K=128 alt/insert COO pairs)
-    db = fe._depth_buckets(89)[0]
-    fa_bytes = db * (33 + 5 + 4) + 33 + 128 * 3
-    mb_moved = (n * (33 * 18 + 33)
-                + over_details["fa_candidates"] * fa_bytes) / 1e6
+    # measured, not estimated: the engines count the bytes they hand to
+    # device_put (post pack/pad), whatever wire form each batch used;
+    # 6 cascade passes ran above (3 serial + 3 overlapped)
+    mb_moved = (pe.bytes_shipped + fe.bytes_shipped) / 1e6 / 6
     print(
         f"[bench] sandbox link: ~{mb_moved:.0f} MB of candidate tensors took "
         f"~{t_transfer:.1f}s of the {serial_wall:.2f}s serial wall "

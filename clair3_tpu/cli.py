@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 from typing import Optional
 
@@ -153,6 +154,16 @@ def _use_pallas_lstm(compute_dtype) -> bool:
         return False
     return (jax.default_backend() == "tpu"
             and compute_dtype == jnp.bfloat16)
+
+
+def resolve_model_file(model_path: str, prefix: str) -> Optional[str]:
+    """First existing {model_path}/{prefix}.{npz,pt}; shared by `call` and
+    `serve` so both resolve the same checkpoint for the same directory."""
+    for ext in (".npz", ".pt"):
+        cand = os.path.join(model_path, prefix + ext)
+        if os.path.exists(cand):
+            return cand
+    return None
 
 
 def _load_engine(path: str, kind: str, platform: str,
@@ -341,10 +352,18 @@ def cmd_call(args: argparse.Namespace) -> int:
         # the Triton client mode, CallVariantsFromCffi.py:201-214)
         from clair3_tpu.serve import RemoteEngine
 
-        pileup_engine = RemoteEngine(args.remote_engines, "pileup")
-        fa_engine = None
-        if not args.pileup_only:
-            fa_engine = RemoteEngine(args.remote_engines, "full_alignment")
+        try:
+            pileup_engine = RemoteEngine(args.remote_engines, "pileup",
+                                         platform=args.platform)
+            fa_engine = None
+            if not args.pileup_only:
+                fa_engine = RemoteEngine(args.remote_engines,
+                                         "full_alignment",
+                                         platform=args.platform)
+        except Exception as exc:
+            print(f"[ERROR] {exc}", file=sys.stderr)
+            return 1
+        if fa_engine is not None:
             fa_in = getattr(fa_engine, "fa_input_channels", None)
             if fa_in is not None and fa_in != cfg.fa_channels:
                 cfg.enable_dwell_time = fa_in == 9
@@ -352,13 +371,12 @@ def cmd_call(args: argparse.Namespace) -> int:
         pileup_path = args.pileup_model
         fa_path = args.full_alignment_model
         if args.model_path:
-            for ext in (".npz", ".pt"):
-                cand = os.path.join(args.model_path, args.pileup_model_prefix + ext)
-                if pileup_path is None and os.path.exists(cand):
-                    pileup_path = cand
-                cand = os.path.join(args.model_path, args.fa_model_prefix + ext)
-                if fa_path is None and os.path.exists(cand):
-                    fa_path = cand
+            if pileup_path is None:
+                pileup_path = resolve_model_file(args.model_path,
+                                                 args.pileup_model_prefix)
+            if fa_path is None:
+                fa_path = resolve_model_file(args.model_path,
+                                             args.fa_model_prefix)
         if pileup_path is None:
             print("[ERROR] no pileup model given (--pileup_model / --model_path)",
                   file=sys.stderr)

@@ -583,9 +583,15 @@ def dbg_consensus_native(
         lib.clair3t_dbg_free(out_p)
 
 
-def _bind_pack(lib):
-    if getattr(lib, "_pack_bound", False):
-        return
+def _bind_pack(lib) -> bool:
+    """False when the loaded library predates the pack symbols (e.g. a
+    CLAIR3T_NATIVE_SO override of an older build) — callers fall back to
+    the numpy packers instead of raising."""
+    if getattr(lib, "_pack_bound", None) is not None:
+        return lib._pack_bound
+    if not hasattr(lib, "clair3t_fa_pack_sparse"):
+        lib._pack_bound = False
+        return False
     _i8p = ctypes.POINTER(ctypes.c_int8)
     _u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.clair3t_fa_pack_sparse.restype = ctypes.c_int
@@ -598,6 +604,18 @@ def _bind_pack(lib):
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
         _u8p, _i8p]
     lib._pack_bound = True
+    return True
+
+
+def pack_native_available() -> bool:
+    """True when the loaded library exports the wire-form pack symbols
+    (False for CLAIR3T_NATIVE_SO overrides of pre-pack builds)."""
+    if not native_available():
+        return False
+    try:
+        return _bind_pack(get_lib())
+    except Exception:
+        return False
 
 
 def fa_pack_sparse_native(matrix: np.ndarray, k_buckets) -> Optional[dict]:
@@ -610,7 +628,8 @@ def fa_pack_sparse_native(matrix: np.ndarray, k_buckets) -> Optional[dict]:
             or not matrix.flags.c_contiguous):
         return None
     lib = get_lib()
-    _bind_pack(lib)
+    if not _bind_pack(lib):
+        return None
     N, D, _, C = matrix.shape
     kmax = int(k_buckets[-1])
     bq = np.empty((N, D, 33), np.int8)
@@ -654,7 +673,8 @@ def pileup_pack_native(matrix: np.ndarray) -> Optional[dict]:
             or not matrix.flags.c_contiguous):
         return None
     lib = get_lib()
-    _bind_pack(lib)
+    if not _bind_pack(lib):
+        return None
     N = matrix.shape[0]
     mags = np.empty((N, 33, 18), np.uint8)
     negidx = np.empty((N, 33), np.int8)

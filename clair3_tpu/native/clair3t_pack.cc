@@ -140,7 +140,9 @@ int clair3t_pileup_pack(const void* matrix, int64_t N, int elem,
   const int64_t P = 33, CH = 18;
   for (int64_t n = 0; n < N; n++) {
     for (int64_t p = 0; p < P; p++) {
-      int32_t v[18];
+      // widen to int64 before negating: -INT32_MIN is signed-overflow UB
+      // and must reject via the >255 magnitude check, not wrap
+      int64_t v[18];
       if (elem == 2) {
         const int16_t* src = (const int16_t*)matrix + (n * P + p) * CH;
         for (int c = 0; c < CH; c++) v[c] = src[c];
@@ -153,7 +155,7 @@ int clair3t_pileup_pack(const void* matrix, int64_t N, int elem,
         if (v[c] < 0) { ni = c % 9; break; }
       uint8_t* mg = mags + (n * P + p) * CH;
       for (int c = 0; c < CH; c++) {
-        int32_t a = v[c] < 0 ? -v[c] : v[c];
+        int64_t a = v[c] < 0 ? -v[c] : v[c];
         if (a > 255) return 1;
         int in_pat = (c == ni) || (c == ni + 9);
         if (in_pat ? (v[c] > 0) : (v[c] < 0)) return 1;

@@ -119,12 +119,12 @@ def pack_fa_sparse(matrix: np.ndarray) -> Optional[Dict[str, np.ndarray]]:
     fall back to ``pack_fa`` / the full tensor).  A single-pass native C
     packer (clair3t_pack.cc) serves production; this numpy body is its
     differential oracle (tests/test_native_pack.py)."""
-    from clair3_tpu.native import fa_pack_sparse_native, native_available
+    from clair3_tpu.native import fa_pack_sparse_native, pack_native_available
 
     if (matrix.ndim == 4 and matrix.dtype == np.int8
             and matrix.flags.c_contiguous
             and not os.environ.get("CLAIR3T_VERIFY_PACK")
-            and native_available()):
+            and pack_native_available()):
         # rc != 0 <=> the numpy path would return None too (same checks)
         return fa_pack_sparse_native(matrix, K_BUCKETS)
     base = _pack_base(matrix)

@@ -41,9 +41,9 @@ def pack_pileup(matrix: np.ndarray) -> Optional[Dict[str, np.ndarray]]:
     if (matrix.shape[1] == 33 and matrix.dtype in (np.int16, np.int32)
             and matrix.flags.c_contiguous
             and not os.environ.get("CLAIR3T_VERIFY_PACK")):
-        from clair3_tpu.native import native_available, pileup_pack_native
+        from clair3_tpu.native import pack_native_available, pileup_pack_native
 
-        if native_available():
+        if pack_native_available():
             # rc != 0 <=> the rebuild-and-compare below would fail too
             return pileup_pack_native(matrix)
     m = matrix

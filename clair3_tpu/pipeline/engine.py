@@ -71,6 +71,9 @@ class InferenceEngine:
         # the centered band and zero-pads back INSIDE the jit program —
         # bit-exact reconstruction, ~2x fewer host->device bytes.
         self.depth_crop = depth_crop
+        # observability: actual bytes handed to device_put (post pack/pad),
+        # accumulated on the submitter thread; bench.py reports it
+        self.bytes_shipped = 0
         n_dev = self.mesh.devices.size
         # bucket sizes must divide evenly across the mesh
         self.buckets = tuple(sorted(max(b, n_dev) - (max(b, n_dev) % n_dev) or n_dev
@@ -250,6 +253,7 @@ class InferenceEngine:
                     sp = {k: np.concatenate(
                         [v, np.zeros((bucket - m,) + v.shape[1:], v.dtype)])
                         for k, v in sp.items()}
+                self.bytes_shipped += sum(v.nbytes for v in sp.values())
                 dev = jax.device_put(sp, self._in_sharding)
                 return self._forward_sparse(self.variables, dev, full_depth)
         packed = None
@@ -263,6 +267,7 @@ class InferenceEngine:
                     k: np.concatenate(
                         [v, np.zeros((bucket - m,) + v.shape[1:], v.dtype)])
                     for k, v in packed.items()}
+            self.bytes_shipped += sum(v.nbytes for v in packed.values())
             dev = {k: jax.device_put(v, self._in_sharding)
                    for k, v in packed.items()}
             return self._forward_compact(
@@ -278,6 +283,7 @@ class InferenceEngine:
                         k: np.concatenate(
                             [v, np.zeros((bucket - m,) + v.shape[1:], v.dtype)])
                         for k, v in ppacked.items()}
+                self.bytes_shipped += sum(v.nbytes for v in ppacked.values())
                 dev = {k: jax.device_put(v, self._in_sharding)
                        for k, v in ppacked.items()}
                 return self._forward_pileup_compact(
@@ -285,6 +291,7 @@ class InferenceEngine:
         if m < bucket:
             pad = np.zeros((bucket - m,) + chunk.shape[1:], chunk.dtype)
             chunk = np.concatenate([chunk, pad], axis=0)
+        self.bytes_shipped += chunk.nbytes
         dev = jax.device_put(chunk, self._in_sharding)
         return self._forward(self.variables, dev, full_depth)
 

@@ -49,12 +49,17 @@ class EngineServer:
 
     ``engines`` maps kind ("pileup" / "full_alignment") to objects with a
     ``predict(np.ndarray) -> np.ndarray`` method (normally InferenceEngine,
-    oracle engines in tests)."""
+    oracle engines in tests).  Requests are serialized per engine: the
+    handler threads funnel through one lock per kind, so concurrent
+    clients cannot race the engine's lazy submitter-pool init."""
 
     def __init__(self, engines: Dict[str, object], host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, platform: Optional[str] = None):
         self.engines = engines
-        info = {"models": {}}
+        self._locks = {kind: threading.Lock() for kind in engines}
+        info: Dict = {"models": {}}
+        if platform is not None:
+            info["platform"] = platform
         for kind, eng in engines.items():
             meta = {}
             fa_in = getattr(eng, "fa_input_channels", None)
@@ -73,9 +78,15 @@ class EngineServer:
 
             def _reply(self, code: int, body: bytes,
                        ctype: str = "application/octet-stream"):
+                if code != 200:
+                    # error replies may leave an unread body on the socket;
+                    # close rather than desync a keep-alive connection
+                    self.close_connection = True
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
+                if code != 200:
+                    self.send_header("Connection", "close")
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -101,7 +112,8 @@ class EngineServer:
                     return
                 try:
                     x = _load_npy(self.rfile.read(n))
-                    probs = eng.predict(x)
+                    with server._locks[kind]:
+                        probs = eng.predict(x)
                 except Exception as exc:  # surface to the client
                     self._reply(400, repr(exc).encode(), "text/plain")
                     return
@@ -140,16 +152,30 @@ class RemoteEngine:
     caller's decode of batch i-1 overlaps batch i's network round-trip —
     the same overlap contract as InferenceEngine.predict_async."""
 
-    def __init__(self, url: str, kind: str, timeout: float = 300.0):
+    def __init__(self, url: str, kind: str, timeout: float = 300.0,
+                 platform: Optional[str] = None):
         self.url = url.rstrip("/")
         self.kind = kind
         self.timeout = timeout
         self._pool: Optional[ThreadPoolExecutor] = None
-        if kind == "full_alignment":
-            ch = self.info().get("models", {}).get(kind, {}) \
-                .get("input_channels")
-            if ch is not None:
-                self.fa_input_channels = int(ch)
+        # fail fast at construction (not hours into the pileup phase):
+        # the server must actually host this engine kind, and a declared
+        # server platform must match the client's
+        info = self.info()
+        models = info.get("models", {})
+        if kind not in models:
+            raise RuntimeError(
+                f"engine server {self.url} does not serve {kind!r} "
+                f"(available: {sorted(models)})")
+        self.server_platform = info.get("platform")
+        if (platform is not None and self.server_platform is not None
+                and platform != self.server_platform):
+            raise RuntimeError(
+                f"engine server {self.url} serves platform "
+                f"{self.server_platform!r}, client asked for {platform!r}")
+        ch = models[kind].get("input_channels")
+        if ch is not None:
+            self.fa_input_channels = int(ch)
 
     def info(self) -> dict:
         import urllib.request
@@ -197,20 +223,14 @@ def build_server(model_path: str, platform: str = "ont",
                  pileup_prefix: str = "pileup",
                  fa_prefix: str = "full_alignment") -> EngineServer:
     """Load `cli call`'s production engines and wrap them in a server."""
-    import os
-
-    from clair3_tpu.cli import _load_engine
+    from clair3_tpu.cli import _load_engine, resolve_model_file
 
     engines: Dict[str, object] = {}
     for kind, given, prefix in (("pileup", pileup_model, pileup_prefix),
                                 ("full_alignment", fa_model, fa_prefix)):
         path = given
         if path is None and model_path:
-            for ext in (".npz", ".pt"):
-                cand = os.path.join(model_path, prefix + ext)
-                if os.path.exists(cand):
-                    path = cand
-                    break
+            path = resolve_model_file(model_path, prefix)
         if path is None:
             if kind == "pileup":
                 raise FileNotFoundError(
@@ -218,4 +238,4 @@ def build_server(model_path: str, platform: str = "ont",
             continue  # FA model optional (pileup-only serving)
         engines[kind] = _load_engine(path, kind, platform,
                                      compute_dtype=compute_dtype)
-    return EngineServer(engines, host=host, port=port)
+    return EngineServer(engines, host=host, port=port, platform=platform)

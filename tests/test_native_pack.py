@@ -165,6 +165,17 @@ def test_pileup_pack_native_matches_oracle(dtype):
     assert _numpy_pileup_pack(bad) is None
 
 
+def test_pileup_pack_int32_min_rejected():
+    """-INT32_MIN is signed-overflow UB if negated in int32; the native
+    packer must widen and reject exactly like the oracle (magnitude >255),
+    not wrap to 0 and silently corrupt the batch."""
+    mat = np.zeros((2, 33, 18), np.int32)
+    mat[0, 5, 2] = np.iinfo(np.int32).min
+    mat[0, 5, 11] = -3
+    assert pileup_pack_native(mat) is None
+    assert _numpy_pileup_pack(mat) is None
+
+
 def test_pileup_pack_fuzz_agreement():
     rng = np.random.default_rng(11)
     for trial in range(40):

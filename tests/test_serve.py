@@ -55,9 +55,17 @@ def test_remote_predict_identical_to_local(real_engines):
 
 def test_remote_engine_error_surfacing(real_engines):
     pe, _ = real_engines
-    server = EngineServer({"pileup": pe})
+    server = EngineServer({"pileup": pe}, platform="ont")
     server.serve_background()
     try:
+        # fail-fast at construction: the server must host the kind ...
+        with pytest.raises(RuntimeError, match="does not serve"):
+            RemoteEngine(server.address, "full_alignment")
+        # ... and a declared platform must match the client's
+        with pytest.raises(RuntimeError, match="platform"):
+            RemoteEngine(server.address, "pileup", platform="hifi")
+        RemoteEngine(server.address, "pileup", platform="ont")  # ok
+        # server-side prediction errors surface with the remote detail
         missing = RemoteEngine(server.address, "pileup")
         missing.kind = "nope"
         with pytest.raises(Exception):
