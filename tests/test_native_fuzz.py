@@ -258,6 +258,18 @@ grows = w.finish()
 w.close()
 assert grows
 
+# wire-form packers (clair3t_pack.cc) on real extractor output + a
+# bucket-overflow batch (the K=512 and reject paths)
+from clair3_tpu.native import fa_pack_sparse_native, pileup_pack_native
+from clair3_tpu.pileup.extractor import candidate_tensors
+sp = fa_pack_sparse_native(mat, (128, 512))
+assert sp is not None or mat.shape[0] == 0
+dense = mat.copy()
+dense[:, :, :, 1] = 9
+assert fa_pack_sparse_native(dense, (128, 512)) is None  # overflow reject
+tensors, _, _ = candidate_tensors(res, "chr1")
+pp = pileup_pack_native(np.ascontiguousarray(tensors[:256].astype(np.int16)))
+
 # CRAM 3.1 codec decoders on valid AND corrupted payloads (they parse
 # untrusted compressed input)
 import ctypes, random as _rnd
