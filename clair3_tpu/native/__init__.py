@@ -597,8 +597,13 @@ def _bind_pack(lib) -> bool:
     lib.clair3t_fa_pack_sparse.restype = ctypes.c_int
     lib.clair3t_fa_pack_sparse.argtypes = [
         _i8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
         _i8p, _u8p, _i8p, _i8p, ctypes.POINTER(ctypes.c_uint16), _i8p,
         _i8p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+    lib.clair3t_fa_band.restype = None
+    lib.clair3t_fa_band.argtypes = [
+        _i8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
     lib.clair3t_pileup_pack.restype = ctypes.c_int
     lib.clair3t_pileup_pack.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
@@ -618,9 +623,31 @@ def pack_native_available() -> bool:
         return False
 
 
-def fa_pack_sparse_native(matrix: np.ndarray, k_buckets) -> Optional[dict]:
+def fa_band_native(matrix: np.ndarray):
+    """Smallest depth-row window [lo, hi) covering every nonzero row of an
+    [N, D, 33, C] int8 batch (early-exit C scan; the numpy equivalent
+    reads the whole batch).  None when the native path is unavailable."""
+    if (matrix.ndim != 4 or matrix.shape[2] != 33 or matrix.dtype != np.int8
+            or not matrix.flags.c_contiguous):
+        return None
+    lib = get_lib()
+    if not _bind_pack(lib):
+        return None
+    N, D, _, C = matrix.shape
+    lo = ctypes.c_int64(0)
+    hi = ctypes.c_int64(0)
+    lib.clair3t_fa_band(
+        matrix.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), N, D, C,
+        ctypes.byref(lo), ctypes.byref(hi))
+    return int(lo.value), int(hi.value)
+
+
+def fa_pack_sparse_native(matrix: np.ndarray, k_buckets, row_off: int = 0,
+                          rows: Optional[int] = None) -> Optional[dict]:
     """Native counterpart of ops.fa_compact.pack_fa_sparse (the numpy
-    packer is the differential oracle).  Returns the packed dict with
+    packer is the differential oracle).  ``row_off``/``rows`` pack only a
+    depth-row window without materializing the crop (rows outside must be
+    zero — the band from fa_band_native).  Returns the packed dict with
     sidx/sval narrowed to the smallest fitting K bucket, or None on a
     structure violation / overflow (callers fall back)."""
     if (matrix.ndim != 4 or matrix.shape[2] != 33
@@ -630,7 +657,10 @@ def fa_pack_sparse_native(matrix: np.ndarray, k_buckets) -> Optional[dict]:
     lib = get_lib()
     if not _bind_pack(lib):
         return None
-    N, D, _, C = matrix.shape
+    N, full_D, _, C = matrix.shape
+    D = full_D - row_off if rows is None else int(rows)
+    if row_off < 0 or D <= 0 or row_off + D > full_D:
+        return None
     kmax = int(k_buckets[-1])
     bq = np.empty((N, D, 33), np.int8)
     bitmask = np.empty((N, D, 5), np.uint8)
@@ -642,7 +672,7 @@ def fa_pack_sparse_native(matrix: np.ndarray, k_buckets) -> Optional[dict]:
     max_count = ctypes.c_int64(0)
     _i8p = ctypes.POINTER(ctypes.c_int8)
     rc = lib.clair3t_fa_pack_sparse(
-        matrix.ctypes.data_as(_i8p), N, D, C,
+        matrix.ctypes.data_as(_i8p), N, full_D, C, row_off, D,
         bq.ctypes.data_as(_i8p),
         bitmask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         scalars.ctypes.data_as(_i8p), refcol.ctypes.data_as(_i8p),

@@ -99,27 +99,58 @@ inline int pack_fa_one(const int8_t* m, int64_t D, int64_t C,
 
 extern "C" {
 
-// matrix [N, D, 33, C] int8 (C-contiguous, C in {8, 9}); outputs are
-// caller-allocated: bq [N,D,33] i8, bitmask [N,D,5] u8, scalars [N,D,4]
-// i8, refcol [N,33] i8, sidx [N,kmax] u16, sval [N,kmax] i8, dwell
-// [N,D,33] i8 or NULL (required iff C == 9).  max_count gets the largest
-// per-candidate sparse entry count (for K-bucket narrowing in Python).
+// Filled-depth band of [N, D, 33, C] int8: smallest [lo, hi) covering
+// every nonzero row.  Scans row-bytes with early exit (the engine's
+// numpy equivalent, chunk.any(axis=(0,2,3)), always reads the full
+// batch); an all-zero batch reports the empty band lo = hi = D / 2.
+void clair3t_fa_band(const int8_t* matrix, int64_t N, int64_t D, int64_t C,
+                     int64_t* lo_out, int64_t* hi_out) {
+  const int64_t row_bytes = 33 * C;
+  const int64_t cand_bytes = D * row_bytes;
+  auto row_nonzero = [&](int64_t d) {
+    for (int64_t n = 0; n < N; n++) {
+      const int8_t* row = matrix + n * cand_bytes + d * row_bytes;
+      for (int64_t b = 0; b < row_bytes; b++)
+        if (row[b]) return true;
+    }
+    return false;
+  };
+  int64_t lo = 0, hi = D;
+  while (lo < hi && !row_nonzero(lo)) lo++;
+  while (hi > lo && !row_nonzero(hi - 1)) hi--;
+  if (lo == hi) lo = hi = D / 2;
+  *lo_out = lo;
+  *hi_out = hi;
+}
+
+// matrix [N, D, 33, C] int8 (C-contiguous, C in {8, 9}); packs the
+// depth-row window [row_off, row_off + rows) of every candidate (pass
+// row_off = 0, rows = D for the whole tensor — rows is the packed D').
+// Outputs are caller-allocated: bq [N,rows,33] i8, bitmask [N,rows,5] u8,
+// scalars [N,rows,4] i8, refcol [N,33] i8, sidx [N,kmax] u16, sval
+// [N,kmax] i8, dwell [N,rows,33] i8 or NULL (required iff C == 9).
+// max_count gets the largest per-candidate sparse entry count (for
+// K-bucket narrowing in Python).  The caller guarantees rows outside the
+// window are zero (the band from clair3t_fa_band).
 int clair3t_fa_pack_sparse(const int8_t* matrix, int64_t N, int64_t D,
-                           int64_t C, int8_t* bq, uint8_t* bitmask,
+                           int64_t C, int64_t row_off, int64_t rows,
+                           int8_t* bq, uint8_t* bitmask,
                            int8_t* scalars, int8_t* refcol, uint16_t* sidx,
                            int8_t* sval, int8_t* dwell, int64_t kmax,
                            int64_t* max_count) {
   if (C != 8 && C != 9) return 1;
   if ((C == 9) != (dwell != nullptr)) return 1;
-  int64_t pad = D * 33 * 2;  // dummy scatter slot past the flat alt/ins end
+  if (row_off < 0 || rows <= 0 || row_off + rows > D) return 1;
+  int64_t pad = rows * 33 * 2;  // dummy scatter slot past the flat end
   if (pad >= 65535) return 1;
   int64_t worst = 0;
   for (int64_t n = 0; n < N; n++) {
     int64_t cnt = 0;
-    int rc = pack_fa_one(matrix + n * D * 33 * C, D, C, bq + n * D * 33,
-                         bitmask + n * D * 5, scalars + n * D * 4,
+    int rc = pack_fa_one(matrix + (n * D + row_off) * 33 * C, rows, C,
+                         bq + n * rows * 33,
+                         bitmask + n * rows * 5, scalars + n * rows * 4,
                          refcol + n * 33, sidx + n * kmax, sval + n * kmax,
-                         dwell ? dwell + n * D * 33 : nullptr, kmax,
+                         dwell ? dwell + n * rows * 33 : nullptr, kmax,
                          (uint16_t)pad, &cnt);
     if (rc) return rc;
     if (cnt > worst) worst = cnt;

@@ -239,9 +239,53 @@ class InferenceEngine:
                 max_workers=1, thread_name_prefix="engine-submit")
         return self._submitter
 
+    def _sparse_fast_path(self, chunk: np.ndarray, bucket: int):
+        """Band-scan + offset-pack straight from the full-depth tensor (no
+        numpy crop scan, no crop copy — both native single passes); None
+        when ineligible, then the caller runs the materializing path."""
+        import os
+
+        if (chunk.dtype != np.int8 or not chunk.flags.c_contiguous
+                or os.environ.get("CLAIR3T_VERIFY_PACK")):
+            return None
+        from clair3_tpu.native import (fa_band_native, fa_pack_sparse_native,
+                                       pack_native_available)
+        from clair3_tpu.ops.fa_compact import K_BUCKETS
+
+        if not pack_native_available():
+            return None
+        D = chunk.shape[1]
+        band = fa_band_native(chunk)
+        if band is None:
+            return None
+        lo, hi = band
+        top, db = 0, D
+        if self.depth_crop:
+            for b in self._depth_buckets(D):
+                t = (D - b) // 2
+                if t <= lo and hi <= t + b:
+                    top, db = t, b
+                    break
+        sp = fa_pack_sparse_native(chunk, K_BUCKETS, row_off=top, rows=db)
+        if sp is None:
+            return None
+        m = chunk.shape[0]
+        if m < bucket:
+            sp = {k: np.concatenate(
+                [v, np.zeros((bucket - m,) + v.shape[1:], v.dtype)])
+                for k, v in sp.items()}
+        self.bytes_shipped += sum(v.nbytes for v in sp.values())
+        dev = jax.device_put(sp, self._in_sharding)
+        return self._forward_sparse(self.variables, dev,
+                                    D if db < D else None)
+
     def _put_and_forward(self, chunk: np.ndarray, bucket: int):
         if self.transfer_dtype is not None and chunk.dtype != self.transfer_dtype:
             chunk = chunk.astype(self.transfer_dtype)
+        if self.fa_compact and chunk.ndim == 4:
+            out = self._sparse_fast_path(chunk, bucket)
+            if out is not None:
+                return out
         chunk, full_depth = self._crop_depth(chunk)
         m = chunk.shape[0]
         if self.fa_compact and chunk.ndim == 4:

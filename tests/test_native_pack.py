@@ -136,6 +136,56 @@ def test_fa_pack_fuzz_agreement():
                             _numpy_fa_pack(mat))
 
 
+def test_fa_band_native_matches_numpy_scan(tmp_path):
+    from clair3_tpu.native import fa_band_native
+
+    mat = _fa_fixture(tmp_path)
+    lo, hi = fa_band_native(mat)
+    nz = np.flatnonzero(mat.any(axis=(0, 2, 3)))
+    assert (lo, hi) == (int(nz[0]), int(nz[-1]) + 1)
+    # all-zero batch: the empty band collapses to the center (matching
+    # the engine's numpy fallback, engine._crop_depth)
+    assert fa_band_native(np.zeros((3, 20, 33, 8), np.int8)) == (10, 10)
+
+
+def test_fa_offset_pack_equals_cropped_oracle(tmp_path):
+    """Packing a depth window in place == numpy-packing the materialized
+    crop (the engine fast path's exactness guarantee)."""
+    from clair3_tpu.native import fa_band_native
+
+    mat = _fa_fixture(tmp_path)
+    lo, hi = fa_band_native(mat)
+    assert hi - lo >= 4
+    for top, rows in ((lo, hi - lo), (max(0, lo - 2), hi - lo + 2),
+                      (0, mat.shape[1])):
+        native = fa_pack_sparse_native(mat, K_BUCKETS, row_off=top,
+                                       rows=rows)
+        crop = np.ascontiguousarray(mat[:, top: top + rows])
+        _assert_same_packed(native, _numpy_fa_pack(crop))
+        assert native is not None
+
+
+def test_engine_fast_path_matches_dense_and_verify_modes(tmp_path):
+    """The zero-copy band+offset fast path must be invisible: same
+    probabilities as the dense path and as the CLAIR3T_VERIFY_PACK numpy
+    path (which materializes the crop)."""
+    import jax
+
+    from clair3_tpu.models import FullAlignmentNet
+    from clair3_tpu.pipeline.engine import InferenceEngine
+
+    mat = _fa_fixture(tmp_path)
+    net = FullAlignmentNet(add_indel_length=True)
+    variables = net.init(jax.random.PRNGKey(0), mat[:2].astype(np.int8),
+                         train=False)
+    fast = InferenceEngine(net, variables, buckets=(64,),
+                           depth_crop=True, fa_compact=True)
+    assert fast._sparse_fast_path(mat[:3], 64) is not None, \
+        "fixture must take the fast path"
+    plain = InferenceEngine(net, variables, buckets=(64,))
+    np.testing.assert_array_equal(plain.predict(mat), fast.predict(mat))
+
+
 @pytest.mark.parametrize("dtype", [np.int16, np.int32])
 def test_pileup_pack_native_matches_oracle(dtype):
     rng = np.random.default_rng(3)
