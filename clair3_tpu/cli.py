@@ -156,6 +156,19 @@ def _use_pallas_lstm(compute_dtype) -> bool:
             and compute_dtype == jnp.bfloat16)
 
 
+def _reconcile_dwell(fa_engine, cfg) -> None:
+    """Match the extractor's dwell channel to the model's input width
+    (reference auto-detects dwell from '*_with_mv' model names,
+    run_clair3.py:414-430; we read the served/loaded conv1 width)."""
+    fa_in = getattr(fa_engine, "fa_input_channels", None)
+    if fa_in is not None and fa_in != cfg.fa_channels:
+        want_dwell = fa_in == 9
+        print(f"[INFO] full-alignment model expects {fa_in} input "
+              f"channels; {'enabling' if want_dwell else 'disabling'} "
+              "the dwell channel to match", file=sys.stderr)
+        cfg.enable_dwell_time = want_dwell
+
+
 def resolve_model_file(model_path: str, prefix: str) -> Optional[str]:
     """First existing {model_path}/{prefix}.{npz,pt}; shared by `call` and
     `serve` so both resolve the same checkpoint for the same directory."""
@@ -364,9 +377,7 @@ def cmd_call(args: argparse.Namespace) -> int:
             print(f"[ERROR] {exc}", file=sys.stderr)
             return 1
         if fa_engine is not None:
-            fa_in = getattr(fa_engine, "fa_input_channels", None)
-            if fa_in is not None and fa_in != cfg.fa_channels:
-                cfg.enable_dwell_time = fa_in == 9
+            _reconcile_dwell(fa_engine, cfg)
     else:
         pileup_path = args.pileup_model
         fa_path = args.full_alignment_model
@@ -391,16 +402,7 @@ def cmd_call(args: argparse.Namespace) -> int:
                 return 1
             fa_engine = _load_engine(fa_path, "full_alignment", args.platform,
                                      compute_dtype=args.compute_dtype)
-            # reconcile the dwell flag with the checkpoint's input width
-            # (reference auto-detects dwell from '*_with_mv' model names,
-            # run_clair3.py:414-430; we read the conv1 kernel instead)
-            fa_in = getattr(fa_engine, "fa_input_channels", None)
-            if fa_in is not None and fa_in != cfg.fa_channels:
-                want_dwell = fa_in == 9
-                print(f"[INFO] full-alignment model expects {fa_in} input "
-                      f"channels; {'enabling' if want_dwell else 'disabling'} "
-                      "the dwell channel to match", file=sys.stderr)
-                cfg.enable_dwell_time = want_dwell
+            _reconcile_dwell(fa_engine, cfg)
 
     phaser = None
     if fa_engine is not None and not cfg.no_phasing_for_fa:

@@ -17,6 +17,7 @@ assignment, CallVariantsFromCffi.py:278-285) happens here on the host.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import List, Optional, Sequence
 
@@ -27,6 +28,16 @@ import numpy as np
 from clair3_tpu.parallel.mesh import batch_sharding, get_mesh, replicated_sharding
 
 _DEFAULT_BUCKETS = (256, 1024, 2048, 4096)
+
+
+def _pad_to_bucket(packed: dict, m: int, bucket: int) -> dict:
+    """Zero-pad every plane of a packed wire-form dict from m to bucket
+    rows (static batch shapes for jit)."""
+    if m >= bucket:
+        return packed
+    return {k: np.concatenate(
+        [v, np.zeros((bucket - m,) + v.shape[1:], v.dtype)])
+        for k, v in packed.items()}
 
 
 class InferenceEngine:
@@ -243,8 +254,6 @@ class InferenceEngine:
         """Band-scan + offset-pack straight from the full-depth tensor (no
         numpy crop scan, no crop copy — both native single passes); None
         when ineligible, then the caller runs the materializing path."""
-        import os
-
         if (chunk.dtype != np.int8 or not chunk.flags.c_contiguous
                 or os.environ.get("CLAIR3T_VERIFY_PACK")):
             return None
@@ -269,11 +278,7 @@ class InferenceEngine:
         sp = fa_pack_sparse_native(chunk, K_BUCKETS, row_off=top, rows=db)
         if sp is None:
             return None
-        m = chunk.shape[0]
-        if m < bucket:
-            sp = {k: np.concatenate(
-                [v, np.zeros((bucket - m,) + v.shape[1:], v.dtype)])
-                for k, v in sp.items()}
+        sp = _pad_to_bucket(sp, chunk.shape[0], bucket)
         self.bytes_shipped += sum(v.nbytes for v in sp.values())
         dev = jax.device_put(sp, self._in_sharding)
         return self._forward_sparse(self.variables, dev,
@@ -293,10 +298,7 @@ class InferenceEngine:
 
             sp = pack_fa_sparse(chunk)
             if sp is not None:
-                if m < bucket:
-                    sp = {k: np.concatenate(
-                        [v, np.zeros((bucket - m,) + v.shape[1:], v.dtype)])
-                        for k, v in sp.items()}
+                sp = _pad_to_bucket(sp, m, bucket)
                 self.bytes_shipped += sum(v.nbytes for v in sp.values())
                 dev = jax.device_put(sp, self._in_sharding)
                 return self._forward_sparse(self.variables, dev, full_depth)
@@ -306,11 +308,7 @@ class InferenceEngine:
 
             packed = pack_fa(chunk)
         if packed is not None:
-            if m < bucket:
-                packed = {
-                    k: np.concatenate(
-                        [v, np.zeros((bucket - m,) + v.shape[1:], v.dtype)])
-                    for k, v in packed.items()}
+            packed = _pad_to_bucket(packed, m, bucket)
             self.bytes_shipped += sum(v.nbytes for v in packed.values())
             dev = {k: jax.device_put(v, self._in_sharding)
                    for k, v in packed.items()}
@@ -322,11 +320,7 @@ class InferenceEngine:
 
             ppacked = pack_pileup(chunk)
             if ppacked is not None:
-                if m < bucket:
-                    ppacked = {
-                        k: np.concatenate(
-                            [v, np.zeros((bucket - m,) + v.shape[1:], v.dtype)])
-                        for k, v in ppacked.items()}
+                ppacked = _pad_to_bucket(ppacked, m, bucket)
                 self.bytes_shipped += sum(v.nbytes for v in ppacked.values())
                 dev = {k: jax.device_put(v, self._in_sharding)
                        for k, v in ppacked.items()}
