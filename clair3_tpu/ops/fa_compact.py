@@ -127,6 +127,8 @@ def pack_fa_sparse(matrix: np.ndarray) -> Optional[Dict[str, np.ndarray]]:
             and pack_native_available()):
         # rc != 0 <=> the numpy path would return None too (same checks)
         return fa_pack_sparse_native(matrix, K_BUCKETS)
+    if matrix.dtype != np.int8:
+        return None  # sval/bq planes are int8; other dtypes use pack_fa
     base = _pack_base(matrix)
     if base is None:
         return None
