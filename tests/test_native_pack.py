@@ -186,6 +186,37 @@ def test_engine_fast_path_matches_dense_and_verify_modes(tmp_path):
     np.testing.assert_array_equal(plain.predict(mat), fast.predict(mat))
 
 
+def test_engine_fast_path_wide_band_and_overflow_fallback(tmp_path):
+    """A band too wide for any crop bucket packs at full depth; a
+    K-overflow batch falls off the fast path onto the dense path — both
+    probability-identical to the plain engine."""
+    import jax
+
+    from clair3_tpu.models import FullAlignmentNet
+    from clair3_tpu.pipeline.engine import InferenceEngine
+
+    mat = _fa_fixture(tmp_path)
+    D = mat.shape[1]
+    wide = mat.copy()
+    wide[:, 0, 0, 4] = 7   # BQ at depth row 0: band = [0, hi) fits no bucket
+    overflow = mat.copy()
+    overflow[:, :, :, 1] = 9  # alt everywhere: every K bucket overflows
+    net = FullAlignmentNet(add_indel_length=True)
+    variables = net.init(jax.random.PRNGKey(0), mat[:2].astype(np.int8),
+                         train=False)
+    fast = InferenceEngine(net, variables, buckets=(64,),
+                           depth_crop=True, fa_compact=True)
+    plain = InferenceEngine(net, variables, buckets=(64,))
+    for batch in (wide, overflow):
+        np.testing.assert_array_equal(plain.predict(batch),
+                                      fast.predict(batch))
+    # and the wide batch really took the full-depth sparse program
+    from clair3_tpu.native import fa_band_native
+
+    lo, hi = fa_band_native(wide)
+    assert lo == 0 and hi - lo > fast._depth_buckets(D)[0]
+
+
 @pytest.mark.parametrize("dtype", [np.int16, np.int32])
 def test_pileup_pack_native_matches_oracle(dtype):
     rng = np.random.default_rng(3)
