@@ -133,7 +133,10 @@ def resolve_compute_dtype(choice: str = "auto"):
     import jax
     import jax.numpy as jnp
 
-    choice = os.environ.get("CLAIR3T_COMPUTE_DTYPE", choice or "auto").lower()
+    choice = (choice or "auto").lower()
+    if choice == "auto":  # env override applies only when the flag is auto:
+        # an explicit --compute_dtype must win over a leftover export
+        choice = os.environ.get("CLAIR3T_COMPUTE_DTYPE", "auto").lower()
     if choice in ("fp32", "f32", "float32"):
         return jnp.float32
     if choice in ("bf16", "bfloat16"):
@@ -304,6 +307,18 @@ def cmd_call(args: argparse.Namespace) -> int:
                   f"outputs -> {args.output_dir}; merge the per-process "
                   "VCFs afterwards with `clair3_tpu sort_vcf`",
                   file=sys.stderr)
+
+    if args.debug and not args.pileup_only:
+        # --debug prints head probabilities INSTEAD of VCF rows (reference
+        # CallVariants semantics, per stage).  With zero pileup rows the
+        # FA stage would receive no candidates and the cascade would write
+        # empty outputs — make the per-stage scoping explicit instead.
+        print("[INFO] --debug suppresses VCF rows (reference CallVariants "
+              "semantics), so the full-alignment stage has no candidates "
+              "to re-call; implying --pileup_only.  Debug the FA stage "
+              "via `decode_probabilities --debug` on its dumped "
+              "probabilities.", file=sys.stderr)
+        args.pileup_only = True
 
     cfg = CallConfig(
         platform=args.platform,
@@ -610,19 +625,33 @@ def cmd_merge_vcf(args: argparse.Namespace) -> int:
         return [l + "\n" for l in text.splitlines() if l and not l.startswith("#")]
 
     if args.platform == "ilmn":
-        paths = list(args.full_aln_regions or [])
-        if args.bed_fn_prefix:
-            # the reference concatenates every {ctg}.* shard in the
-            # candidate folder (MergeVcf.py:71-80)
-            prefix = args.ctg_name + "." if args.ctg_name else ""
-            paths += sorted(
-                os.path.join(args.bed_fn_prefix, f)
-                for f in os.listdir(args.bed_fn_prefix)
-                if not prefix or f.startswith(prefix))
-        if not paths:
+        if not args.full_aln_regions and not args.bed_fn_prefix:
             print("[ERROR] --platform ilmn merge needs --full_aln_regions "
                   "or --bed_fn_prefix", file=sys.stderr)
             return 1
+        paths = list(args.full_aln_regions or [])
+        if args.bed_fn_prefix:
+            if not os.path.isdir(args.bed_fn_prefix):
+                print(f"[ERROR] Input directory: {args.bed_fn_prefix} not "
+                      "exists!", file=sys.stderr)
+                return 1
+            # the reference concatenates every {ctg}.* candidate shard in
+            # the folder (MergeVcf.py:71-80); shards are named
+            # {ctg}.{idx}_{num}, so without --ctg_name match that shape
+            # rather than every file (the folder also holds FULL_ALN_FILE_*
+            # bookkeeping rows, which are not BED)
+            import re
+
+            if args.ctg_name:
+                keep = lambda f: f.startswith(args.ctg_name + ".")  # noqa: E731
+            else:
+                keep = lambda f: re.fullmatch(r".+\.\d+_\d+", f)  # noqa: E731
+            paths += sorted(
+                os.path.join(args.bed_fn_prefix, f)
+                for f in os.listdir(args.bed_fn_prefix) if keep(f))
+        # zero matching shards => empty region tree => pileup-only merge
+        # (the reference's bed_fn stays None and bed_tree_from returns an
+        # empty tree, MergeVcf.py:73-85)
         merged = merge_pileup_and_full_alignment_illumina(
             read_rows(args.pileup_vcf_fn),
             read_rows(args.full_alignment_vcf_fn),

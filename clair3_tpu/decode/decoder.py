@@ -710,6 +710,20 @@ def decode_candidate(
         return None
     if reference_base is None or alternate_base is None:
         return None
+
+    is_multi = "," in str(alternate_base)
+
+    # haploid filters precede the debug print (reference order:
+    # CallVariants.py:1191-1199,1328-1329 return before the :1342 print,
+    # so filtered candidates produce no debug line)
+    if config.haploid_precise and (
+        is_hetero_SNP or is_hetero_ACGT_Ins or is_hetero_InsIns
+        or is_hetero_ACGT_Del or is_hetero_DelDel or is_insertion_and_deletion
+    ):
+        return None
+    if config.haploid_sensitive and is_multi:
+        return None
+
     if config.debug:
         # print the raw head probabilities INSTEAD of the VCF row, ref-call
         # hiding bypassed (reference format/order:
@@ -721,16 +735,6 @@ def decode_candidate(
             ["{:0.8f}".format(x) for x in vl1],
             ["{:0.8f}".format(x) for x in vl2],
             "Normal output" if not is_reference else "Reference"))
-        return None
-
-    is_multi = "," in str(alternate_base)
-
-    if config.haploid_precise and (
-        is_hetero_SNP or is_hetero_ACGT_Ins or is_hetero_InsIns
-        or is_hetero_ACGT_Del or is_hetero_DelDel or is_insertion_and_deletion
-    ):
-        return None
-    if config.haploid_sensitive and is_multi:
         return None
 
     if is_reference:

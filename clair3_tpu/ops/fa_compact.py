@@ -36,6 +36,11 @@ def _pack_base(matrix: np.ndarray) -> Optional[Dict[str, np.ndarray]]:
     bitmask/scalars/refcol planes; None if the batch violates it."""
     if matrix.ndim != 4 or matrix.shape[2] != 33 or matrix.shape[3] not in (8, 9):
         return None
+    if matrix.dtype != np.int8:
+        # the packed planes (and unpack's astype) are int8: wider inputs
+        # would validate here yet truncate on reconstruction — reject so
+        # callers ship the dense tensor instead
+        return None
     m = matrix
     cover = m[..., 2] != 0                      # strand set <=> cell filled
     strand = m[..., 2].max(axis=2)              # per-read scalars (all >= 0)
@@ -127,9 +132,7 @@ def pack_fa_sparse(matrix: np.ndarray) -> Optional[Dict[str, np.ndarray]]:
             and pack_native_available()):
         # rc != 0 <=> the numpy path would return None too (same checks)
         return fa_pack_sparse_native(matrix, K_BUCKETS)
-    if matrix.dtype != np.int8:
-        return None  # sval/bq planes are int8; other dtypes use pack_fa
-    base = _pack_base(matrix)
+    base = _pack_base(matrix)  # (also rejects non-int8 dtypes)
     if base is None:
         return None
     m = matrix

@@ -609,8 +609,10 @@ class VariantCaller:
         region-scoped merge."""
         region_size = 1000
         pad = NO_OF_POSITIONS
-        anchors = sorted({max(p // region_size * region_size, 1)
-                          for p in positions})
+        # the reference clamps the padded window START, not the anchor
+        # (SelectCandidates.py:264: max(a - pad, 1), end = a + 1000 + pad);
+        # clamping the anchor would shift the first window's end by one
+        anchors = sorted({p // region_size * region_size for p in positions})
         bed_rows = []
         spans = []
         for a in anchors:

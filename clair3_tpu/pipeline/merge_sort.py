@@ -189,8 +189,9 @@ def merge_pileup_and_full_alignment_illumina(
     candidate positions inside the full-alignment windows, so *within* a
     window only FA calls survive (position-level matching would keep stale
     pileup rows for shifted indels); outside the windows pileup rows are
-    kept.  Same position -> FA wins (dict last-write, FA pass second)."""
-    out: Dict[int, str] = {}
+    kept.  Same (ctg, position) -> FA wins (dict last-write, FA pass
+    second)."""
+    out: Dict[Tuple[str, int], str] = {}
 
     def add(rows, want_in_region):
         for row in rows:
@@ -209,12 +210,12 @@ def merge_pileup_and_full_alignment_illumina(
             if not row:
                 continue
             if not is_reference:
-                out[pos] = mark_low_qual(row, qual_cutoff)
+                out[(ctg, pos)] = mark_low_qual(row, qual_cutoff)
             elif print_ref_calls:
-                out[pos] = row
+                out[(ctg, pos)] = row
     add(pileup_rows, want_in_region=False)
     add(full_alignment_rows, want_in_region=True)
-    return [out[pos] for pos in sorted(out)]
+    return [row for _, row in sorted(out.items())]
 
 
 def sort_rows(

@@ -234,9 +234,17 @@ def unify_representation(
         # global flip is a symmetry — unique_genotypes_selection's dedup,
         # UnifyRepresentation.py:92-114)
         het_idx = [i for i, e in enumerate(truth_edits) if e[3] != (1, 1)]
-        het_pos = {i: k for k, i in enumerate(het_idx)}
+        # one free phase bit per het SITE, not per edit: a multiallelic
+        # (e.g. 1/2) site expands to two edits whose base orientation is
+        # already complementary — flipping them together keeps the
+        # genotype valid, and keeps the product bounded by the
+        # MAX_PARTITION_HETS site split (2^13), which a per-edit
+        # enumeration would square
+        site_of: Dict[int, int] = {}
+        for i in het_idx:
+            site_of.setdefault(truth_edits[i][0], len(site_of))
         target_pairs = set()
-        n_free = max(len(het_idx) - 1, 0)
+        n_free = max(len(site_of) - 1, 0)
         for tail in itertools.product((0, 1), repeat=n_free):
             phases = (0,) + tail
             edits = []
@@ -245,7 +253,8 @@ def unify_representation(
                 if gt == (1, 1):
                     edits.append((pos, ref, alt, (1, 1)))
                 else:
-                    flip = phases[het_pos[i]]
+                    base = 0 if gt == (0, 1) else 1  # preserve orientation
+                    flip = base ^ phases[site_of[pos]]
                     edits.append((pos, ref, alt, (1, 0) if flip else (0, 1)))
             pair = _haplotype_pair(ref_window, window_start, edits)
             if pair is not None:

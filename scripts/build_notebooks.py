@@ -183,7 +183,20 @@ def build(plat: str, spec: dict, execute: bool) -> str:
         NotebookClient(nb, timeout=900, kernel_name="python3").execute()
     out_path = os.path.join(REPO, "colab", spec["nb_name"])
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    # strip the machine-specific tmpdir from outputs for a stable artifact
+    # strip the machine-specific mkdtemp suffix from cell outputs so
+    # regenerating the notebooks does not churn the committed artifacts
+    import re
+
+    def scrub(text: str) -> str:
+        return re.sub(r"(/tmp/c3t_[a-z0-9]+_demo)_\w+", r"\1", text)
+
+    for cell in nb.cells:
+        for out in cell.get("outputs", []) or []:
+            if "text" in out:
+                out["text"] = scrub(out["text"])
+            for k, v in list(out.get("data", {}).items()):
+                if isinstance(v, str):
+                    out["data"][k] = scrub(v)
     nbformat.write(nb, out_path)
     return out_path
 

@@ -133,3 +133,17 @@ def test_bf16_probability_delta_bounded(parity_case):
     assert np.max(np.abs(p32 - p16)) < 1e-2
     # int16 transfer narrowing must be lossless for in-range counts
     assert np.all(np.abs(x) < 2 ** 15)
+
+
+def test_explicit_compute_dtype_flag_beats_env(monkeypatch):
+    """--compute_dtype fp32 must win over a leftover CLAIR3T_COMPUTE_DTYPE
+    export; the env override applies only to 'auto'."""
+    import jax.numpy as jnp
+
+    from clair3_tpu.cli import resolve_compute_dtype
+
+    monkeypatch.setenv("CLAIR3T_COMPUTE_DTYPE", "bf16")
+    assert resolve_compute_dtype("fp32") == jnp.float32
+    assert resolve_compute_dtype("auto") == jnp.bfloat16
+    monkeypatch.delenv("CLAIR3T_COMPUTE_DTYPE")
+    assert resolve_compute_dtype("bf16") == jnp.bfloat16

@@ -373,3 +373,59 @@ def test_merge_vcf_illumina_compat_matches_reference(tmp_path):
         # some pileup rows dropped inside windows)
         assert any("\tF\t" in l for l in our_body)
         assert any("\tP\t" in l for l in our_body)
+
+
+def test_merge_vcf_illumina_multi_contig_no_ctg_name(tmp_path):
+    """Without --ctg_name, rows from different contigs at the SAME position
+    must both survive the ilmn merge (regression: the output dict was
+    keyed by position only), and bookkeeping files in the candidate folder
+    (FULL_ALN_FILE_*, not BED) must be ignored."""
+    import gzip
+
+    from clair3_tpu.cli import main
+
+    pileup = tmp_path / "pileup.vcf"
+    fa = tmp_path / "fa.vcf"
+    row = "{}\t{}\t.\tA\tC\t30\tPASS\t{}\tGT:GQ:DP:AF\t0/1:30:20:0.4\n"
+    pileup.write_text(row.format("chr1", 15000, "P") +
+                      row.format("chr2", 15000, "P"))
+    # chr1:15000 falls inside a chr1 FA window; chr2 has no windows
+    fa.write_text(row.format("chr1", 15000, "F"))
+    cand = tmp_path / "candidates"
+    cand.mkdir()
+    (cand / "chr1.0_1").write_text("chr1\t14000\t16066\n")
+    (cand / "FULL_ALN_FILE_chr1").write_text("chr1.0_1\n")  # not a BED
+    out = tmp_path / "merged.vcf.gz"
+    rc = main(["merge_vcf", "--pileup_vcf_fn", str(pileup),
+               "--full_alignment_vcf_fn", str(fa),
+               "--output_fn", str(out), "--platform", "ilmn",
+               "--bed_fn_prefix", str(cand)])
+    assert rc == 0
+    body = [l for l in gzip.open(out, "rt") if not l.startswith("#")]
+    got = {(l.split("\t")[0], l.split("\t")[7]) for l in body}
+    assert got == {("chr1", "F"), ("chr2", "P")}, body
+
+
+def test_merge_vcf_illumina_no_shards_degrades_to_pileup(tmp_path):
+    """Zero candidate shards => empty region tree => pileup rows pass
+    through (reference: bed_fn stays None, MergeVcf.py:73-85) instead of
+    exiting 1."""
+    import gzip
+
+    from clair3_tpu.cli import main
+
+    pileup = tmp_path / "pileup.vcf"
+    pileup.write_text(
+        "chr3\t500\t.\tG\tT\t25\tPASS\tP\tGT:GQ:DP:AF\t1/1:25:18:0.9\n")
+    fa = tmp_path / "fa.vcf"
+    fa.write_text("")
+    cand = tmp_path / "candidates"
+    cand.mkdir()  # empty: quiet contig, nothing routed to FA
+    out = tmp_path / "merged.vcf.gz"
+    rc = main(["merge_vcf", "--pileup_vcf_fn", str(pileup),
+               "--full_alignment_vcf_fn", str(fa),
+               "--output_fn", str(out), "--platform", "ilmn",
+               "--ctg_name", "chr3", "--bed_fn_prefix", str(cand)])
+    assert rc == 0
+    body = [l for l in gzip.open(out, "rt") if not l.startswith("#")]
+    assert len(body) == 1 and body[0].startswith("chr3\t500")

@@ -193,3 +193,26 @@ def test_unify_repeat_shifted_insertion_with_support():
     assert len(unified) == 1
     assert (unified[0].pos, unified[0].ref, unified[0].alt) == (20, "T", "TAT")
     assert (unified[0].genotype1, unified[0].genotype2) == (0, 1)
+
+
+def test_dense_multiallelic_cluster_enumeration_bounded():
+    """14 tightly-packed 1/2 sites expand to 28 het EDITS; the phasing
+    enumeration must run one bit per SITE (2^13), not per edit (2^27,
+    an effective hang).  Completes in seconds and passes truths through."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    bases = "ACGT"
+    ref = "".join(bases[i] for i in rng.integers(0, 4, 400))
+    truth = []
+    for k in range(14):
+        pos = 30 + 20 * k  # 1-based
+        r = ref[pos - 1]
+        alts = [b for b in bases if b != r][:2]
+        truth.append(TruthVariant("chr1", pos, r, ",".join(alts), 1, 2))
+    t0 = time.perf_counter()
+    unified = unify_representation(truth, [], ref, 0)
+    assert time.perf_counter() - t0 < 30
+    assert len(unified) == len(truth)  # no candidates -> pass-through
