@@ -287,6 +287,29 @@ def cmd_call(args: argparse.Namespace) -> int:
 
     enable_compilation_cache()
 
+    # registry-known model names are validated before any input is opened
+    # (fail-early, reference issue #437 spirit; run_clair3.py:323-326 for
+    # the model-keyed var_pct_phasing default)
+    if args.model_path:
+        from clair3_tpu.models.zoo import lookup_model, validate_model_choice
+
+        zoo_info = lookup_model(args.model_path)
+        if zoo_info is not None:
+            err = validate_model_choice(zoo_info, args.platform)
+            if err:
+                print(f"[ERROR] {err}", file=sys.stderr)
+                return 1
+            if (args.var_pct_phasing is None
+                    and zoo_info.var_pct_phasing is not None):
+                args.var_pct_phasing = zoo_info.var_pct_phasing
+            if zoo_info.dwell and not args.enable_dwell_time:
+                print(f"[INFO] '{zoo_info.name}' is a signal-aware "
+                      "(*_with_mv) model: the dwell-time channel will be "
+                      "enabled to match its 9-channel input (the reference "
+                      "requires --enable_dwell_time here, issue #437); the "
+                      "BAM must carry mv/ts basecaller tags",
+                      file=sys.stderr)
+
     err = _validate_call_inputs(args)
     if err:
         print(f"[ERROR] {err}", file=sys.stderr)
@@ -770,6 +793,13 @@ def cmd_split_bam(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_models(args: argparse.Namespace) -> int:
+    from clair3_tpu.models.zoo import format_zoo_table
+
+    print(format_zoo_table())
+    return 0
+
+
 def cmd_metrics(args: argparse.Namespace) -> int:
     """SNP/Indel precision-recall-F1 (GetOverallMetrics equivalent)."""
     from clair3_tpu.postprocess import parse_happy_vcf, variant_metrics
@@ -975,6 +1005,11 @@ def main(argv=None) -> int:
     srv.add_argument("--host", default="0.0.0.0")
     srv.add_argument("--port", type=int, default=8618)
     srv.set_defaults(func=cmd_serve)
+
+    zl = sub.add_parser(
+        "models",
+        help="list the known pretrained checkpoint registry (models/zoo.py)")
+    zl.set_defaults(func=cmd_models)
 
     mt = sub.add_parser("metrics", help="SNP/Indel P/R/F1 vs a truth set")
     mt.add_argument("--truth_vcf_fn", default=None)

@@ -154,3 +154,31 @@ def convert_checkpoint(path: str, kind: str, strict: bool = True) -> Dict:
                 f"{path}: {len(unused)} checkpoint tensors not consumed by "
                 f"the {kind} layout mapping: {sorted(unused)[:10]}...")
     return out
+
+
+def main(argv=None) -> int:
+    """Offline .pt -> .npz conversion:
+    ``python -m clair3_tpu.models.convert <in.pt> <out.npz> [kind]``
+    (kind defaults from the input filename: pileup / full_alignment)."""
+    import argparse
+    import os
+
+    from clair3_tpu.models.params_io import save_variables
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("kind", nargs="?", default=None,
+                    choices=("pileup", "full_alignment"))
+    args = ap.parse_args(argv)
+    kind = args.kind
+    if kind is None:
+        base = os.path.basename(args.src)
+        kind = "pileup" if "pileup" in base else "full_alignment"
+    save_variables(args.dst, convert_checkpoint(args.src, kind))
+    print(f"[convert] {args.src} ({kind}) -> {args.dst}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -309,3 +309,22 @@ def test_cli_call_with_pt_checkpoints_end_to_end(tmp_path):
     rows = [l for l in _gz.open(_os.path.join(out, "pileup.vcf.gz"), "rt")
             if not l.startswith("#")]
     assert rows
+
+
+def test_convert_cli_pt_to_npz_roundtrip(tmp_path):
+    """`python -m clair3_tpu.models.convert in.pt out.npz` (kind inferred
+    from the filename) produces an .npz that loads to identical params."""
+    from clair3_tpu.models.convert import main as convert_main
+    from clair3_tpu.models.params_io import flatten_tree, load_variables
+
+    model = _randomize(RefClair3P(add_indel_length=False), 3).eval()
+    src = str(tmp_path / "pileup.pt")
+    dst = str(tmp_path / "pileup.npz")
+    torch.save(model.state_dict(), src)
+    assert convert_main([src, dst]) == 0
+
+    direct = flatten_tree(convert_checkpoint(src, "pileup"))
+    loaded = flatten_tree(load_variables(dst))
+    assert direct.keys() == loaded.keys()
+    for k in direct:
+        np.testing.assert_array_equal(direct[k], loaded[k])
