@@ -130,6 +130,13 @@ def _pathological_reads(ref):
     reads[4] = BamRead("p5", 0, 0, 200, 60,
                        [(0, 1), (1, 1)] * 10 + [(0, 1), (2, 1)] * 10 + [(0, 20)],
                        seq5, q(len(seq5)))
+    # insertion IMMEDIATELY followed by soft-clipping (the reference's
+    # boundary bug, Clair3 issue #394 / v1.1.2): 20M 5I 12S
+    reads.append(BamRead("p6", 0, 0, 240, 60, [(0, 20), (1, 5), (4, 12)],
+                         ref[240:260] + "GGGGG" + "T" * 12, q(37)))
+    # and the mirrored shape: leading soft clip straight into an insertion
+    reads.append(BamRead("p7", 16, 0, 260, 60, [(4, 9), (1, 4), (0, 25)],
+                         "C" * 9 + "AAAA" + ref[260:285], q(38)))
     # plus plain coverage so columns pass min_depth
     for i in range(6):
         reads.append(BamRead(f"c{i}", 0 if i % 2 == 0 else 16, 0, 80, 60,
