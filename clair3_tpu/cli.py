@@ -840,6 +840,15 @@ def cmd_serve(args: argparse.Namespace) -> int:
         print("[ERROR] serve needs --model_path or --pileup_model",
               file=sys.stderr)
         return 1
+    if args.model_path:
+        from clair3_tpu.models.zoo import lookup_model, validate_model_choice
+
+        zoo_info = lookup_model(args.model_path)
+        if zoo_info is not None:
+            err = validate_model_choice(zoo_info, args.platform)
+            if err:
+                print(f"[ERROR] {err}", file=sys.stderr)
+                return 1
     enable_compilation_cache()
     server = build_server(
         args.model_path, platform=args.platform,

@@ -71,3 +71,15 @@ def test_call_rejects_platform_mismatch(tmp_path):
         capture_output=True, text=True)
     assert out.returncode != 0
     assert "--platform hifi" in out.stderr
+
+
+def test_serve_rejects_platform_mismatch(tmp_path):
+    model_dir = tmp_path / "ilmn"
+    model_dir.mkdir()
+    out = subprocess.run(
+        [sys.executable, "-m", "clair3_tpu", "serve",
+         "--model_path", str(model_dir),
+         "--platform", "hifi", "--port", "0"],
+        capture_output=True, text=True)
+    assert out.returncode != 0
+    assert "--platform ilmn" in out.stderr
