@@ -290,8 +290,15 @@ def cmd_call(args: argparse.Namespace) -> int:
     # registry-known model names are validated before any input is opened
     # (fail-early, reference issue #437 spirit; run_clair3.py:323-326 for
     # the model-keyed var_pct_phasing default)
+    if args.enable_dwell_time and args.platform != "ont":
+        # reference run_clair3.py:433-437: dwell time is ONT-only
+        print("[ERROR] --enable_dwell_time is not supported for non-ONT "
+              "platforms", file=sys.stderr)
+        return 1
+    dwell_expected = args.enable_dwell_time
     if args.model_path:
-        from clair3_tpu.models.zoo import lookup_model, validate_model_choice
+        from clair3_tpu.models.zoo import (lookup_model, name_implies_dwell,
+                                           validate_model_choice)
 
         zoo_info = lookup_model(args.model_path)
         if zoo_info is not None:
@@ -299,21 +306,52 @@ def cmd_call(args: argparse.Namespace) -> int:
             if err:
                 print(f"[ERROR] {err}", file=sys.stderr)
                 return 1
-            if (args.var_pct_phasing is None
-                    and zoo_info.var_pct_phasing is not None):
-                args.var_pct_phasing = zoo_info.var_pct_phasing
-            if zoo_info.dwell and not args.enable_dwell_time:
-                print(f"[INFO] '{zoo_info.name}' is a signal-aware "
-                      "(*_with_mv) model: the dwell-time channel will be "
-                      "enabled to match its 9-channel input (the reference "
-                      "requires --enable_dwell_time here, issue #437); the "
-                      "BAM must carry mv/ts basecaller tags",
-                      file=sys.stderr)
+        model_dwell = (zoo_info.dwell if zoo_info is not None
+                       else name_implies_dwell(args.model_path))
+        if model_dwell and args.platform != "ont":
+            # move-table models are ONT-only (reference run_clair3.py:419-425)
+            name = os.path.basename(os.path.normpath(args.model_path))
+            print(f"[ERROR] model '{name}' is a move-table (signal-aware) "
+                  f"model and is ONT-only, but --platform is "
+                  f"'{args.platform}'. Use --platform ont with ONT data, or "
+                  "choose a non move-table model for this platform.",
+                  file=sys.stderr)
+            return 1
+        if zoo_info is not None and (args.var_pct_phasing is None
+                                     and zoo_info.var_pct_phasing is not None):
+            args.var_pct_phasing = zoo_info.var_pct_phasing
+        if model_dwell and not args.enable_dwell_time:
+            name = os.path.basename(os.path.normpath(args.model_path))
+            print(f"[INFO] '{name}' is a signal-aware "
+                  "(*_with_mv) model: the dwell-time channel will be "
+                  "enabled to match its 9-channel input (the reference "
+                  "requires --enable_dwell_time here, issue #437); the "
+                  "BAM must carry mv/ts basecaller tags",
+                  file=sys.stderr)
+        dwell_expected = dwell_expected or model_dwell
 
     err = _validate_call_inputs(args)
     if err:
         print(f"[ERROR] {err}", file=sys.stderr)
         return 1
+
+    if dwell_expected and not args.bam_fn.endswith(".cram"):
+        # the reference verifies the first 50 alignments actually carry a
+        # usable mv tag and fails early otherwise (run_clair3.py:442-463,
+        # issue #437) — without it a tagless BAM degrades silently to a
+        # zero dwell channel
+        from clair3_tpu.io.bam import probe_mv_tag
+
+        has_mv, mv_no_value, checked = probe_mv_tag(args.bam_fn)
+        if not has_mv:
+            detail = ("an 'mv' tag was found without a valid value"
+                      if mv_no_value else "no valid 'mv' tag was found")
+            print(f"[ERROR] dwell time is enabled but within the first "
+                  f"{checked} alignments {detail}. The 'mv' move table "
+                  "(Dorado --emit-moves) is required for the dwell-time "
+                  "channel; provide a tagged BAM or use a non move-table "
+                  "model / drop --enable_dwell_time.", file=sys.stderr)
+            return 1
 
     dist_id, dist_count = 0, 1
     if (args.dist_coordinator is not None
@@ -841,7 +879,8 @@ def cmd_serve(args: argparse.Namespace) -> int:
               file=sys.stderr)
         return 1
     if args.model_path:
-        from clair3_tpu.models.zoo import lookup_model, validate_model_choice
+        from clair3_tpu.models.zoo import (lookup_model, name_implies_dwell,
+                                           validate_model_choice)
 
         zoo_info = lookup_model(args.model_path)
         if zoo_info is not None:
@@ -849,6 +888,15 @@ def cmd_serve(args: argparse.Namespace) -> int:
             if err:
                 print(f"[ERROR] {err}", file=sys.stderr)
                 return 1
+        if (zoo_info.dwell if zoo_info is not None
+                else name_implies_dwell(args.model_path)):
+            # mirror the `call` dwell notice so TPU-host operators see it
+            # too: clients must extract with the dwell channel (mv/ts tags)
+            name = os.path.basename(os.path.normpath(args.model_path))
+            print(f"[INFO] '{name}' is a signal-aware (*_with_mv) model: "
+                  "clients must send 9-channel full-alignment tensors "
+                  "(dwell enabled; BAM needs mv/ts basecaller tags)",
+                  file=sys.stderr)
     enable_compilation_cache()
     server = build_server(
         args.model_path, platform=args.platform,

@@ -302,6 +302,47 @@ class BamReader:
             yield read
 
 
+def probe_mv_tag(path: str, max_records: int = 50):
+    """Scan the first ``max_records`` alignments for a usable Dorado move
+    table, decompressing only the leading BGZF blocks.
+
+    Returns ``(has_valid_mv, found_mv_without_value, checked_records)`` —
+    the same triple the reference's ``check_bam_for_valid_mv_tag`` feeds
+    its dwell-time fail-early check (run_clair3.py:442-463).  A valid
+    ``mv`` is a ``B``-array with at least 2 entries (stride + >=1 move,
+    fullalign/extractor.py dwell parsing needs ``len(mv) > 1``).
+    """
+    from clair3_tpu.io.bgzf import stream_decompress
+
+    buf = b""
+    off = None
+    checked = 0
+    found_without_value = False
+    for block in stream_decompress(path):
+        buf += block
+        if off is None:
+            try:
+                _, _, _, off = parse_bam_header(buf)
+            except (ValueError, struct.error, IndexError):
+                continue
+        while off + 4 <= len(buf):
+            (block_size,) = struct.unpack_from("<i", buf, off)
+            rec_end = off + 4 + block_size
+            if rec_end > len(buf):
+                break
+            read = BamReader._parse_record(buf, off + 4, rec_end)
+            off = rec_end
+            mv = read.tags.get("mv")
+            if mv is not None:
+                if isinstance(mv, np.ndarray) and len(mv) > 1:
+                    return True, False, checked + 1
+                found_without_value = True
+            checked += 1
+            if checked >= max_records:
+                return False, found_without_value, checked
+    return False, found_without_value, checked
+
+
 def _reg2bin(beg: int, end: int) -> int:
     end -= 1
     if beg >> 14 == end >> 14:

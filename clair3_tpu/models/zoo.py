@@ -105,6 +105,18 @@ def lookup_model(model_path: str) -> Optional[ModelInfo]:
     return MODEL_ZOO.get(name)
 
 
+def name_implies_dwell(model_path: str) -> bool:
+    """Name-based move-table detection for *unknown* (self-trained) model
+    directories: the reference treats any model name containing
+    ``with_mv``/``with_move`` as signal-aware (run_clair3.py:414-418), not
+    just registry entries — mirror that so unknown ``*_with_mv`` dirs get
+    the same early announce / mv-tag probe as registry models."""
+    if not model_path:
+        return False
+    name = os.path.basename(os.path.normpath(model_path)).lower()
+    return "with_mv" in name or "with_move" in name
+
+
 def validate_model_choice(info: ModelInfo, platform: str) -> Optional[str]:
     """Fail-early check (reference issue #437 spirit): returns an error
     string on a platform/model mismatch, else None."""

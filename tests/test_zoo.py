@@ -83,3 +83,75 @@ def test_serve_rejects_platform_mismatch(tmp_path):
         capture_output=True, text=True)
     assert out.returncode != 0
     assert "--platform ilmn" in out.stderr
+
+
+def test_name_implies_dwell_matches_reference_substring():
+    # reference matches 'with_mv'/'with_move' substrings in any model name
+    # (run_clair3.py:414-418), not just registry entries
+    from clair3_tpu.models.zoo import name_implies_dwell
+
+    assert name_implies_dwell("/m/self_trained_with_mv")
+    assert name_implies_dwell("my_WITH_MOVE_net/")
+    assert not name_implies_dwell("/m/r941_prom_sup_g5014")
+    assert not name_implies_dwell("")
+
+
+def test_probe_mv_tag(tmp_path):
+    from clair3_tpu.io.bam import probe_mv_tag
+    from clair3_tpu.testing import write_test_case
+
+    _, bam_tagged, _, _ = write_test_case(str(tmp_path), with_mv_tags=True)
+    has, without_value, checked = probe_mv_tag(bam_tagged)
+    assert has and checked >= 1
+
+    d2 = tmp_path / "untagged"
+    d2.mkdir()
+    _, bam_plain, _, _ = write_test_case(str(d2))
+    has, without_value, checked = probe_mv_tag(bam_plain)
+    assert not has and not without_value and checked > 0
+
+
+def test_call_with_mv_model_rejects_untagged_bam(tmp_path):
+    # reference run_clair3.py:442-463: dwell enabled + no usable mv tag in
+    # the first 50 alignments -> fail early with actionable guidance
+    from clair3_tpu.testing import write_test_case
+
+    fa, bam, _, _ = write_test_case(str(tmp_path))  # no mv tags
+    model_dir = tmp_path / "self_trained_with_mv"
+    model_dir.mkdir()
+    out = subprocess.run(
+        [sys.executable, "-m", "clair3_tpu", "call",
+         "--bam_fn", bam, "--ref_fn", fa,
+         "--output_dir", str(tmp_path / "o"),
+         "--model_path", str(model_dir),
+         "--platform", "ont"],
+        capture_output=True, text=True)
+    assert out.returncode != 0
+    assert "mv" in out.stderr and "move table" in out.stderr
+
+
+def test_call_with_mv_model_rejects_non_ont_platform(tmp_path):
+    model_dir = tmp_path / "net_with_mv"
+    model_dir.mkdir()
+    out = subprocess.run(
+        [sys.executable, "-m", "clair3_tpu", "call",
+         "--bam_fn", str(tmp_path / "none.bam"),
+         "--ref_fn", str(tmp_path / "none.fa"),
+         "--output_dir", str(tmp_path / "o"),
+         "--model_path", str(model_dir),
+         "--platform", "hifi"],
+        capture_output=True, text=True)
+    assert out.returncode != 0
+    assert "ONT-only" in out.stderr
+
+
+def test_enable_dwell_time_rejected_on_non_ont(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "clair3_tpu", "call",
+         "--bam_fn", str(tmp_path / "none.bam"),
+         "--ref_fn", str(tmp_path / "none.fa"),
+         "--output_dir", str(tmp_path / "o"),
+         "--enable_dwell_time", "--platform", "ilmn"],
+        capture_output=True, text=True)
+    assert out.returncode != 0
+    assert "not supported for non-ONT" in out.stderr
