@@ -864,6 +864,16 @@ def cmd_metrics(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_validate_gvcf(args: argparse.Namespace) -> int:
+    """Structural gVCF validation (gvcf_validate.py)."""
+    from clair3_tpu.gvcf_validate import main as validate_main
+
+    argv = ["--gvcf_fn", args.gvcf_fn]
+    if args.bed_fn:
+        argv += ["--bed_fn", args.bed_fn]
+    return validate_main(argv)
+
+
 def cmd_serve(args: argparse.Namespace) -> int:
     """Serve the production inference engines over HTTP (TPU host side of
     the remote-inference split; reference analogue: the Triton serving
@@ -1076,6 +1086,17 @@ def main(argv=None) -> int:
     mt.add_argument("--ctg_name", default=None)
     mt.add_argument("--ignore_genotype", action="store_true")
     mt.set_defaults(func=cmd_metrics)
+
+    vg = sub.add_parser(
+        "validate_gvcf",
+        help="structural gVCF validator (GATK-ValidateVariants-equivalent: "
+             "block continuity, END ordering, PL/GQ consistency, header "
+             "contract)")
+    vg.add_argument("--gvcf_fn", required=True)
+    vg.add_argument("--bed_fn", default=None,
+                    help="regions the run was restricted to (coverage gaps "
+                         "allowed only across region boundaries)")
+    vg.set_defaults(func=cmd_validate_gvcf)
 
     args = parser.parse_args(argv)
     return args.func(args)

@@ -290,6 +290,7 @@ def merge_variant_and_nonvariant_stream(
     cur_ctg: Optional[str] = None
     variants: List[Tuple[str, int, int]] = []
     vi = 0
+    last_var_end = 0
     for row in nonvariant_rows:
         if row.startswith("#"):
             continue
@@ -309,7 +310,16 @@ def merge_variant_and_nonvariant_stream(
             cur_ctg = chrom
             variants = variants_by_ctg.pop(chrom, [])
             vi = 0
+            last_var_end = 0
         cur_start = bstart
+        # a previously-emitted variant span (e.g. a multi-base deletion) may
+        # swallow following blocks entirely or clip their left edge — the
+        # reference skips/trims those blocks (utils.py:303-326 "skip the
+        # non-var block that is within the variant")
+        if last_var_end >= cur_start:
+            if last_var_end >= bend:
+                continue
+            cur_start = last_var_end + 1
         while vi < len(variants) and variants[vi][2] < cur_start:
             yield variants[vi][0]
             vi += 1
@@ -319,6 +329,7 @@ def merge_variant_and_nonvariant_stream(
                 yield split_block(row, cur_start, vstart - 1, chrom, bstart, bend)
             yield vrow
             cur_start = max(cur_start, vend + 1)
+            last_var_end = max(last_var_end, vend)
             vi += 1
         if cur_start <= bend:
             yield split_block(row, cur_start, bend, chrom, bstart, bend)

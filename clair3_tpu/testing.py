@@ -191,6 +191,51 @@ def write_test_case(
 # ---------------------------------------------------------------------------
 
 
+class FlaxCpuEngine:
+    """f32 host-CPU twin of ``pipeline.engine.InferenceEngine``: the same
+    flax model + weights jitted on the CPU device, with none of the
+    production engine's machinery (no wire forms, no bucketing, no
+    transfer thread).  The differential oracle for production-engine soak
+    parity: same trained nets, independent execution path.
+    """
+
+    def __init__(self, model, variables, max_batch: int = 2048):
+        import jax
+
+        self._cpu = jax.devices("cpu")[0]
+        self.model = model
+        self.variables = jax.device_put(variables, self._cpu)
+        self.max_batch = max_batch
+        self._fn = jax.jit(
+            lambda v, x: model.apply(v, x, train=False))
+
+    def _bucket(self, n: int) -> int:
+        b = 64
+        while b < min(n, self.max_batch):
+            b *= 2
+        return b
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        import jax
+
+        n = x.shape[0]
+        if n == 0:
+            head = 24 if getattr(self.model, "add_indel_length", True) is False else 90
+            return np.zeros((0, head), np.float32)
+        outs = []
+        with jax.default_device(self._cpu):
+            for lo in range(0, n, self.max_batch):
+                chunk = x[lo: lo + self.max_batch]
+                b = self._bucket(chunk.shape[0])
+                pad = b - chunk.shape[0] % b if chunk.shape[0] % b else 0
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+                y = np.asarray(self._fn(self.variables, chunk))
+                outs.append(y[: y.shape[0] - pad] if pad else y)
+        return np.concatenate(outs, axis=0)
+
+
 class PileupOracleEngine:
     """Derives near-one-hot pileup head probabilities [N, 24] from the
     center column of each [33, 18] tensor."""

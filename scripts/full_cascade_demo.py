@@ -175,6 +175,15 @@ def main():
         "C3T_GATE_SNP", 0.995 if full_scale else 0.985))
     gate_indel = float(os.environ.get(
         "C3T_GATE_INDEL", 0.99 if full_scale else 0.97))
+    if "C3T_GATE_SNP" in os.environ or "C3T_GATE_INDEL" in os.environ:
+        print("=" * 70)
+        print(f"[full] WARNING: ACCEPTANCE GATES OVERRIDDEN BY ENV "
+              f"(C3T_GATE_SNP={os.environ.get('C3T_GATE_SNP', '-')}, "
+              f"C3T_GATE_INDEL={os.environ.get('C3T_GATE_INDEL', '-')}). "
+              f"This run does NOT certify the default gates "
+              f"({0.995 if full_scale else 0.985}/"
+              f"{0.99 if full_scale else 0.97} at this scale).")
+        print("=" * 70)
     ok = m["SNP"].f1 >= gate_snp and m["INDEL"].f1 >= gate_indel
     if not ok:
         print(f"[full] FAIL: SNP F1 {m['SNP'].f1} (gate {gate_snp}), "

@@ -105,6 +105,76 @@ def build_input(out_dir: str, mbases: float, contigs: int, coverage: int,
     return fasta, bam, names, truth
 
 
+def build_production_engines(pileup_model: str, fa_model: str):
+    """The CLI's shipped engine configuration (bf16 + fused Pallas on TPU,
+    compact wire forms) carrying TRAINED checkpoints."""
+    from clair3_tpu.cli import _load_engine
+
+    pe = _load_engine(pileup_model, "pileup", "hifi")
+    fe = _load_engine(fa_model, "full_alignment", "hifi")
+    return pe, fe
+
+
+def build_cpu_twin_engines(pileup_model: str, fa_model: str):
+    """f32 host-CPU twins of the production engines (same weights,
+    independent execution path) — the soak parity oracle."""
+    from clair3_tpu.models import FullAlignmentNet, PileupNet
+    from clair3_tpu.models.params_io import load_variables
+    from clair3_tpu.testing import FlaxCpuEngine
+
+    vp = load_variables(pileup_model)
+    vf = load_variables(fa_model)
+    in_ch = vf["params"]["conv1"]["conv"]["kernel"].shape[2]
+    return (FlaxCpuEngine(PileupNet(add_indel_length=False), vp),
+            FlaxCpuEngine(FullAlignmentNet(add_indel_length=True,
+                                           input_channels=in_ch), vf))
+
+
+def _vcf_body(path: str):
+    from clair3_tpu.io.bgzf import decompress
+
+    return [l for l in decompress(path).decode().splitlines()
+            if l and not l.startswith("#")]
+
+
+def run_parity_slice(args, fixture_dir_ok: bool):
+    """Call the same small genome through the production TPU engines AND
+    their f32 CPU twins; assert byte-identical merged rows (VERDICT r03 #1:
+    the at-scale run must provably compute what the oracle path computes)."""
+    from clair3_tpu.pipeline.call import VariantCaller
+
+    d = os.path.join(args.output, "parity")
+    os.makedirs(d, exist_ok=True)
+    print(f"[soak] parity slice: {args.parity_mbases} Mb, production "
+          f"engines vs f32 CPU twins ...", flush=True)
+    fasta, bam, names, truth = build_input(
+        d, args.parity_mbases, 1, args.coverage, args.read_length,
+        args.error_rate, seed=23)
+    rows = {}
+    for mode in ("production", "cpu_twin"):
+        if mode == "production":
+            pe, fe = build_production_engines(args.pileup_model, args.fa_model)
+        else:
+            pe, fe = build_cpu_twin_engines(args.pileup_model, args.fa_model)
+        cfg = CallConfig(
+            platform="hifi", bam_fn=bam, ref_fn=fasta,
+            output_dir=os.path.join(d, mode), gvcf=True,
+            no_phasing_for_fa=True, threads=args.threads,
+            indel_min_af=0.12, var_pct_full=0.3, ref_pct_full=0.3)
+        outputs = VariantCaller(cfg, pileup_engine=pe, fa_engine=fe).run()
+        rows[mode] = _vcf_body(outputs["merge_output"])
+    a, b = rows["production"], rows["cpu_twin"]
+    diffs = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
+    if len(a) != len(b) or diffs:
+        for i in diffs[:5]:
+            print(f"[soak] parity diff:\n  tpu: {a[i]}\n  cpu: {b[i]}")
+        raise AssertionError(
+            f"parity slice rows differ: {len(a)} vs {len(b)} rows, "
+            f"{len(diffs)} content diffs")
+    print(f"[soak] parity slice OK: {len(a)} rows byte-identical "
+          f"(bf16 TPU engines vs f32 CPU twins)", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mbases", type=float, default=50.0)
@@ -116,9 +186,24 @@ def main():
     ap.add_argument("--threads", type=int, default=2)
     ap.add_argument("--max_rss_gb", type=float, default=8.0,
                     help="fail if peak RSS exceeds this")
+    ap.add_argument("--engines", choices=["oracle", "production"],
+                    default="oracle",
+                    help="oracle: numpy stand-in engines (CI, no device); "
+                         "production: real InferenceEngines with the "
+                         "committed trained checkpoints (TPU)")
+    ap.add_argument("--pileup_model",
+                    default="tests/data/fixtures/pileup_model.npz")
+    ap.add_argument("--fa_model",
+                    default="tests/data/fixtures/fa_model.npz")
+    ap.add_argument("--parity_mbases", type=float, default=0.0,
+                    help="also run this many Mb through BOTH the production "
+                         "engines and their f32 CPU twins and assert "
+                         "byte-identical merged rows")
     args = ap.parse_args()
 
     os.makedirs(args.output, exist_ok=True)
+    if args.parity_mbases > 0:
+        run_parity_slice(args, True)
     t0 = time.time()
     print(f"[soak] simulating {args.mbases} Mb x {args.coverage}x over "
           f"{args.contigs} contigs ...", flush=True)
@@ -130,16 +215,28 @@ def main():
           f"{os.path.getsize(bam) / 1e6:.0f} MB, RSS {peak_rss_gb():.2f} GB",
           flush=True)
 
-    cfg = CallConfig(
-        platform="ont", bam_fn=bam, ref_fn=fasta,
-        output_dir=os.path.join(args.output, "call"),
-        gvcf=True, no_phasing_for_fa=True, threads=args.threads,
-        var_pct_full=0.3, ref_pct_full=0.1,
-    )
+    if args.engines == "production":
+        # shipped CLI configuration + trained checkpoints; platform hifi
+        # matches the fixtures' matrix_depth=55 training
+        p_engine, f_engine = build_production_engines(
+            args.pileup_model, args.fa_model)
+        cfg = CallConfig(
+            platform="hifi", bam_fn=bam, ref_fn=fasta,
+            output_dir=os.path.join(args.output, "call"),
+            gvcf=True, no_phasing_for_fa=True, threads=args.threads,
+            indel_min_af=0.12, var_pct_full=0.3, ref_pct_full=0.3,
+        )
+    else:
+        p_engine, f_engine = PileupOracleEngine(), FullAlignmentOracleEngine()
+        cfg = CallConfig(
+            platform="ont", bam_fn=bam, ref_fn=fasta,
+            output_dir=os.path.join(args.output, "call"),
+            gvcf=True, no_phasing_for_fa=True, threads=args.threads,
+            var_pct_full=0.3, ref_pct_full=0.1,
+        )
     from clair3_tpu.pipeline.call import VariantCaller
 
-    caller = VariantCaller(cfg, pileup_engine=PileupOracleEngine(),
-                           fa_engine=FullAlignmentOracleEngine())
+    caller = VariantCaller(cfg, pileup_engine=p_engine, fa_engine=f_engine)
     t1 = time.time()
     outputs = caller.run()
     t_call = time.time() - t1
@@ -183,11 +280,33 @@ def main():
         print("".join(str(x).ljust(13) for x in (
             vt, r.query_fp, r.truth_fn, r.truth_tp, r.precision, r.recall,
             r.f1)), flush=True)
+    # structural gVCF validation (GATK-ValidateVariants-equivalent): block
+    # continuity, END ordering, PL/GQ consistency, header contract
+    from clair3_tpu.gvcf_validate import GvcfValidator, _open_rows
+
+    per_ctg = int(args.mbases * 1e6 / args.contigs)
+    v = GvcfValidator(regions=[(n, 0, per_ctg) for n in names])
+    for line in _open_rows(outputs["merge_output_gvcf"]):
+        v.feed(line)
+    problems = [p for p in v.collect()
+                # head/tail of each contig may be uncovered by reads
+                if not ("coverage gap" in p and
+                        (":1-" in p.split("gap ")[-1]
+                         or p.rstrip().endswith(f"-{per_ctg}")
+                         or f"ended at {per_ctg}" in p))]
+    s = v.stats
+    print(f"[soak] gVCF validator: {s['rows']} rows ({s['blocks']} blocks), "
+          f"{len(problems)} violations", flush=True)
+    for p in problems[:10]:
+        print(f"[soak]   {p}")
+    assert not problems, f"gVCF structural violations: {len(problems)}"
+
     assert recall >= 0.95, f"recall {recall:.3f} too low"
     assert m["SNP"].f1 >= 0.95, f"SNP F1 {m['SNP'].f1} too low"
     assert m["INDEL"].f1 >= 0.90, f"INDEL F1 {m['INDEL'].f1} too low"
     assert rss <= args.max_rss_gb, f"peak RSS {rss:.2f} GB > {args.max_rss_gb}"
-    print(f"[soak] OK — total {time.time() - t0:.0f}s, peak RSS {rss:.2f} GB")
+    print(f"[soak] OK [{args.engines} engines] — total "
+          f"{time.time() - t0:.0f}s, peak RSS {rss:.2f} GB")
 
 
 if __name__ == "__main__":

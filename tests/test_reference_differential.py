@@ -579,3 +579,151 @@ def test_split_extend_bed_matches_reference(tmp_path):
             for c, s, e in split_extend_bed_regions(str(bed), "chr1")]
     assert mine == ref_regions
     assert len(mine) > 10
+
+
+def test_gvcf_merge_matches_reference(tmp_path):
+    """Variant/non-variant gVCF MERGE matches the reference's
+    gvcfGenerator.mergeCalls row-for-row, including multi-base deletion
+    spans that swallow or clip following non-variant blocks (the r04
+    validator found our merge leaked blocks inside deletion spans;
+    reference: preprocess/utils.py:189-346)."""
+    import random as _random
+
+    sys.path.insert(0, REF)
+    try:
+        from preprocess.utils import gvcfGenerator  # noqa: E402
+    finally:
+        sys.path.remove(REF)
+    from clair3_tpu.gvcf import NonVariantBlockWriter, merge_variant_and_nonvariant
+
+    L = 1500
+    rng = _random.Random(5)
+    seq = "".join(rng.choice("ACGT") for _ in range(L))
+
+    for trial in range(4):
+        trng = _random.Random(100 + trial)
+        # variants: SNPs, insertions, and 2-4 bp deletions
+        variants = []
+        p = 40
+        while p < L - 40:
+            kind = trng.random()
+            if kind < 0.5:
+                ref, alt = seq[p - 1], trng.choice(
+                    [b for b in "ACGT" if b != seq[p - 1]])
+            elif kind < 0.75:
+                ref, alt = seq[p - 1], seq[p - 1] + "TG"
+            else:
+                dlen = trng.randint(2, 4)
+                ref, alt = seq[p - 1: p - 1 + dlen], seq[p - 1]
+            variants.append((p, ref, alt))
+            p += trng.randint(15, 60)
+        # keep the LAST variant a SNP: the reference's tail flush dumps
+        # remaining non-variant blocks verbatim (utils.py:336-344), so
+        # blocks inside a final deletion's span leak through untrimmed
+        # there — a structural bug we deliberately do not reproduce (see
+        # test_gvcf_merge_two_variants_one_block_divergence for the same
+        # stance on the stale-POS middle-fragment quirk)
+        lp, lref, lalt = variants[-1]
+        if len(lref) > 1:
+            variants[-1] = (lp, seq[lp - 1],
+                            "T" if seq[lp - 1] != "T" else "C")
+        var_rows = [
+            f"chr1\t{p}\t.\t{r}\t{a}\t23.5\tPASS\tP\t"
+            f"GT:GQ:DP:AD:AF:PL\t0/1:23:30:15,15:0.5000:23,0,30"
+            for p, r, a in variants
+        ]
+        spans = {p for p, r, a in variants}
+        deleted = set()
+        for p, r, a in variants:
+            deleted.update(range(p, p + len(r)))
+
+        # non-variant stream over EVERY position (like the pipeline); ref
+        # support dips at variant sites (real reads carry the alt) so blocks
+        # break there, and depth hits 0 inside deletion spans so blocks
+        # break mid-span too
+        w = NonVariantBlockWriter()
+        depth = 25
+        for pos1 in range(1, L + 1):
+            depth = max(5, min(50, depth + trng.choice([-1, 0, 0, 1])))
+            if pos1 in deleted and pos1 not in spans:
+                d, nr = 0, 0
+            elif pos1 in spans:
+                d, nr = depth, depth // 2  # het-like ref fraction
+            else:
+                d, nr = depth, max(0, depth - 1)
+            w.add_site("chr1", pos1, seq[pos1 - 1], nr, d)
+        nonvar_rows = w.finish()
+
+        # reference oracle (samtools faidx stubbed with the in-memory seq)
+        gen = gvcfGenerator(ref_path="unused", samtools="true")
+        gen.readReferenceBaseAtPos = (
+            lambda pos_cmd: seq[int(pos_cmd.split(":")[1].split("-")[0]) - 1])
+        vpath, npath, opath = (str(tmp_path / f"{trial}_{n}")
+                               for n in ("var.vcf", "nonvar.gvcf", "out.gvcf"))
+        with open(vpath, "w") as fh:
+            fh.write("\n".join(var_rows) + "\n")
+        with open(npath, "w") as fh:
+            fh.write("\n".join(nonvar_rows) + "\n")
+        gen.mergeCalls(vpath, npath, opath, "S", ctgName="chr1")
+        with open(opath) as fh:
+            ref_merged = [l.rstrip("\n") for l in fh if l.strip()]
+
+        mine = merge_variant_and_nonvariant(
+            var_rows, nonvar_rows, lambda c, p: seq[p - 1])
+        assert mine == ref_merged, (
+            f"trial {trial}: first diff at "
+            f"{next(i for i, (a, b) in enumerate(zip(mine, ref_merged)) if a != b) if mine != ref_merged and len(mine) == len(ref_merged) else (len(mine), len(ref_merged))}")
+
+
+def test_gvcf_merge_two_variants_one_block_divergence(tmp_path):
+    """DOCUMENTED DIVERGENCE: when one non-variant block contains TWO
+    variant calls, the reference's middle fragment keeps the block's
+    ORIGINAL POS (utils.py:293-296 _writeLeftBlock rewrites only END) —
+    an unsorted, overlapping, structurally-invalid gVCF row that GATK
+    would reject.  We emit the position-correct fragment instead.  This
+    is latent in practice (blocks break at variant sites because ref
+    support dips), but FA-stage rescue calls at pileup-confident sites
+    can trigger it; sane output wins over byte parity here."""
+    sys.path.insert(0, REF)
+    try:
+        from preprocess.utils import gvcfGenerator  # noqa: E402
+    finally:
+        sys.path.remove(REF)
+    from clair3_tpu.gvcf import merge_variant_and_nonvariant
+
+    seq = "ACGT" * 50
+    var_rows = [
+        f"chr1\t{p}\t.\t{seq[p - 1]}\t"
+        f"{'T' if seq[p - 1] != 'T' else 'C'}\t20.0\tPASS\tF\t"
+        f"GT:GQ:DP:AD:AF:PL\t0/1:20:30:15,15:0.5000:20,0,25"
+        for p in (60, 120)
+    ]
+    block = ("chr1\t40\t.\t%s\t<NON_REF>\t0\t.\tEND=160\t"
+             "GT:GQ:MIN_DP:PL\t0/0:50:30:0,60,840" % seq[39])
+    vp, np_, op = (str(tmp_path / n) for n in ("v", "n", "o"))
+    with open(vp, "w") as fh:
+        fh.write("\n".join(var_rows) + "\n")
+    with open(np_, "w") as fh:
+        fh.write(block + "\n")
+    gen = gvcfGenerator(ref_path="unused", samtools="true")
+    gen.readReferenceBaseAtPos = (
+        lambda pos_cmd: seq[int(pos_cmd.split(":")[1].split("-")[0]) - 1])
+    gen.mergeCalls(vp, np_, op, "S", ctgName="chr1")
+    with open(op) as fh:
+        ref_merged = [l.rstrip("\n") for l in fh if l.strip()]
+    mine = merge_variant_and_nonvariant(
+        var_rows, [block], lambda c, p: seq[p - 1])
+
+    # the reference's middle fragment carries the stale POS 40
+    ref_mid = ref_merged[2].split("\t")
+    assert ref_mid[1] == "40" and "END=119" in ref_mid[7]
+    # ours is position-correct: POS 61, looked-up ref base
+    my_mid = mine[2].split("\t")
+    assert my_mid[1] == "61" and my_mid[3] == seq[60] and "END=119" in my_mid[7]
+    # everything else is row-identical
+    assert mine[:2] == ref_merged[:2] and mine[3:] == ref_merged[3:]
+    # and ours is sorted + contiguous (structural validity)
+    from clair3_tpu.gvcf_validate import validate_gvcf
+    probs = [p for p in validate_gvcf(mine)
+             if "declared" not in p and "header" not in p]
+    assert probs == [], probs
