@@ -48,7 +48,7 @@ class PileupNet(nn.Module):
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         dt = self.compute_dtype
         if self.use_pallas_lstm and not train:
-            x = self._fused_trunk(x)
+            return self._fused_full(x)
         else:
             x = x.astype(dt)
             x = BiLSTM(self.lstm1_units, param_dtype=self.param_dtype,
@@ -72,14 +72,15 @@ class PileupNet(nn.Module):
             outs.append(nn.softmax(nn.selu(logits.astype(jnp.float32))))
         return jnp.concatenate(outs, axis=-1)
 
-    def _fused_trunk(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Inference fast path: both BiLSTM layers + the L4 dense run as ONE
-        VMEM-resident Pallas kernel (ops/pallas_pileup.py); heads stay in
-        XLA.  Declares the exact same parameter tree as the lax.scan branch
-        so checkpoints are interchangeable."""
+    def _fused_full(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Inference fast path: both BiLSTM layers, the L4 dense, AND every
+        head branch (L5 dense + SELU-before-softmax) run as ONE VMEM-resident
+        Pallas kernel (ops/pallas_pileup.py).  Declares the exact same
+        parameter tree as the lax.scan branch so checkpoints are
+        interchangeable."""
         import jax
 
-        from clair3_tpu.ops.pallas_pileup import pileup_trunk_pallas
+        from clair3_tpu.ops.pallas_pileup import pileup_full_pallas
 
         init_wi = nn.initializers.lecun_normal()
         init_wh = nn.initializers.orthogonal()
@@ -102,11 +103,29 @@ class PileupNet(nn.Module):
         flat = NO_OF_POSITIONS * 2 * self.lstm2_units
         wd = s4.param("kernel", init_wi, (flat, self.l4_units), self.param_dtype)
         bd = s4.param("bias", nn.initializers.zeros, (self.l4_units,), self.param_dtype)
-        return pileup_trunk_pallas(
+
+        n_heads = 4 if self.add_indel_length else 2
+        head_names = ("Y_gt21_logits", "Y_genotype_logits",
+                      "Y_indel_length_logits_1", "Y_indel_length_logits_2")
+        head_weights = []
+        for i in range(n_heads):
+            s5 = self.scope.push(f"L5_{i + 1}")
+            head_weights.append(s5.param(
+                "kernel", init_wi, (self.l4_units, self.l5_units), self.param_dtype))
+            head_weights.append(s5.param(
+                "bias", nn.initializers.zeros, (self.l5_units,), self.param_dtype))
+            so = self.scope.push(head_names[i])
+            head_weights.append(so.param(
+                "kernel", init_wi, (self.l5_units, _HEAD_SIZES[i]), self.param_dtype))
+            head_weights.append(so.param(
+                "bias", nn.initializers.zeros, (_HEAD_SIZES[i],), self.param_dtype))
+
+        return pileup_full_pallas(
             x,
             *p["LSTM1"], *p["LSTM2"],
             wd.reshape(NO_OF_POSITIONS, 2 * self.lstm2_units, self.l4_units),
             bd,
+            tuple(head_weights),
             compute_dtype=self.compute_dtype,
             interpret=jax.default_backend() != "tpu",
         )

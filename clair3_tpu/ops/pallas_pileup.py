@@ -57,9 +57,10 @@ def _lstm_gates(gates, c, state_dtype):
     return h_new.astype(state_dtype), c_new.astype(state_dtype)
 
 
-def _trunk_kernel(x_ref, wi1_ref, wh1_ref, b1_ref, wi2_ref, wh2_ref, b2_ref,
-                  wd_ref, bd_ref, out_ref,
-                  h1_seq, h1_ref, c1_ref, h2_ref, c2_ref, acc_ref):
+def _trunk_compute(x_ref, wi1_ref, wh1_ref, b1_ref, wi2_ref, wh2_ref, b2_ref,
+                   wd_ref, bd_ref,
+                   h1_seq, h1_ref, c1_ref, h2_ref, c2_ref, acc_ref):
+    """Shared trunk body; returns the post-SELU Dense-D activations (f32)."""
     T = x_ref.shape[0]
     dt = h1_ref.dtype
 
@@ -125,10 +126,61 @@ def _trunk_kernel(x_ref, wi1_ref, wh1_ref, b1_ref, wi2_ref, wh2_ref, b2_ref,
     jax.lax.fori_loop(0, T, step2, 0)
 
     trunk = acc_ref[:] + bd_ref[:].astype(jnp.float32)
+    return _selu(trunk)
+
+
+def _selu(v):
     # selu inlined: jax.nn.selu lowers via expm1, which Mosaic lacks
     scale, alpha = 1.0507009873554805, 1.6732632423543772
-    selu = scale * jnp.where(trunk > 0, trunk, alpha * (jnp.exp(trunk) - 1.0))
+    return scale * jnp.where(v > 0, v, alpha * (jnp.exp(v) - 1.0))
+
+
+def _trunk_kernel(x_ref, wi1_ref, wh1_ref, b1_ref, wi2_ref, wh2_ref, b2_ref,
+                  wd_ref, bd_ref, out_ref,
+                  h1_seq, h1_ref, c1_ref, h2_ref, c2_ref, acc_ref):
+    selu = _trunk_compute(x_ref, wi1_ref, wh1_ref, b1_ref, wi2_ref, wh2_ref,
+                          b2_ref, wd_ref, bd_ref,
+                          h1_seq, h1_ref, c1_ref, h2_ref, c2_ref, acc_ref)
     out_ref[:] = selu.astype(out_ref.dtype)
+
+
+def _make_full_kernel(n_heads):
+    """Kernel computing trunk + all head branches + softmax in one pass.
+
+    Head math mirrors the XLA branch bit-for-tolerance: the L5 dense and its
+    SELU run in the compute dtype, the head logits are cast to the compute
+    dtype (like flax Dense(dtype=dt)) then widened to f32 for the
+    SELU-before-softmax quirk (reference: clair3/model.py:152-160)."""
+
+    def kernel(*refs):
+        (x_ref, wi1_ref, wh1_ref, b1_ref, wi2_ref, wh2_ref, b2_ref,
+         wd_ref, bd_ref) = refs[:9]
+        head_refs = refs[9:9 + 4 * n_heads]
+        out_ref = refs[9 + 4 * n_heads]
+        (h1_seq, h1_ref, c1_ref, h2_ref, c2_ref, acc_ref) = refs[10 + 4 * n_heads:]
+        trunk = _trunk_compute(x_ref, wi1_ref, wh1_ref, b1_ref, wi2_ref,
+                               wh2_ref, b2_ref, wd_ref, bd_ref,
+                               h1_seq, h1_ref, c1_ref, h2_ref, c2_ref, acc_ref)
+        dt = h1_ref.dtype
+        t_dt = trunk.astype(dt)
+        probs = []
+        for i in range(n_heads):
+            w5, b5, wo, bo = head_refs[4 * i: 4 * i + 4]
+            h = (jax.lax.dot_general(t_dt, w5[:], (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+                 + b5[:].astype(jnp.float32))
+            h = _selu(h.astype(dt).astype(jnp.float32)).astype(dt)
+            logits = (jax.lax.dot_general(h, wo[:], (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+                      + bo[:].astype(jnp.float32))
+            logits = logits.astype(dt).astype(jnp.float32)
+            act = _selu(logits)
+            m = jnp.max(act, axis=-1, keepdims=True)
+            e = jnp.exp(act - m)
+            probs.append(e / jnp.sum(e, axis=-1, keepdims=True))
+        out_ref[:] = jnp.concatenate(probs, axis=-1).astype(out_ref.dtype)
+
+    return kernel
 
 
 @functools.partial(jax.jit,
@@ -197,6 +249,79 @@ def pileup_trunk_pallas(
             pltpu.VMEM((2, bt, H2), dt),       # h2 state
             pltpu.VMEM((2, bt, H2), dt),       # c2 state
             pltpu.VMEM((bt, D), jnp.float32),  # dense accumulator
+        ],
+        interpret=interpret,
+    )(*args)
+    return out[:B] if pad else out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("compute_dtype", "batch_tile", "interpret"))
+def pileup_full_pallas(
+    x: jnp.ndarray,
+    wi1: jnp.ndarray, wh1: jnp.ndarray, b1: jnp.ndarray,
+    wi2: jnp.ndarray, wh2: jnp.ndarray, b2: jnp.ndarray,
+    wd: jnp.ndarray, bd: jnp.ndarray,
+    head_weights,        # flat tuple: (w5, b5, wo, bo) per head
+    compute_dtype=jnp.bfloat16,
+    batch_tile: int = BATCH_TILE,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The ENTIRE pileup net in one kernel: trunk + per-head branch dense +
+    SELU-before-softmax heads.  Returns probabilities ``[B, sum(head dims)]``
+    float32 — what the XLA head stack produced, without the trunk's HBM
+    round-trip or the per-head kernel launches."""
+    B, T, C = x.shape
+    H1 = wh1.shape[1]
+    H2 = wh2.shape[1]
+    D = wd.shape[-1]
+    dt = compute_dtype
+    n_heads = len(head_weights) // 4
+    out_dim = sum(int(head_weights[4 * i + 3].shape[0]) for i in range(n_heads))
+
+    bt = min(batch_tile, max(8, B))
+    pad = (-B) % bt
+    xt = jnp.swapaxes(x.astype(dt), 0, 1)
+    if pad:
+        xt = jnp.pad(xt, ((0, 0), (0, pad), (0, 0)))
+    Bp = B + pad
+
+    args = [xt] + [w.astype(dt) for w in
+                   (wi1, wh1, b1, wi2, wh2, b2, wd, bd)]
+    args += [w.astype(dt) for w in head_weights]
+
+    trunk_specs = [
+        pl.BlockSpec((T, bt, C), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, C, 4 * H1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, H1, 4 * H1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, 4 * H1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, 2 * H1, 4 * H2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, H2, 4 * H2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, 4 * H2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, 2 * H2, D), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D,), lambda i: (0,), memory_space=pltpu.VMEM),
+    ]
+    head_specs = [
+        pl.BlockSpec(tuple(w.shape),
+                     (lambda i: (0, 0)) if w.ndim == 2 else (lambda i: (0,)),
+                     memory_space=pltpu.VMEM)
+        for w in head_weights
+    ]
+
+    out = pl.pallas_call(
+        _make_full_kernel(n_heads),
+        grid=(Bp // bt,),
+        in_specs=trunk_specs + head_specs,
+        out_specs=pl.BlockSpec((bt, out_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, out_dim), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((T, bt, 2 * H1), dt),
+            pltpu.VMEM((2, bt, H1), dt),
+            pltpu.VMEM((2, bt, H1), dt),
+            pltpu.VMEM((2, bt, H2), dt),
+            pltpu.VMEM((2, bt, H2), dt),
+            pltpu.VMEM((bt, D), jnp.float32),
         ],
         interpret=interpret,
     )(*args)
