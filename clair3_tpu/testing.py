@@ -502,3 +502,35 @@ class FullAlignmentOracleEngine:
             for s, e in ((0, 21), (21, 24), (24, 57), (57, 90)):
                 out[i, s:e] /= out[i, s:e].sum()
         return out
+
+
+def trained_fixture_path(name: str) -> str:
+    """Path of a committed trained-checkpoint fixture (see
+    scripts/train_fixture_checkpoints.py)."""
+    import os
+
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "tests", "fixtures", "trained", name)
+
+
+def load_trained_fixture(name: str) -> Dict:
+    """Load a committed fp16 checkpoint fixture as a float32 variable tree.
+
+    Raises FileNotFoundError with regeneration instructions if absent."""
+    import os
+
+    from clair3_tpu.models.params_io import load_variables
+
+    path = trained_fixture_path(name)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{path} missing; regenerate with "
+            f"`python scripts/train_fixture_checkpoints.py` (TPU)")
+    tree = load_variables(path)
+
+    def _up(node):
+        if isinstance(node, dict):
+            return {k: _up(v) for k, v in node.items()}
+        return node.astype(np.float32) if node.dtype == np.float16 else node
+
+    return _up(tree)

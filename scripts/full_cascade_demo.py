@@ -43,8 +43,9 @@ def simulate(out_dir, L, seed=7, step=130):
     return fasta, bam, ref, variants
 
 
-def main():
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="c3t_full_")
+def run(out_dir):
+    """Train both nets + call + score; returns a dict with the metrics and
+    trained-checkpoint paths (consumed by scripts/train_fixture_checkpoints.py)."""
     os.makedirs(out_dir, exist_ok=True)
     t_start = time.time()
 
@@ -188,7 +189,20 @@ def main():
     if not ok:
         print(f"[full] FAIL: SNP F1 {m['SNP'].f1} (gate {gate_snp}), "
               f"INDEL F1 {m['INDEL'].f1} (gate {gate_indel})")
-    return 0 if ok else 1
+    return {
+        "ok": ok,
+        "snp_f1": m["SNP"].f1,
+        "indel_f1": m["INDEL"].f1,
+        "gates": (gate_snp, gate_indel),
+        "scale_bp": L,
+        "pileup_model": p_result["model_path"],
+        "fa_model": f_result["model_path"],
+    }
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="c3t_full_")
+    return 0 if run(out_dir)["ok"] else 1
 
 
 if __name__ == "__main__":

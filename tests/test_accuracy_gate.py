@@ -16,9 +16,10 @@ Full tier (TPU, per round): scripts/full_cascade_demo.py trains BOTH nets
 and exits nonzero below scale-keyed held-out gates — SNP F1 0.995 /
 INDEL 0.99 at >=1 Mb, 0.985 / 0.97 at the 260 kb default (accuracy
 scales with training data; docs/calling.md records each round's table).
-A third tier (test_trained_fixture_cascade below) calls with BOTH
-committed TPU-trained checkpoints and hard 1 Mb-scale gates, so a
-trained-FA regression trips in CI, not only in the per-round TPU demo.
+A third tier (tests/test_trained_fixture_cascade.py) calls with BOTH
+committed TPU-trained checkpoints and hard gates pinned to the measured
+cross-genome F1, so a trained-FA-path regression trips in CI, not only
+in the per-round TPU demo.
 """
 
 import numpy as np
