@@ -606,7 +606,8 @@ def cmd_train(args: argparse.Namespace) -> int:
     if args.data_parallel:
         from clair3_tpu.parallel.mesh import get_mesh
 
-        mesh = get_mesh()
+        # global (cross-process) mesh: multi-host training spans the slice
+        mesh = get_mesh(local=False)
     result = train_model(args.bin_fn, args.output_dir, cfg, mesh=mesh,
                          init_variables=init_variables,
                          use_class_weights=args.use_class_weights)
@@ -933,6 +934,16 @@ def cmd_serve(args: argparse.Namespace) -> int:
 
 def main(argv=None) -> int:
     logging.basicConfig(format="%(message)s", level=logging.INFO)
+    # CLAIR3T_JAX_PLATFORM pins the jax backend (e.g. "cpu" to call on a
+    # host with no accelerator).  The env var JAX_PLATFORMS alone is not
+    # enough on machines whose sitecustomize registers a platform eagerly
+    # and re-exports the variable — the config value wins once a plugin is
+    # registered, so set it explicitly before any backend initializes.
+    _plat = os.environ.get("CLAIR3T_JAX_PLATFORM")
+    if _plat:
+        import jax
+
+        jax.config.update("jax_platforms", _plat)
     if argv is None:
         argv = sys.argv[1:]
     # reference submodule spellings: `python -m clair3_tpu SelectQual ...`

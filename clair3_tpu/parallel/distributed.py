@@ -52,7 +52,20 @@ def init_distributed(
     if local_device_ids is not None:
         kwargs["local_device_ids"] = list(local_device_ids)
     jax.distributed.initialize(**kwargs)
-    return jax.process_index(), jax.process_count()
+    idx, count = jax.process_index(), jax.process_count()
+    if num_processes is not None and num_processes > 1 and count != num_processes:
+        # A backend that was initialized before (or without) the cluster
+        # handshake reports a single process; proceeding would silently run
+        # every process as its own single-process job over the SAME output
+        # directory (discovered via the CLI --dist_* path on a host whose
+        # sitecustomize eagerly registers an accelerator backend).
+        raise RuntimeError(
+            f"requested num_processes={num_processes} but the jax backend "
+            f"reports process_count={count}; the backend likely initialized "
+            "before jax.distributed could join the cluster (on hosts that "
+            "pin a platform eagerly, set CLAIR3T_JAX_PLATFORM to the "
+            "intended platform so it is applied before backend init)")
+    return idx, count
 
 
 def own_tasks(tasks: Sequence, process_id: int, process_count: int) -> List:
@@ -62,6 +75,36 @@ def own_tasks(tasks: Sequence, process_id: int, process_count: int) -> List:
     if process_count <= 1:
         return list(tasks)
     return [t for i, t in enumerate(tasks) if i % process_count == process_id]
+
+
+def gather_rowpack(pack):
+    """All-gather the per-process (ctg, pos, qual, flags) row pack across
+    every process in the cluster (concatenated in process order).
+
+    float64 quals ride as uint32 bit-pairs: jax without x64 silently
+    narrows f64/i64 arrays, and the quantile cutoffs must compare exactly
+    equal to a single-process run's (a cutoff off by one f32 ulp flips the
+    routing of the row that DEFINES the cutoff)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return pack
+    from jax.experimental import multihost_utils as mh
+
+    def gather_u32(u32: np.ndarray) -> np.ndarray:
+        lens = np.asarray(mh.process_allgather(
+            np.asarray([len(u32)], np.uint32)))[:, 0]
+        m = max(int(lens.max()), 1)
+        pad = np.zeros(m, np.uint32)
+        pad[: len(u32)] = u32
+        allv = np.asarray(mh.process_allgather(pad))
+        return np.concatenate([allv[i, : int(lens[i])]
+                               for i in range(len(lens))])
+
+    ctg, pos, qual, flags = pack
+    qbits = np.ascontiguousarray(qual, np.float64).view(np.uint32)
+    return (gather_u32(ctg), gather_u32(pos),
+            gather_u32(qbits).view(np.float64), gather_u32(flags))
 
 
 def global_batch(mesh, x_local: np.ndarray):

@@ -18,10 +18,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def get_mesh(devices: Optional[Sequence] = None, n_devices: Optional[int] = None) -> Mesh:
-    """A 1-D data-parallel mesh over the available devices."""
+def get_mesh(devices: Optional[Sequence] = None, n_devices: Optional[int] = None,
+             local: bool = True) -> Mesh:
+    """A 1-D data-parallel mesh over the available devices.
+
+    ``local=True`` (default) uses this process's own devices — correct for
+    the inference engines, whose host batches are process-local (multi-host
+    calling shards GENOME chunks across processes, parallel/distributed.py,
+    so each process feeds only its own chips).  Multi-host TRAINING wants
+    the global slice mesh: pass ``local=False`` (cli.cmd_train) so the jit
+    step's psum rides ICI+DCN across every process."""
     if devices is None:
-        devices = jax.devices()
+        devices = jax.local_devices() if local else jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))

@@ -740,15 +740,32 @@ class VariantCaller:
         # compact routing stats: one pass over the row strings instead of a
         # parsed VcfRecord per row (O(genome) objects on a real genome)
         pileup_stats = collect_pileup_stats(pileup_rows)
-        var_qual, ref_qual = select_qual_from_stats(
-            pileup_stats, cfg.var_pct_full, cfg.ref_pct_full)
+        global_phase_qual = None
+        if cfg.dist_process_count > 1:
+            # multi-host: quantile cutoffs must come from EVERY process's
+            # rows or shards route different candidates than a single
+            # process (the reference's SelectQual likewise runs over the
+            # complete pileup VCF, preprocess/SelectQual.py)
+            from clair3_tpu.parallel.distributed import gather_rowpack
+            from clair3_tpu.pipeline.select import (cutoffs_from_rowpack,
+                                                    stats_rowpack)
+
+            pack = gather_rowpack(stats_rowpack(pileup_stats, contig_names))
+            var_qual, ref_qual, global_phase_qual = cutoffs_from_rowpack(
+                *pack, cfg.var_pct_full, cfg.ref_pct_full,
+                cfg.var_pct_phasing)
+        else:
+            var_qual, ref_qual = select_qual_from_stats(
+                pileup_stats, cfg.var_pct_full, cfg.ref_pct_full)
         logger.info("[select] var_qual=%.2f ref_qual=%.2f", var_qual, ref_qual)
 
         phased_by_contig: Dict[str, List] = {}
         if self.phaser is not None and not cfg.no_phasing_for_fa:
             with self._timed("phase"):
-                phase_qual = select_phase_qual_from_stats(
-                    pileup_stats, cfg.var_pct_phasing)
+                phase_qual = (global_phase_qual
+                              if global_phase_qual is not None else
+                              select_phase_qual_from_stats(
+                                  pileup_stats, cfg.var_pct_phasing))
                 for ctg in contig_names:
                     het_snps = select_het_snps_from_stats(
                         pileup_rows, pileup_stats, phase_qual, ctg)

@@ -251,6 +251,65 @@ def select_qual_from_stats(
             float(ref_quals[n_ref - 1]) if n_ref else 0.0)
 
 
+def stats_rowpack(stats: PileupStats, contig_order: Sequence[str]):
+    """Compact per-row arrays (ctg_id, pos, qual, flags) for cross-process
+    quantile gathering in multi-host calling.
+
+    flags bit0 = gt_ref (SelectQual's variant/reference bucket split),
+    bit1 = phase-eligible (1bp het SNP with GT exactly 0/1).  The reference
+    computes its SelectQual/SelectHetSnp cutoffs over the WHOLE pileup VCF
+    after all shards complete (preprocess/SelectQual.py); in the in-process
+    pipeline each process must therefore gather every process's rows before
+    cutting, or shards route different candidates than a single-process run.
+    """
+    import numpy as np  # noqa: F811
+
+    order = {c: i for i, c in enumerate(contig_order)}
+    ids, poss, quals, flags = [], [], [], []
+    for c in stats.contigs:
+        n = len(stats.pos[c])
+        ids.append(np.full(n, order[c], np.uint32))
+        poss.append(stats.pos[c].astype(np.uint32))
+        quals.append(stats.qual[c])
+        fl = stats.gt_ref[c].astype(np.uint32)
+        ph = np.zeros(n, bool)
+        het_local = stats.het_idx[c] - _first_index(stats, c)
+        ph[het_local[stats.phaseq_mask[c]]] = True
+        flags.append(fl | (ph.astype(np.uint32) << 1))
+    if not ids:
+        return (np.empty(0, np.uint32), np.empty(0, np.uint32),
+                np.empty(0, np.float64), np.empty(0, np.uint32))
+    return (np.concatenate(ids), np.concatenate(poss),
+            np.concatenate(quals), np.concatenate(flags))
+
+
+def cutoffs_from_rowpack(
+    ctg, pos, qual, flags,
+    var_pct_full: float, ref_pct_full: float, var_pct_phasing: float,
+) -> Tuple[float, float, float]:
+    """(var_qual, ref_qual, phase_qual) from gathered row packs.
+
+    Chunk-boundary candidates are emitted by BOTH owning processes with
+    byte-identical rows (tests/test_distributed.py boundary assertion), so
+    the gathered multiset is deduped by (ctg, pos) first — exactly the rows
+    a single-process run's sort_rows dedup would have kept."""
+    import numpy as np  # noqa: F811
+
+    key = (ctg.astype(np.uint64) << np.uint64(32)) | pos.astype(np.uint64)
+    _, first = np.unique(key, return_index=True)
+    qual, flags = qual[first], flags[first]
+    gt_ref = (flags & 1).astype(bool)
+    var_quals = np.sort(qual[~gt_ref])
+    ref_quals = np.sort(qual[gt_ref])
+    phase_quals = np.sort(qual[(flags & 2).astype(bool)])
+    n_var = int(var_pct_full * len(var_quals))
+    n_ref = int(ref_pct_full * len(ref_quals))
+    n_ph = int((1 - var_pct_phasing) * len(phase_quals))
+    return (float(var_quals[n_var - 1]) if n_var else 0.0,
+            float(ref_quals[n_ref - 1]) if n_ref else 0.0,
+            float(phase_quals[n_ph - 1]) if n_ph else 0.0)
+
+
 def select_phase_qual_from_stats(
     stats: PileupStats, var_pct_phasing: float
 ) -> float:

@@ -82,6 +82,62 @@ def _free_port():
     return port
 
 
+# 4-process virtual cluster (1 device each): ONE mesh-sharded train step
+# from deterministic global data; every process must see the same loss and
+# the same updated parameters as a SINGLE-process 4-device run of the same
+# program (VERDICT r03 #7: parity vs single-process, not just cross-process
+# agreement).
+WORKER4 = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    nproc = int(sys.argv[3])
+    ndev = 4 // nproc
+    os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    from clair3_tpu.parallel.distributed import global_batch, init_distributed
+
+    port, pid = sys.argv[1], int(sys.argv[2])
+    if nproc > 1:
+        idx, count = init_distributed(
+            coordinator_address=f"127.0.0.1:{port}", num_processes=nproc,
+            process_id=pid)
+        assert (idx, count) == (pid, nproc)
+    devs = jax.devices()
+    assert len(devs) == 4, devs
+
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(devs), ("data",))
+
+    from clair3_tpu.models import PileupNet
+    from clair3_tpu.train.step import (create_train_state, make_train_step,
+                                       shard_train_state)
+    rng = np.random.default_rng(5)
+    X = rng.integers(-20, 20, (8, 33, 18)).astype(np.int32)
+    Y = np.zeros((8, 90), np.float32)
+    Y[:, 0] = Y[:, 21] = Y[:, 24 + 16] = Y[:, 57 + 16] = 1
+    rows = 8 // nproc
+    x_local = X[pid * rows:(pid + 1) * rows]
+    y_local = Y[pid * rows:(pid + 1) * rows]
+
+    model = PileupNet(add_indel_length=False)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0),
+                                   jnp.asarray(X[:2]), learning_rate=1e-3)
+    state = shard_train_state(state, mesh)
+    step = make_train_step(model, tx, add_indel_length=False,
+                           has_batch_stats=False, mesh=mesh)
+    gx = global_batch(mesh, x_local)
+    gy = global_batch(mesh, y_local)
+    state, loss = step(state, gx, gy, jax.random.PRNGKey(1))
+    fp = float(jax.jit(lambda k: jnp.abs(k).sum())(state.params["L4"]["kernel"]))
+    print("OK4", pid, float(loss), fp, flush=True)
+""")
+
+
 def test_own_tasks_disjoint_cover():
     tasks = list(range(17))
     parts = [own_tasks(tasks, i, 4) for i in range(4)]
@@ -124,6 +180,145 @@ def test_two_process_cpu_smoke(tmp_path):
     assert losses[0] == pytest.approx(losses[1], rel=1e-6)
     counts = [int(l[4]) for l in ok_lines]
     assert sorted(counts) == [5, 6]
+
+
+@pytest.mark.slow
+def test_four_process_train_step_matches_single_process(tmp_path):
+    """4 processes x 1 device vs 1 process x 4 devices: identical loss and
+    identical post-update parameters from the same global batch."""
+    script = tmp_path / "worker4.py"
+    script.write_text(WORKER4)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+
+    def launch(nproc):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(port), str(pid), str(nproc)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=env, cwd="/root/repo")
+            for pid in range(nproc)
+        ]
+        results = {}
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=420)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail(f"{nproc}-process cluster timed out")
+            assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+            tok = next(l for l in out.splitlines() if l.startswith("OK4")).split()
+            results[int(tok[1])] = (float(tok[2]), float(tok[3]))
+        return results
+
+    ref = launch(1)[0]
+    four = launch(4)
+    assert len(four) == 4
+    for pid, (loss, fp) in four.items():
+        assert loss == pytest.approx(ref[0], rel=1e-5), (pid, loss, ref[0])
+        assert fp == pytest.approx(ref[1], rel=1e-6), (pid, fp, ref[1])
+
+
+@pytest.mark.slow
+def test_dist_cli_os_processes_merge_identically(tmp_path):
+    """End-to-end `--dist_*` equivalence at the CLI level (VERDICT r03 #7):
+    two separate `python -m clair3_tpu call` OS processes (a real
+    jax.distributed localhost cluster, one CPU device each) call their
+    owned chunks with the committed TRAINED fixture nets; `sort_vcf` over
+    the per-process outputs must be byte-identical to one single-process
+    CLI run."""
+    import gzip
+
+    from clair3_tpu.models.params_io import save_variables
+    from clair3_tpu.testing import (SimVariant, load_trained_fixture,
+                                    random_reference, write_test_case)
+
+    try:
+        vp = load_trained_fixture("pileup_hifi.npz")
+        vf = load_trained_fixture("fa_hifi.npz")
+    except FileNotFoundError:
+        pytest.skip("trained fixtures not generated yet "
+                    "(scripts/train_fixture_checkpoints.py)")
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    save_variables(str(model_dir / "pileup.npz"), vp)
+    save_variables(str(model_dir / "full_alignment.npz"), vf)
+
+    L = 24_000
+    ref = random_reference(L, seed=93)
+    variants = []
+    for p in range(600, L - 600, 900):
+        kind = (p // 900) % 3
+        if kind == 0:
+            variants.append(SimVariant(p, ref[p], "A" if ref[p] != "A" else "C",
+                                       (0, 1)))
+        elif kind == 1:
+            variants.append(SimVariant(p, ref[p], ref[p] + "GT", (1, 1)))
+        else:
+            variants.append(SimVariant(p, ref[p:p + 2], ref[p], (0, 1)))
+    fasta, bam, _, _ = write_test_case(
+        str(tmp_path), ref_length=L, variants=variants, coverage=20,
+        read_length=900, seed=93, error_rate=0.02)
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    # CLAIR3T_JAX_PLATFORM (not JAX_PLATFORMS): this image's sitecustomize
+    # re-pins JAX_PLATFORMS=axon inside every subprocess, and the config
+    # value wins once the plugin registers — the CLI-level override is the
+    # only reliable way to force the CLI subprocesses onto CPU.
+    env["CLAIR3T_JAX_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+
+    def cli_call(out_dir, extra):
+        return subprocess.Popen(
+            [sys.executable, "-m", "clair3_tpu", "call",
+             "--platform", "hifi", "--bam_fn", bam, "--ref_fn", fasta,
+             "--model_path", str(model_dir), "--output_dir", out_dir,
+             "--threads", "2", "--chunk_size", "6000"] + extra,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd="/root/repo")
+
+    single_p = cli_call(str(tmp_path / "single"), [])
+    out, err = single_p.communicate(timeout=900)
+    assert single_p.returncode == 0, f"single-process call failed:\n{out}\n{err}"
+
+    port = _free_port()
+    dist = [
+        cli_call(str(tmp_path / "dist"),
+                 ["--dist_coordinator", f"127.0.0.1:{port}",
+                  "--dist_num_processes", "2", "--dist_process_id", str(pid)])
+        for pid in (0, 1)
+    ]
+    for p in dist:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"dist call failed:\n{out}\n{err}"
+
+    shard_outs = [str(tmp_path / "dist" / f"proc{i}" / "merge_output.vcf.gz")
+                  for i in (0, 1)]
+    for s in shard_outs:
+        assert os.path.exists(s), s
+    merged_fn = str(tmp_path / "merged.vcf.gz")
+    merge_p = subprocess.Popen(
+        [sys.executable, "-m", "clair3_tpu", "sort_vcf",
+         "--input_fn"] + shard_outs +
+        ["--output_fn", merged_fn, "--ref_fn", fasta],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env, cwd="/root/repo")
+    out, err = merge_p.communicate(timeout=300)
+    assert merge_p.returncode == 0, f"sort_vcf failed:\n{out}\n{err}"
+
+    def rows(path):
+        return [l for l in gzip.open(path, "rt") if not l.startswith("#")]
+
+    merged = rows(merged_fn)
+    want = rows(str(tmp_path / "single" / "merge_output.vcf.gz"))
+    assert merged == want
+    assert len(merged) > 10
+    # both shards did real work
+    for s in shard_outs:
+        assert rows(s)
 
 
 @pytest.mark.slow

@@ -429,3 +429,45 @@ def test_stats_select_path_matches_record_path():
                                          split_bed_size=37)
         assert [(x.contig, x.positions, x.phased_snps) for x in a] == \
             [(x.contig, x.positions, x.phased_snps) for x in b]
+
+
+def test_rowpack_cutoffs_match_stats_path():
+    """The multi-host rowpack quantiles (stats_rowpack + cutoffs_from_rowpack,
+    used after gather_rowpack in dist mode) must equal the single-process
+    cutoffs, including when the pack carries duplicated chunk-boundary rows
+    (deduped by (ctg, pos))."""
+    import random
+
+    import numpy as np
+
+    from clair3_tpu.pipeline.select import (
+        collect_pileup_stats, cutoffs_from_rowpack, select_phase_qual_from_stats,
+        select_qual_from_stats, stats_rowpack)
+
+    rng = random.Random(23)
+    rows = []
+    for ctg in ("chr1", "chr2"):
+        pos = 50
+        for _ in range(300):
+            pos += rng.randint(5, 60)
+            r = rng.random()
+            if r < 0.35:
+                ref, alt, gt = "A", ".", "0/0"
+            elif r < 0.7:
+                ref, alt, gt = "C", "T", rng.choice(["0/1", "1/0"])
+            else:
+                ref, alt, gt = "G", "A", "1/1"
+            q = round(rng.uniform(0.2, 28), 4)
+            rows.append(f"{ctg}\t{pos}\t.\t{ref}\t{alt}\t{q}\t.\t.\t"
+                        f"GT:GQ\t{gt}:{int(q)}")
+    stats = collect_pileup_stats(rows)
+    pack = stats_rowpack(stats, ["chr1", "chr2"])
+
+    want_v, want_r = select_qual_from_stats(stats, 0.3, 0.1)
+    want_p = select_phase_qual_from_stats(stats, 0.7)
+    got = cutoffs_from_rowpack(*pack, 0.3, 0.1, 0.7)
+    assert got == (want_v, want_r, want_p)
+
+    # duplicate a slice (chunk-boundary rows arrive from both owners)
+    dup = tuple(np.concatenate([a, a[100:140]]) for a in pack)
+    assert cutoffs_from_rowpack(*dup, 0.3, 0.1, 0.7) == got
