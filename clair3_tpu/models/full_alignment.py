@@ -111,13 +111,22 @@ class FullAlignmentNet(nn.Module):
     l5_units: int = 128
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    use_pallas_conv1: bool = False  # inference-only banded-matmul conv1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        x = x.astype(self.compute_dtype) / FA_NORMALIZE_NUM
-
         dt = self.compute_dtype
-        x = ConvBNRelu(64, strides=2, dtype=dt, param_dtype=self.param_dtype, name="conv1")(x, train=train)
+        if self.use_pallas_conv1 and not train:
+            # conv1 is 38% of the net's device time under XLA (the
+            # 8/9-channel input pads to the 128-lane MXU width); the Pallas
+            # kernel reformulates it as one banded matmul with /NORM, the
+            # conv bias, the inference BN affine, and the ReLU folded in
+            # (ops/pallas_fa.py).  Declares the exact same parameter tree
+            # as ConvBNRelu so checkpoints are interchangeable.
+            x = self._fused_conv1(x)
+        else:
+            x = x.astype(dt) / FA_NORMALIZE_NUM
+            x = ConvBNRelu(64, strides=2, dtype=dt, param_dtype=self.param_dtype, name="conv1")(x, train=train)
         x = ResBlock(64, dtype=dt, param_dtype=self.param_dtype, name="res_block1")(x, train=train)
         x = ConvBNRelu(128, strides=2, dtype=dt, param_dtype=self.param_dtype, name="conv3")(x, train=train)
         x = ResBlock(128, dtype=dt, param_dtype=self.param_dtype, name="res_block2")(x, train=train)
@@ -140,3 +149,34 @@ class FullAlignmentNet(nn.Module):
             # SELU-before-softmax matches the trained reference checkpoints.
             outs.append(nn.softmax(nn.selu(logits.astype(jnp.float32))))
         return jnp.concatenate(outs, axis=-1)
+
+    def _fused_conv1(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Inference fast path for the first ConvBNRelu via the Pallas
+        banded-matmul kernel.  Declares conv1's parameters and batch stats
+        at the exact paths ConvBNRelu(name='conv1') would, so checkpoints
+        drive either branch."""
+        import jax
+
+        from clair3_tpu.ops.pallas_fa import fa_conv1_pallas
+
+        C, F = self.input_channels, 64
+        sc = self.scope.push("conv1")
+        scc = sc.push("conv")
+        kernel = scc.param("kernel", nn.initializers.lecun_normal(),
+                           (3, 3, C, F), self.param_dtype)
+        bias = scc.param("bias", nn.initializers.zeros, (F,),
+                         self.param_dtype)
+        scb = sc.push("bn")
+        gamma = scb.param("scale", nn.initializers.ones, (F,),
+                          self.param_dtype)
+        beta = scb.param("bias", nn.initializers.zeros, (F,),
+                         self.param_dtype)
+        mean = scb.variable("batch_stats", "mean",
+                            lambda s: jnp.zeros(s, jnp.float32), (F,)).value
+        var = scb.variable("batch_stats", "var",
+                           lambda s: jnp.ones(s, jnp.float32), (F,)).value
+        return fa_conv1_pallas(
+            x, kernel, bias, gamma, beta, mean, var,
+            eps=1e-3, norm=float(FA_NORMALIZE_NUM),
+            compute_dtype=self.compute_dtype,
+            interpret=jax.default_backend() != "tpu")
