@@ -292,10 +292,29 @@ def cutoffs_from_rowpack(
     Chunk-boundary candidates are emitted by BOTH owning processes with
     byte-identical rows (tests/test_distributed.py boundary assertion), so
     the gathered multiset is deduped by (ctg, pos) first — exactly the rows
-    a single-process run's sort_rows dedup would have kept."""
+    a single-process run's sort_rows dedup would have kept.  That identity
+    assumption is VERIFIED here: if two owners ever disagreed on a
+    duplicate key's qual/flags (e.g. from a chunk-edge context bug), a
+    first-occurrence dedup would make the cutoff process-order dependent,
+    so divergent duplicates raise instead of silently skewing routing."""
     import numpy as np  # noqa: F811
 
     key = (ctg.astype(np.uint64) << np.uint64(32)) | pos.astype(np.uint64)
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    dup = ks[1:] == ks[:-1]
+    if dup.any():
+        qs, fs = qual[order], flags[order]
+        bad = dup & ((qs[1:] != qs[:-1]) | (fs[1:] != fs[:-1]))
+        if bad.any():
+            i = int(np.argmax(bad))
+            raise ValueError(
+                "cross-process duplicate rows disagree at "
+                f"ctg={int(ks[i] >> np.uint64(32))} "
+                f"pos={int(ks[i] & np.uint64(0xFFFFFFFF))}: "
+                f"qual {qs[i]} vs {qs[i + 1]}, flags {fs[i]} vs {fs[i + 1]} "
+                "— chunk-boundary extraction divergence; cutoffs would be "
+                "process-order dependent")
     _, first = np.unique(key, return_index=True)
     qual, flags = qual[first], flags[first]
     gt_ref = (flags & 1).astype(bool)

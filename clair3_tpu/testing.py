@@ -507,7 +507,7 @@ class FullAlignmentOracleEngine:
 def vcf_rows_numerically_equivalent(
     a: Sequence[str], b: Sequence[str],
     qual_tol: float = 0.5, gq_tol: int = 1, pl_tol: int = 1,
-    flip_budget: float = 0.0,
+    flip_budget: float = 0.0, lone_qual_max: float = 20.0,
 ) -> Tuple[bool, Dict]:
     """Structured VCF-row parity across compute dtypes/backends.
 
@@ -525,9 +525,14 @@ def vcf_rows_numerically_equivalent(
     Rows are joined by (CHROM, POS).  Same-source rows must agree on
     every discrete field (REF/ALT/FILTER/INFO/GT/DP/AD/AF byte-identical)
     with |dQUAL| <= qual_tol, |dGQ| <= gq_tol, per-entry |dPL| <= pl_tol.
-    Source-flipped rows (INFO P vs F, or a position present on one side
-    only) must still agree on REF/ALT/GT when paired, and their total
-    count must be <= flip_budget * rows.
+    Source-flipped rows (INFO exactly P-vs-F, or a position present on one
+    side only) must still agree on REF/ALT/GT when paired, and their total
+    count must be <= flip_budget * rows.  A one-sided row only counts
+    against the budget when it is plausibly a routing artifact — a ref
+    call (GT 0/0 or ./., or FILTER RefCall) or a low-QUAL call
+    (QUAL <= lone_qual_max, the routed quantiles are the low-QUAL tail);
+    a confidently-called lone variant is a violation regardless of budget,
+    and any paired INFO difference other than P-vs-F fails outright.
 
     Returns (ok, stats); stats records max deltas, the flip count, and
     the first violations.
@@ -551,8 +556,18 @@ def vcf_rows_numerically_equivalent(
         stats["flips"] += 1
         side = "production" if key in ia else "twin"
         f = (ia.get(key) or ib.get(key))
-        if len(stats["violations"]) < 8 and flip_budget == 0.0:
+        if flip_budget == 0.0:
             _fail(key, f"row only in {side} run")
+            continue
+        gt = f[9].split(":", 1)[0] if len(f) > 9 else ""
+        is_ref_call = gt in ("0/0", "./.") or "RefCall" in f[6]
+        try:
+            low_qual = float(f[5]) <= lone_qual_max
+        except ValueError:
+            low_qual = False
+        if not (is_ref_call or low_qual):
+            _fail(key, f"confident variant row only in {side} run "
+                       f"(QUAL {f[5]}, GT {gt}): not a routing artifact")
 
     for key in sorted(set(ia) & set(ib)):
         fa, fb = ia[key], ib[key]
@@ -560,7 +575,13 @@ def vcf_rows_numerically_equivalent(
             continue
         gt_a = fa[9].split(":", 1)[0] if len(fa) > 9 else ""
         gt_b = fb[9].split(":", 1)[0] if len(fb) > 9 else ""
-        if fa[7] != fb[7]:  # INFO source flipped (P vs F): routing boundary
+        if fa[7] != fb[7]:
+            if {fa[7], fb[7]} != {"P", "F"}:
+                # only the P<->F source tag may differ; any other INFO
+                # delta is a regression, not a routing boundary
+                _fail(key, f"INFO {fa[7]!r} vs {fb[7]!r} (not a P/F "
+                           f"routing flip)")
+                continue
             stats["flips"] += 1
             if fa[3] != fb[3] or fa[4] != fb[4] or gt_a != gt_b:
                 _fail(key, f"source flip changed the call: "

@@ -471,3 +471,25 @@ def test_rowpack_cutoffs_match_stats_path():
     # duplicate a slice (chunk-boundary rows arrive from both owners)
     dup = tuple(np.concatenate([a, a[100:140]]) for a in pack)
     assert cutoffs_from_rowpack(*dup, 0.3, 0.1, 0.7) == got
+
+
+def test_rowpack_cutoffs_reject_divergent_duplicates():
+    """A duplicate (ctg, pos) whose qual/flags DISAGREE across processes
+    (chunk-boundary extraction divergence) must raise, not silently pick
+    whichever owner's row np.unique saw first."""
+    import numpy as np
+    import pytest
+
+    from clair3_tpu.pipeline.select import cutoffs_from_rowpack
+
+    ctg = np.array([0, 0, 0], np.uint32)
+    pos = np.array([100, 200, 200], np.uint32)
+    qual = np.array([5.0, 9.0, 9.5], np.float64)  # pos 200 disagrees
+    flags = np.array([0, 1, 1], np.uint32)
+    with pytest.raises(ValueError, match="duplicate rows disagree"):
+        cutoffs_from_rowpack(ctg, pos, qual, flags, 0.3, 0.1, 0.7)
+    # flags-only divergence must also raise
+    qual2 = np.array([5.0, 9.0, 9.0], np.float64)
+    flags2 = np.array([0, 1, 0], np.uint32)
+    with pytest.raises(ValueError, match="duplicate rows disagree"):
+        cutoffs_from_rowpack(ctg, pos, qual2, flags2, 0.3, 0.1, 0.7)

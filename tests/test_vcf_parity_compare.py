@@ -68,6 +68,34 @@ def test_extra_row_fails_without_flip_budget():
     assert not ok and stats["flips"] == 1
 
 
+def test_lone_confident_variant_fails_even_within_budget():
+    # a one-sided HIGH-QUAL variant row is a dropped/extra call, not a
+    # routing artifact: must fail regardless of flip_budget
+    lone = _mut(ROW, 1, "7777")  # QUAL 40.24, GT 1/1
+    ok, stats = vcf_rows_numerically_equivalent([ROW, lone], [ROW],
+                                                flip_budget=1.0)
+    assert not ok and "not a routing artifact" in stats["violations"][0]
+    # ... but a low-QUAL lone row or a lone ref call IS budgetable
+    low = _mut(_mut(ROW, 1, "7777"), 5, "8.10")
+    ok, _ = vcf_rows_numerically_equivalent([ROW, low], [ROW],
+                                            flip_budget=1.0)
+    assert ok
+    refcall = _mut_sample(_mut(_mut(ROW, 1, "7778"), 6, "RefCall"),
+                          "GT", "0/0")
+    ok, _ = vcf_rows_numerically_equivalent([ROW, refcall], [ROW],
+                                            flip_budget=1.0)
+    assert ok
+
+
+def test_non_pf_info_difference_fails_even_within_budget():
+    # only the P<->F source tag may flip; any other INFO delta is a
+    # regression (e.g. a changed annotation), never budgetable
+    other = _mut(ROW, 7, "P;X=1")
+    ok, stats = vcf_rows_numerically_equivalent([ROW], [other],
+                                                flip_budget=1.0)
+    assert not ok and "not a P/F routing flip" in stats["violations"][0]
+
+
 def test_routing_flip_within_budget_passes_if_call_agrees():
     # INFO P vs F with different QUAL/GQ/PL but same REF/ALT/GT: a
     # routing-boundary flip, allowed under the budget
