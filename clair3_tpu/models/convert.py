@@ -135,11 +135,31 @@ _IGNORABLE = ("num_batches_tracked",)
 def convert_checkpoint(path: str, kind: str, strict: bool = True) -> Dict:
     """kind: 'pileup' | 'full_alignment'.
 
-    With ``strict`` (default), every checkpoint tensor must be consumed by
-    the layout mapping (BatchNorm ``num_batches_tracked`` counters aside) —
-    a published ``.pt`` either loads completely or fails loudly instead of
-    silently dropping weights."""
+    With ``strict`` (default), the state dict is first validated against
+    the reference architecture's key/shape manifest (models/schema.py) so a
+    published ``.pt`` with an unexpected prefix, a missing tensor, or a
+    wrong shape fails with ONE aggregated, actionable message at the user's
+    first run; afterwards every tensor must also be consumed by the layout
+    mapping (BatchNorm ``num_batches_tracked`` counters aside) — a
+    checkpoint either loads completely or fails loudly instead of silently
+    dropping weights."""
     sd = _TrackingDict(load_torch_state_dict(path))
+    if strict:
+        from clair3_tpu.models.schema import validate_state_dict
+
+        # plain-dict copy: validation reads every tensor and must not mark
+        # keys as consumed for the post-conversion unused check
+        problems = validate_state_dict(dict(sd), kind)
+        if problems:
+            shown = "\n  ".join(problems[:12])
+            more = f"\n  ... and {len(problems) - 12} more" \
+                if len(problems) > 12 else ""
+            raise ValueError(
+                f"{path} does not conform to the reference {kind} "
+                f"checkpoint schema ({len(problems)} problem(s)):\n"
+                f"  {shown}{more}\n"
+                "(expected a Clair3_P/Clair3_F torch state_dict, optionally "
+                "{'state_dict': ...}-wrapped and/or 'module.'-prefixed)")
     if kind == "pileup":
         out = pileup_variables_from_torch(sd)
     elif kind == "full_alignment":

@@ -249,7 +249,8 @@ def test_strict_conversion_rejects_unconsumed_keys(tmp_path):
     sd["mystery.weight"] = torch.zeros(3)
     path = str(tmp_path / "extra.pt")
     torch.save(sd, path)
-    with pytest.raises(ValueError, match="not consumed"):
+    # schema validation now fires first with an aggregated message
+    with pytest.raises(ValueError, match="unexpected tensor"):
         convert_checkpoint(path, "pileup")
     # non-strict tolerates it
     convert_checkpoint(path, "pileup", strict=False)
@@ -261,7 +262,9 @@ def test_strict_conversion_rejects_missing_keys(tmp_path):
     del sd["L5_2.bias"]
     path = str(tmp_path / "missing.pt")
     torch.save(sd, path)
-    with pytest.raises(KeyError):
+    # schema validation reports the missing tensor up front (it used to
+    # surface as a KeyError mid-conversion)
+    with pytest.raises(ValueError, match="missing tensor 'L5_2.bias'"):
         convert_checkpoint(path, "pileup")
 
 
