@@ -25,13 +25,111 @@ from __future__ import annotations
 import io
 import json
 import threading
-from concurrent.futures import ThreadPoolExecutor
+import time
+from concurrent.futures import Future, ThreadPoolExecutor
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional
 
 import numpy as np
 
 _MAX_BODY = 1 << 31  # 2 GiB: a full 4096-candidate FA batch is ~96 MB
+
+
+class _Coalescer:
+    """Cross-request batch coalescing for one engine kind.
+
+    N concurrent clients would otherwise serialize one small forward each
+    behind the per-kind lock; instead handler threads enqueue
+    (tensor, Future) pairs and a single dispatcher thread concatenates
+    everything pending with a matching row shape into ONE forward, then
+    splits the probabilities back per request.  Row-independent inference
+    (no cross-row ops; batches pad to the same static bucket program)
+    makes the coalesced outputs byte-identical to per-request forwards —
+    asserted by tests/test_serve.py.
+
+    ``window_s`` is the collection window after the first pending request
+    (long enough for in-flight sibling requests to land, short next to a
+    forward); ``max_rows`` bounds one coalesced batch.
+    """
+
+    def __init__(self, engine, max_rows: int = 8192,
+                 window_s: float = 0.003):
+        self.engine = engine
+        self.max_rows = max_rows
+        self.window_s = window_s
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._pending: List = []  # (array, Future)
+        self._closed = False
+        # observability for the /stats endpoint and bench
+        self.requests = 0
+        self.batches = 0
+        self.rows = 0
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="serve-coalesce")
+        self._thread.start()
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        fut: Future = Future()
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("server shutting down")
+            self._pending.append((x, fut))
+            self.requests += 1
+            self._cv.notify()
+        return fut.result()
+
+    def _take_group(self) -> List:
+        """Pop all pending requests whose row shape matches the oldest
+        one's, up to max_rows total (others stay for the next batch)."""
+        group, keep, rows = [], [], 0
+        shape = self._pending[0][0].shape[1:]
+        for item in self._pending:
+            n = item[0].shape[0]
+            if item[0].shape[1:] == shape and rows + n <= self.max_rows:
+                group.append(item)
+                rows += n
+            else:
+                keep.append(item)
+        self._pending = keep
+        return group
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while not self._pending and not self._closed:
+                    self._cv.wait()
+                if self._closed and not self._pending:
+                    return
+            time.sleep(self.window_s)  # let sibling requests land
+            with self._cv:
+                group = self._take_group()
+            xs = [g[0] for g in group]
+            try:
+                probs = np.asarray(self.engine.predict(
+                    xs[0] if len(xs) == 1 else np.concatenate(xs, axis=0)))
+            except Exception as exc:
+                for _, fut in group:
+                    fut.set_exception(exc)
+                continue
+            self.batches += 1
+            off = 0
+            for x, fut in group:
+                n = x.shape[0]
+                self.rows += n
+                fut.set_result(probs[off:off + n])
+                off += n
+
+    def stats(self) -> Dict[str, int]:
+        with self._lock:
+            return {"requests": self.requests, "batches": self.batches,
+                    "rows": self.rows}
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._thread.join(timeout=10)
 
 
 def _dump_npy(arr: np.ndarray) -> bytes:
@@ -49,14 +147,17 @@ class EngineServer:
 
     ``engines`` maps kind ("pileup" / "full_alignment") to objects with a
     ``predict(np.ndarray) -> np.ndarray`` method (normally InferenceEngine,
-    oracle engines in tests).  Requests are serialized per engine: the
-    handler threads funnel through one lock per kind, so concurrent
-    clients cannot race the engine's lazy submitter-pool init."""
+    oracle engines in tests).  Each engine sits behind a :class:`_Coalescer`
+    — concurrent clients' batches merge into one forward instead of
+    serializing, and the single dispatcher thread per kind means the
+    engine's lazy submitter-pool init can never race."""
 
     def __init__(self, engines: Dict[str, object], host: str = "127.0.0.1",
-                 port: int = 0, platform: Optional[str] = None):
+                 port: int = 0, platform: Optional[str] = None,
+                 coalesce_window_s: float = 0.003):
         self.engines = engines
-        self._locks = {kind: threading.Lock() for kind in engines}
+        self._coalescers = {kind: _Coalescer(eng, window_s=coalesce_window_s)
+                            for kind, eng in engines.items()}
         info: Dict = {"models": {}}
         if platform is not None:
             info["platform"] = platform
@@ -93,6 +194,10 @@ class EngineServer:
             def do_GET(self):
                 if self.path == "/info":
                     self._reply(200, server._info, "application/json")
+                elif self.path == "/stats":
+                    body = json.dumps({k: c.stats() for k, c in
+                                       server._coalescers.items()}).encode()
+                    self._reply(200, body, "application/json")
                 else:
                     self._reply(404, b"not found", "text/plain")
 
@@ -112,8 +217,7 @@ class EngineServer:
                     return
                 try:
                     x = _load_npy(self.rfile.read(n))
-                    with server._locks[kind]:
-                        probs = eng.predict(x)
+                    probs = server._coalescers[kind].predict(x)
                 except Exception as exc:  # surface to the client
                     self._reply(400, repr(exc).encode(), "text/plain")
                     return
@@ -143,6 +247,12 @@ class EngineServer:
             self._thread.join()
             self._thread = None
         self._httpd.server_close()
+        for c in self._coalescers.values():
+            c.close()
+
+    def stats(self) -> Dict[str, Dict[str, int]]:
+        """Per-kind coalescing counters (requests / batches / rows)."""
+        return {k: c.stats() for k, c in self._coalescers.items()}
 
 
 class RemoteEngine:

@@ -107,6 +107,94 @@ def test_concurrent_clients_consistent(real_engines):
         server.shutdown()
 
 
+def test_many_concurrent_clients_coalesce_byte_identically(real_engines):
+    """N=12 (>8) concurrent clients: the per-kind _Coalescer must merge
+    pending requests into fewer engine forwards (measured via /stats), and
+    every client's rows must equal a solo engine.predict byte for byte
+    (row-independent inference + shared bucket program)."""
+    import json
+    import urllib.request
+
+    pe, _ = real_engines
+    # wide collection window so the one-vCPU CI reliably coalesces
+    server = EngineServer({"pileup": pe}, coalesce_window_s=0.2)
+    server.serve_background()
+    rng = np.random.default_rng(7)
+    n_clients = 12
+    batches = [rng.integers(-30, 30, (2 + (i % 5), 33, 18)).astype(np.int32)
+               for i in range(n_clients)]
+    want = [pe.predict(b) for b in batches]
+    got = [None] * n_clients
+    errs = []
+    clients = [RemoteEngine(server.address, "pileup")
+               for _ in range(n_clients)]  # /info round-trips up front
+    start = threading.Barrier(n_clients)
+
+    def worker(i):
+        try:
+            start.wait(timeout=30)
+            got[i] = clients[i].predict(batches[i])
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    try:
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(n_clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+        with urllib.request.urlopen(server.address + "/stats",
+                                    timeout=30) as r:
+            stats = json.loads(r.read().decode())["pileup"]
+        assert stats["requests"] == n_clients
+        assert stats["rows"] == sum(b.shape[0] for b in batches)
+        # coalescing actually happened: fewer forwards than requests
+        assert stats["batches"] < n_clients, stats
+    finally:
+        server.shutdown()
+
+
+def test_coalescer_groups_mismatched_shapes(real_engines):
+    """Concurrent requests with DIFFERENT row shapes (e.g. two FA depths)
+    must not concatenate; each group still returns correct rows."""
+    _, fe = real_engines
+    server = EngineServer({"full_alignment": fe}, coalesce_window_s=0.2)
+    server.serve_background()
+    rng = np.random.default_rng(8)
+    shapes = [(3, 89, 33, 8), (4, 55, 33, 8), (2, 89, 33, 8)]
+    batches = [rng.integers(-100, 100, s).astype(np.int8) for s in shapes]
+    want = [fe.predict(b) for b in batches]
+    got = [None] * len(batches)
+    errs = []
+    clients = [RemoteEngine(server.address, "full_alignment")
+               for _ in batches]
+    start = threading.Barrier(len(batches))
+
+    def worker(i):
+        try:
+            start.wait(timeout=30)
+            got[i] = clients[i].predict(batches[i])
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    try:
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(batches))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+    finally:
+        server.shutdown()
+
+
 def test_build_server_from_model_dir(tmp_path):
     """`clair3_tpu serve --model_path DIR` loads the same engines `call`
     builds, resolves .npz checkpoints, and serves them."""
