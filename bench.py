@@ -8,12 +8,17 @@ Three phases:
    shipped configuration (bf16 + fully-fused Pallas pileup kernel on TPU)
    with a device-resident loop: ONE realistic random batch is staged on
    device up front, each iteration applies a cheap data-dependent
-   perturbation (so XLA cannot hoist the forward), and exactly one scalar
-   returns to host.  (Earlier rounds generated a fresh random batch
-   INSIDE the loop; at the FA tensor's 48M elements the RNG alone was
-   ~36% of the measured time — r03's 201k FA cand/s was really ~325k.)
-   This is the chip ceiling, independent of this sandbox's slow
-   host<->device tunnel.
+   perturbation (so XLA cannot hoist the forward), and the carry reduces
+   over the FULL output (so XLA cannot dead-code-eliminate batch rows),
+   with exactly one scalar returning to host.  Methodology history,
+   resolved in round 5: r03 generated a fresh random batch INSIDE the
+   loop (RNG ~36% of measured FA time -> 201k cand/s); r04 staged the
+   batch but consumed only y[0,0] (271k); r05 adds the full-output
+   reduction and measures 279k — i.e. r04's number was honest (no row
+   DCE actually occurred) and r03->r04's uplift was methodology, while
+   r04's "really ~325k" backfill ESTIMATE for r03 was simply wrong and
+   is withdrawn.  The r05 loop is the single methodology for all
+   numbers in docs/parity.md's history table.
 
 2. **End-to-end cascade, serial** — a synthetic HiFi-like workload
    (25x coverage, 2% error, het SNPs for haplotagging — the distribution
@@ -74,7 +79,10 @@ def bench_forward(model, variables, stage_batch, batch: int, iters: int) -> floa
         def body(carry, i):
             xi = x + (i % 3).astype(x.dtype)
             y = model.apply(variables, xi, train=False)
-            return carry + y.astype(jnp.float32)[0, 0], None
+            # reduce over the FULL output: consuming only y[0, 0] would let
+            # XLA propagate the batch slice through a pure-conv graph and
+            # compute just row 0 on some compiler versions
+            return carry + jnp.sum(y.astype(jnp.float32)), None
 
         total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
                                 jnp.arange(iters))
@@ -107,6 +115,9 @@ def build_production_engines():
     dt = jnp.bfloat16 if on_tpu else jnp.float32
     pileup = PileupNet(add_indel_length=False, compute_dtype=dt,
                        use_pallas_lstm=on_tpu)
+    # FA stays on XLA's conv: measured at ~64% MFU already; the Pallas
+    # banded conv1 is ~3x slower than XLA's conv1 and is an opt-in
+    # experiment only (scripts/bench_fa_conv1.py, cli._use_pallas_fa_conv1)
     fa = FullAlignmentNet(add_indel_length=True, compute_dtype=dt)
     try:
         vp = load_trained_fixture("pileup_hifi.npz")
@@ -342,7 +353,8 @@ def main():
             -100, 100, (B_F, 89, 33, 8)).astype(np.int8))
 
     fa_cps = bench_forward(fa, vf, stage_fa, B_F, ITERS_F)
-    print(f"[bench] full-alignment forward (ONT depth 89): "
+    print(f"[bench] full-alignment forward (ONT depth 89, XLA conv — "
+          f"~64% MFU, roofline-bound; see scripts/bench_fa_conv1.py): "
           f"{fa_cps:,.0f} candidates/s", file=sys.stderr)
 
     fwd_combined = 1.0 / (1.0 / pileup_cps + VAR_PCT_FULL / fa_cps)

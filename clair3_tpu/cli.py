@@ -159,6 +159,33 @@ def _use_pallas_lstm(compute_dtype) -> bool:
             and compute_dtype == jnp.bfloat16)
 
 
+def _use_pallas_fa_conv1(compute_dtype) -> bool:
+    """The FA banded-matmul conv1 kernel (ops/pallas_fa.py) is an opt-in
+    EXPERIMENT (CLAIR3T_ENABLE_FA_CONV1=1), not the default.
+
+    Measured on the real v5e (scripts/bench_fa_conv1.py, staged-batch
+    full-output-sum loop): XLA's own conv1 is 0.52 us/sample — 14% of the
+    3.58 us/sample net, NOT the 38% a round-4 profile claimed under a
+    dead-code-prone measurement loop — and the banded-matmul kernel runs
+    1.49 us/sample (~3x slower; the band spends 792 reduction rows where
+    the conv needs 72 MACs, an 11x FLOP premium XLA's native conv never
+    pays).  The full FA net already sustains ~64% MFU under plain XLA
+    (0.45 GFLOP/sample at 279k samples/s vs the 197 TFLOP/s bf16 peak), so
+    conv1 is not a lever.  The kernel compiles and is numerically exact on
+    all four geometries (tests/test_pallas_fa.py, on-chip compile check),
+    and is retained as a documented negative result."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get("CLAIR3T_DISABLE_PALLAS"):
+        return False
+    return (os.environ.get("CLAIR3T_ENABLE_FA_CONV1") == "1"
+            and jax.default_backend() == "tpu"
+            and compute_dtype == jnp.bfloat16)
+
+
 def _reconcile_dwell(fa_engine, cfg) -> None:
     """Match the extractor's dwell channel to the model's input width
     (reference auto-detects dwell from '*_with_mv' model names,
@@ -212,7 +239,8 @@ def _load_engine(path: str, kind: str, platform: str,
     else:
         in_ch = params["conv1"]["conv"]["kernel"].shape[2]
         model = FullAlignmentNet(add_indel_length=True, input_channels=in_ch,
-                                 compute_dtype=dt)
+                                 compute_dtype=dt,
+                                 use_pallas_conv1=_use_pallas_fa_conv1(dt))
         # depth_crop: ship only the centered nonzero depth band (FA tensors
         # are center-padded; ~2x fewer host->device bytes at 30x coverage);
         # fa_compact: lossless sparse decomposition, ~3.7x fewer bytes on

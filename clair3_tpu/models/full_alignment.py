@@ -117,10 +117,10 @@ class FullAlignmentNet(nn.Module):
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         dt = self.compute_dtype
         if self.use_pallas_conv1 and not train:
-            # conv1 is 38% of the net's device time under XLA (the
-            # 8/9-channel input pads to the 128-lane MXU width); the Pallas
-            # kernel reformulates it as one banded matmul with /NORM, the
-            # conv bias, the inference BN affine, and the ReLU folded in
+            # OPT-IN EXPERIMENT (CLAIR3T_ENABLE_FA_CONV1=1, measured ~3x
+            # slower than XLA's conv1 on v5e — scripts/bench_fa_conv1.py):
+            # conv1 as one banded matmul with /NORM, the conv bias, the
+            # inference BN affine, and the ReLU folded in
             # (ops/pallas_fa.py).  Declares the exact same parameter tree
             # as ConvBNRelu so checkpoints are interchangeable.
             x = self._fused_conv1(x)

@@ -1,13 +1,20 @@
 """Pallas TPU kernel: the full-alignment net's first conv as one banded
-matmul.
+matmul.  STATUS: a documented NEGATIVE result, opt-in only
+(CLAIR3T_ENABLE_FA_CONV1=1) — see scripts/bench_fa_conv1.py.
 
-Why: the FA net's conv1 is a 3x3/stride-2 convolution over an 8(9)-channel
-int8 input (reference architecture: clair3/model.py:282-416 ``Clair3_F``).
-Under XLA the 8-channel input is padded to the 128-lane MXU width, so the
-stage runs at ~1% MXU utilisation and eats ~38% of the whole net's device
-time (measured 1.85 us/sample of a 4.84 us/sample total at B=512 on v5e)
-for 1.5% of the FLOPs.  Every other stage (the 64/128/256-channel convs)
-already runs at ~70% MFU under XLA and is left there.
+History: the FA net's conv1 is a 3x3/stride-2 convolution over an
+8(9)-channel int8 input (reference architecture: clair3/model.py:282-416
+``Clair3_F``).  A round-4 profile under a dead-code-prone measurement
+loop attributed ~38% of the net's device time to this stage (lane-padding
+hypothesis), motivating this kernel.  The round-5 re-measurement under
+the honest staged-batch + full-output-sum loop shows XLA's own conv1 at
+0.52 us/sample (14% of the 3.58 us/sample net) and this kernel at
+1.49 us/sample — ~3x slower, because the band spends 792 reduction rows
+per output where the conv needs 72 MACs (an 11x FLOP premium XLA's
+native conv algorithm never pays).  The full net already sustains ~64%
+MFU under plain XLA.  The kernel is numerically exact and compiles on
+the real chip for all four 55/89 x 8/9 geometries; it is retained for
+the reformulation technique and the measurement record.
 
 This kernel reformulates the stage so the MXU sees one well-shaped matmul:
 

@@ -1,5 +1,12 @@
 """FA conv1 banded-matmul Pallas kernel vs the flax ConvBNRelu (interpret
-mode on CPU; the compiled TPU path is exercised by bench.py).
+mode on CPU).  The kernel does NOT ship as the default: the round-5
+on-chip measurement (scripts/bench_fa_conv1.py) found it ~3x slower than
+XLA's own conv1 (which is 14% of net time, not the 38% a round-4
+dead-code-prone profile claimed); the FA net is ~64% MFU under plain XLA.
+It compiles and is numerically exact on the real chip for all four
+55/89 x 8/9 geometries, and remains available behind
+CLAIR3T_ENABLE_FA_CONV1=1 (cli._use_pallas_fa_conv1) as a documented
+negative result.
 
 The contract: FullAlignmentNet(use_pallas_conv1=True) must (a) declare the
 exact same parameter/batch-stats tree as the ConvBNRelu path so any
@@ -112,3 +119,40 @@ def test_fused_model_train_step_uses_conv_path():
     assert not np.allclose(
         np.asarray(updates["batch_stats"]["conv1"]["bn"]["mean"]),
         np.asarray(v["batch_stats"]["conv1"]["bn"]["mean"]))
+
+
+def test_cli_loader_wires_kernel_per_guard(tmp_path, monkeypatch):
+    """cli._load_engine must build FullAlignmentNet with use_pallas_conv1
+    exactly per the guard: DEFAULT OFF (the kernel measured slower than
+    XLA), opt-in via CLAIR3T_ENABLE_FA_CONV1=1 on TPU+bf16 only."""
+    from clair3_tpu.cli import _load_engine, _use_pallas_fa_conv1
+    from clair3_tpu.models.params_io import save_variables
+
+    # guard truth table (backend faked; the real-TPU compile is covered by
+    # scripts/bench_fa_conv1.py)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("CLAIR3T_ENABLE_FA_CONV1", raising=False)
+    assert _use_pallas_fa_conv1(jnp.bfloat16) is False  # default: off
+    monkeypatch.setenv("CLAIR3T_ENABLE_FA_CONV1", "1")
+    assert _use_pallas_fa_conv1(jnp.bfloat16) is True
+    assert _use_pallas_fa_conv1(jnp.float32) is False
+    monkeypatch.setenv("CLAIR3T_DISABLE_PALLAS", "1")
+    assert _use_pallas_fa_conv1(jnp.bfloat16) is False  # kill-switch wins
+    monkeypatch.delenv("CLAIR3T_DISABLE_PALLAS")
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert _use_pallas_fa_conv1(jnp.bfloat16) is False  # TPU only
+
+    # loader passes the flag through to the model
+    net = FullAlignmentNet(add_indel_length=True)
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 55, 33, 8), jnp.int8),
+                 train=False)
+    path = str(tmp_path / "fa.npz")
+    save_variables(path, v)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    eng = _load_engine(path, "full_alignment", "hifi",
+                       compute_dtype="bf16")
+    assert eng.model.use_pallas_conv1 is True  # env still set from above
+    monkeypatch.delenv("CLAIR3T_ENABLE_FA_CONV1")
+    eng_def = _load_engine(path, "full_alignment", "hifi",
+                           compute_dtype="bf16")
+    assert eng_def.model.use_pallas_conv1 is False
