@@ -1007,9 +1007,14 @@ class CramWriter:
     def __init__(self, path: str, references: Sequence[str],
                  lengths: Sequence[int], ref_fn: Optional[str] = None,
                  records_per_slice: int = 4096, header_text: Optional[str] = None,
-                 version: Tuple[int, int] = (3, 0)):
+                 version: Tuple[int, int] = (3, 0),
+                 method_override: Optional[int] = None):
         if version not in ((3, 0), (3, 1)):
             raise ValueError(f"unsupported CRAM write version {version}")
+        # force every EXTERNAL data block onto one compression method —
+        # the codec-matrix property fuzz (tests/test_native_cram.py) uses
+        # this to drive each codec through REAL containers
+        self.method_override = method_override
         self.path = path
         self.version = version
         # 3.1 stores names NUL-separated so the tok3 codec applies
@@ -1233,19 +1238,26 @@ class CramWriter:
             data = bytes(streams[key])
             content_ids.append(cid)
             is31 = self.version >= (3, 1)
-            if key in ("QS", "BA") and len(data) >= 64:
+            if self.method_override is not None:
+                # tok3 only fits NUL-separated name streams
+                method = self.method_override \
+                    if not (self.method_override == M_TOK3 and key != "RN") \
+                    else M_GZIP
+            elif key in ("QS", "BA") and len(data) >= 64:
                 method = M_RANSNX16 if is31 else M_RANS
             elif is31 and key == "RN" and len(data) >= 64:
                 method = M_TOK3
             else:
                 method = M_GZIP
             ext_blocks.append(write_block(Block(M_RAW, CT_EXTERNAL, cid, data), method))
+        tag_method = M_GZIP if self.method_override in (None, M_TOK3) \
+            else self.method_override
         for name, (lb, vb) in tag_streams.items():
             lid, vid = tag_ids[name]
             content_ids.append(lid)
-            ext_blocks.append(write_block(Block(M_RAW, CT_EXTERNAL, lid, bytes(lb)), M_GZIP))
+            ext_blocks.append(write_block(Block(M_RAW, CT_EXTERNAL, lid, bytes(lb)), tag_method))
             content_ids.append(vid)
-            ext_blocks.append(write_block(Block(M_RAW, CT_EXTERNAL, vid, bytes(vb)), M_GZIP))
+            ext_blocks.append(write_block(Block(M_RAW, CT_EXTERNAL, vid, bytes(vb)), tag_method))
 
         sl = SliceHeader(tid, start1, end1 - start1 + 1, len(reads),
                          self._counter, 1 + len(ext_blocks), content_ids,

@@ -26,6 +26,8 @@ _SRCS = [os.path.join(_DIR, "clair3t_arith.cc"),
          os.path.join(_DIR, "clair3t_rans.cc"),
          os.path.join(_DIR, "clair3t_rans_nx16.cc"),
          os.path.join(_DIR, "clair3t_cram.cc"),
+         os.path.join(_DIR, "clair3t_bzip2.cc"),
+         os.path.join(_DIR, "clair3t_xz.cc"),
          os.path.join(_DIR, "clair3t_pack.cc")]
 _HDRS = [os.path.join(_DIR, "common.h")]
 _SO = os.path.join(_DIR, "libclair3t.so")
@@ -436,6 +438,48 @@ def rans_decode_native(payload: bytes) -> Optional[bytes]:
     return bytes(out)
 
 
+def bzip2_decode_native(payload: bytes, raw_size: int) -> Optional[bytes]:
+    """Native bzip2 decode (clair3t_bzip2.cc; also backs CRAM method-2
+    blocks and the arith codec's EXT transform in-library); None when the
+    native library is unavailable (caller falls back to stdlib bz2)."""
+    try:
+        lib = get_lib()
+    except Exception:
+        return None
+    if not getattr(lib, "_bzxz_bound", False):
+        _bind_bzxz(lib)
+    out = ctypes.create_string_buffer(max(1, raw_size))
+    rc = lib.clair3t_bzip2_decode(payload, len(payload), out, raw_size)
+    if rc != raw_size:
+        raise ValueError(f"native bzip2 decode failed (rc={rc})")
+    return out.raw[:raw_size]
+
+
+def xz_decode_native(payload: bytes, raw_size: int) -> Optional[bytes]:
+    """Native .xz/LZMA2 decode (clair3t_xz.cc; backs CRAM method-3
+    blocks in-library); None when the native library is unavailable
+    (caller falls back to stdlib lzma)."""
+    try:
+        lib = get_lib()
+    except Exception:
+        return None
+    if not getattr(lib, "_bzxz_bound", False):
+        _bind_bzxz(lib)
+    out = ctypes.create_string_buffer(max(1, raw_size))
+    rc = lib.clair3t_xz_decode(payload, len(payload), out, raw_size)
+    if rc != raw_size:
+        raise ValueError(f"native xz decode failed (rc={rc})")
+    return out.raw[:raw_size]
+
+
+def _bind_bzxz(lib) -> None:
+    for fn in (lib.clair3t_bzip2_decode, lib.clair3t_xz_decode):
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                       ctypes.c_char_p, ctypes.c_int64]
+    lib._bzxz_bound = True
+
+
 class _GvcfRows(ctypes.Structure):
     # '\n'-joined row blob: one bulk decode on the Python side instead of
     # a per-row decode (a WGS run drains millions of rows)
@@ -513,10 +557,16 @@ class NativeGvcfWriter:
 
     def drain(self) -> List[str]:
         """Completed rows so far (streaming spill support); the open block
-        stays internal until finish()."""
+        stays internal until flush()/finish()."""
         out = self.rows + self._take(False)
         self.rows = []
         return out
+
+    def flush(self) -> None:
+        """Close the open block (chunk-boundary closure, matching the
+        reference's per-chunk .tmp.gvcf semantics); rows surface at the
+        next drain().  The writer stays usable for further feeds."""
+        self.rows.extend(self._take(True))
 
     def finish(self) -> List[str]:
         self.rows.extend(self._take(True))

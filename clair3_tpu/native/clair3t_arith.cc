@@ -3,8 +3,7 @@
 // io/arith.py (reference behavior: htslib cram/arith_dynamic.c).
 //
 // Decode-only: CRAM writing stays on the Python side.  The EXT transform
-// (0x80, an embedded bzip2 stream) returns failure so the caller falls
-// back to the Python path — bzip2 is not linked into this library.
+// (0x80) is an embedded bzip2 stream, decoded by clair3t_bzip2.cc.
 //
 // Used twice by the native CRAM -> BAM converter: method-6 blocks, and
 // arith-backed tok3 name-token streams (clair3t_rans_nx16.cc).
@@ -14,6 +13,9 @@
 #include <cstring>
 #include <memory>
 #include <vector>
+
+extern "C" int64_t clair3t_bzip2_decode(const uint8_t* data, int64_t n,
+                                        uint8_t* out, int64_t out_cap);
 
 namespace c3arith {
 
@@ -245,7 +247,11 @@ bool decompress(const uint8_t* in, size_t in_len, uint8_t* out,
     if (c.p + out_sz > c.n) return false;
     memcpy(target, c.d + c.p, out_sz);
   } else if (flags & F_EXT) {
-    return false;  // bzip2 transform -> Python fallback
+    // EXT = embedded bzip2 (io/arith.py:320-323)
+    if (c.p > c.n) return false;
+    if (clair3t_bzip2_decode(c.d + c.p, (int64_t)(c.n - c.p), target,
+                             (int64_t)out_sz) != (int64_t)out_sz)
+      return false;
   } else if (out_sz == 0) {
     // nothing
   } else if (flags & F_RLE) {

@@ -27,6 +27,10 @@
 
 extern "C" int clair3t_rans_decode(const uint8_t* payload, int64_t payload_len,
                                    uint8_t* out, int64_t out_sz);
+extern "C" int64_t clair3t_bzip2_decode(const uint8_t* data, int64_t n,
+                                        uint8_t* out, int64_t out_cap);
+extern "C" int64_t clair3t_xz_decode(const uint8_t* data, int64_t n,
+                                     uint8_t* out, int64_t out_cap);
 extern "C" int clair3t_rans_nx16_decode(const uint8_t* payload,
                                         int64_t payload_len, uint8_t* out,
                                         int64_t out_sz);
@@ -170,6 +174,14 @@ int read_block(Cur& c, Block* b) {
       return OK;
     case 1:  // gzip
       return gunzip_block(comp, comp_sz, b->data.data(), raw_sz) ? OK : E_CORRUPT;
+    case 2:  // bzip2 (clair3t_bzip2.cc; oracle: stdlib bz2)
+      return clair3t_bzip2_decode(comp, comp_sz, b->data.data(), raw_sz)
+                     == raw_sz
+                 ? OK : E_CORRUPT;
+    case 3:  // lzma/.xz (clair3t_xz.cc; oracle: stdlib lzma)
+      return clair3t_xz_decode(comp, comp_sz, b->data.data(), raw_sz)
+                     == raw_sz
+                 ? OK : E_CORRUPT;
     case 4:  // rANS 4x8
       return clair3t_rans_decode(comp, comp_sz, b->data.data(), raw_sz) == 0
                  ? OK : E_CORRUPT;

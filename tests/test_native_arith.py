@@ -53,10 +53,14 @@ def test_native_decode_matches_python_encoder(flags):
         assert got == data, (flags, len(data))
 
 
-def test_native_rejects_ext_bzip2():
-    payload = arith_compress(b"hello world" * 100, F_EXT)
-    rc, _ = _native_arith_decode(payload, 1100)
-    assert rc != 0  # bzip2 transform -> Python fallback
+def test_native_decodes_ext_bzip2():
+    """The EXT transform (embedded bzip2) decodes in-library now
+    (clair3t_bzip2.cc) — formerly the Python-fallback trigger."""
+    data = b"hello world" * 100
+    payload = arith_compress(data, F_EXT)
+    rc, out = _native_arith_decode(payload, len(data))
+    assert rc == 0
+    assert out == data
 
 
 def test_native_tok3_decodes_arith_streams():

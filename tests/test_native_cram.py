@@ -93,38 +93,152 @@ def test_cram31_served_natively(case, tmp_path):
         _reads_equal(a, b)
 
 
-def test_unsupported_codec_falls_back_to_python(case, tmp_path, monkeypatch):
-    """Blocks coded with bzip2 (method 2) are outside the native
-    converter's scope (bzip2 is not linked): it returns None and
-    cram_to_bam transparently uses the Python reader.  (Arith blocks,
-    formerly the fallback trigger here, decode natively now —
-    tests/test_native_arith.py.)"""
-    import clair3_tpu.io.cram as cram_mod
+def test_unsupported_input_falls_back_to_python(case, tmp_path):
+    """Coordinate-UNSORTED records are outside the native converter's
+    scope (it streams BAM+BAI, so it requires sorted input): it returns
+    None and cram_to_bam transparently uses the Python reader, which
+    sorts.  (bzip2/lzma/arith-EXT blocks, the former fallback triggers
+    here, all decode natively now — test_codec_matrix_native below.)"""
+    from clair3_tpu.io.bam import write_bam
 
-    # route the writer's "rANS-Nx16" block choice to bzip2
-    orig_wb = cram_mod.write_block
-
-    def wb(block, method):
-        if method == cram_mod.M_RANSNX16:
-            method = cram_mod.M_BZIP2
-        return orig_wb(block, method)
-
-    monkeypatch.setattr(cram_mod, "write_block", wb)
-    cram_a = str(tmp_path / "arith.cram")
-    bam_to_cram(case["bam"], cram_a, case["fasta"], version=(3, 1))
-    monkeypatch.undo()
+    reads = sorted(CramReader(case["cram"], ref_fn=case["fasta"]),
+                   key=lambda r: (r.tid, r.pos))
+    shuffled = reads[::-1]  # fully reversed: unambiguously unsorted
+    unsorted_bam = str(tmp_path / "unsorted.bam")
+    refs = CramReader(case["cram"], ref_fn=case["fasta"]).references
+    lens = CramReader(case["cram"], ref_fn=case["fasta"]).lengths
+    write_bam(unsorted_bam, refs, lens, shuffled)
+    cram_u = str(tmp_path / "unsorted.cram")
+    bam_to_cram(unsorted_bam, cram_u, case["fasta"])
 
     out_bam = str(tmp_path / "na.bam")
-    assert native.cram_to_bam_native(cram_a, case["fasta"], out_bam) is None
+    assert native.cram_to_bam_native(cram_u, case["fasta"], out_bam) is None
     from clair3_tpu.io.cram import cram_to_bam
 
-    got = cram_to_bam(cram_a, out_bam, case["fasta"])
+    got = cram_to_bam(cram_u, out_bam, case["fasta"])
+    # same-position reads keep arbitrary relative order through the sort:
+    # compare with qname as the tiebreak
+    key = lambda r: (r.tid, r.pos, r.qname)  # noqa: E731
+    back = sorted(BamReader(got), key=key)
+    want = sorted(reads, key=key)
+    assert len(back) == len(want)
+    for a, b in zip(want, back):
+        _reads_equal(a, b)
+
+
+@pytest.mark.parametrize("version,method_name", [
+    ((3, 0), "M_GZIP"), ((3, 0), "M_BZIP2"), ((3, 0), "M_LZMA"),
+    ((3, 0), "M_RANS"), ((3, 1), "M_RANSNX16"), ((3, 1), "M_ARITH"),
+    ((3, 1), "M_TOK3"),
+])
+def test_codec_matrix_native(case, tmp_path, version, method_name):
+    """Property fuzz over the FULL writable codec matrix: every EXTERNAL
+    block of a real container forced onto one compression method
+    (CramWriter method_override), decoded by the NATIVE converter with no
+    Python fallback, records identical to the Python oracle reader.
+    Covers the r4 gaps: native bzip2 (method 2), native lzma/.xz
+    (method 3) — clair3t_bzip2.cc / clair3t_xz.cc."""
+    import clair3_tpu.io.cram as cram_mod
+    from clair3_tpu.io.bam import BamReader as BR
+    from clair3_tpu.io.cram import CramWriter
+
+    method = getattr(cram_mod, method_name)
+    cram_p = str(tmp_path / f"m{method}.cram")
+    bam = BR(case["bam"])
+    with CramWriter(cram_p, bam.references, bam.lengths,
+                    ref_fn=case["fasta"], header_text=bam.header_text or None,
+                    version=version, method_override=method,
+                    records_per_slice=97) as w:  # odd slice size: more blocks
+        for read in bam:
+            w.write(read)
+
+    out_bam = str(tmp_path / "native.bam")
+    got = native.cram_to_bam_native(cram_p, case["fasta"], out_bam)
+    assert got is not None, f"native converter refused method {method_name}"
     back = list(BamReader(got))
     want = sorted(CramReader(case["cram"], ref_fn=case["fasta"]),
                   key=lambda r: (r.tid, r.pos))
     assert len(back) == len(want)
     for a, b in zip(want, back):
         _reads_equal(a, b)
+
+
+def test_arith_ext_blocks_decode_natively(case, tmp_path, monkeypatch):
+    """The arith codec's EXT transform (an embedded bzip2 stream,
+    io/arith.py:320-323) decodes in-library now (clair3t_arith.cc ->
+    clair3t_bzip2.cc): force the writer's arith blocks onto F_EXT and
+    convert natively with no fallback."""
+    import clair3_tpu.io.arith as arith_mod
+    import clair3_tpu.io.cram as cram_mod
+
+    orig = cram_mod._compress
+
+    def compress_ext(method, data):
+        if method == cram_mod.M_ARITH:
+            return arith_mod.arith_compress(data, arith_mod.F_EXT)
+        return orig(method, data)
+
+    monkeypatch.setattr(cram_mod, "_compress", compress_ext)
+    cram_p = str(tmp_path / "ext.cram")
+    from clair3_tpu.io.bam import BamReader as BR
+    from clair3_tpu.io.cram import CramWriter
+
+    bam = BR(case["bam"])
+    with CramWriter(cram_p, bam.references, bam.lengths,
+                    ref_fn=case["fasta"], header_text=bam.header_text or None,
+                    version=(3, 1),
+                    method_override=cram_mod.M_ARITH) as w:
+        for read in bam:
+            w.write(read)
+    monkeypatch.undo()
+
+    out_bam = str(tmp_path / "ext.bam")
+    got = native.cram_to_bam_native(cram_p, case["fasta"], out_bam)
+    assert got is not None, "native converter refused arith-EXT blocks"
+    back = list(BamReader(got))
+    want = sorted(CramReader(case["cram"], ref_fn=case["fasta"]),
+                  key=lambda r: (r.tid, r.pos))
+    assert len(back) == len(want)
+    for a, b in zip(want, back):
+        _reads_equal(a, b)
+
+
+def test_native_bzip2_xz_random_stream_fuzz():
+    """Randomized-payload differential fuzz of the two new block codecs vs
+    their stdlib oracles: random bytes, DNA-like, repetitive, all-zero and
+    empty payloads; multi-block bzip2 (compresslevel=1 at >100k forces
+    multiple 100k blocks); corrupted streams must fail, not crash."""
+    import bz2
+    import lzma
+
+    from clair3_tpu.native import bzip2_decode_native, xz_decode_native
+
+    rng = np.random.RandomState(11)
+    payloads = [b"", b"a", bytes(1000)]
+    for n in (17, 997, 65536, 250_000):
+        payloads.append(rng.randint(0, 256, n).astype(np.uint8).tobytes())
+        payloads.append(rng.choice(list(b"ACGT"), n).astype(np.uint8).tobytes())
+        payloads.append((b"qualqualQUAL!!" * (n // 14 + 1))[:n])
+    for data in payloads:
+        for comp, fn in ((bz2.compress(data, 1), bzip2_decode_native),
+                         (bz2.compress(data, 9), bzip2_decode_native),
+                         (lzma.compress(data), xz_decode_native),
+                         (lzma.compress(data, preset=1), xz_decode_native)):
+            assert fn(comp, len(data)) == data
+    # corruption: every byte position of a small stream, flipped
+    data = payloads[4][:4096]
+    for comp, fn in ((bz2.compress(data), bzip2_decode_native),
+                     (lzma.compress(data), xz_decode_native)):
+        for i in range(0, len(comp), max(1, len(comp) // 64)):
+            bad = bytearray(comp)
+            bad[i] ^= 0x5A
+            try:
+                out = fn(bytes(bad), len(data))
+                # a flip the checksum catches must NOT return success with
+                # wrong bytes
+                assert out == data or False, "corruption accepted"
+            except ValueError:
+                pass  # rejected, as it should be
 
 
 def test_native_nx16_and_tok3_decoders_match_python(tmp_path):
