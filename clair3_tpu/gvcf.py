@@ -144,7 +144,12 @@ class NonVariantBlockWriter:
             # the dp/gq aggregates are needed unless per-site rows will be
             # emitted (bp_resolution or ./. blocks) — creating and retaining
             # a _Site per genome position dominated WGS-scale gVCF runs
-            if not (binned_gq != head.binned_gq or gt != head.gt
+            # position continuity: a gap (e.g. a dist process feeding only
+            # its OWNED chunks, which are strided) must close the block —
+            # the reference's per-chunk .tmp.gvcf files can never span a
+            # gap either (preprocess/CreateTensorPileupFromCffi.py:399-441)
+            if not (pos != self._last_pos + 1
+                    or binned_gq != head.binned_gq or gt != head.gt
                     or chrom != head.chrom
                     or (ref != self._last_ref
                         and (ref == "N" or self._last_ref == "N"))):

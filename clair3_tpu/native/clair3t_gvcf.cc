@@ -193,7 +193,10 @@ struct GvcfState {
     }
 
     if (open) {
-      bool breaks = binned != head.binned_gq || valid != head.valid_pl ||
+      // position continuity: a gap (a dist process feeds only its OWNED
+      // strided chunks) must close the block, exactly like the Python twin
+      bool breaks = pos != last_pos + 1 ||
+                    binned != head.binned_gq || valid != head.valid_pl ||
                     chrom_ != chrom ||
                     (ref != last_ref && (ref == 'N' || last_ref == 'N'));
       if (!breaks) {

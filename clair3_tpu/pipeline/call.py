@@ -317,6 +317,13 @@ class VariantCaller:
                         nr[d0: d0 + (s1 - s0)] = res.pos_ref_count[s0:s1]
                         nt[d0: d0 + (s1 - s0)] = res.pos_total_count[s0:s1]
                     gvcf_writer.feed(task.contig, task.start, ref_seq, nr, nt)
+                    # close the open block at the chunk boundary: the
+                    # reference's per-chunk .tmp.gvcf intermediates can
+                    # never span chunks either (SortVcf.py concatenates
+                    # rows without re-merging blocks), and per-chunk
+                    # closure makes single-process and --dist_* shard
+                    # outputs byte-identical (tests/test_distributed.py)
+                    gvcf_writer.flush()
                     done = gvcf_writer.drain()
                     if done:
                         nonvar_spill.write(

@@ -152,3 +152,51 @@ def test_merge_multi_contig_gvcf():
     # each contig's block is split around its own variant
     assert "END=499" in chr1_rows[0] and "\t500\t" in chr1_rows[1]
     assert "END=299" in chr2_rows[0] and "\t300\t" in chr2_rows[1]
+
+
+def test_block_closes_at_position_gap():
+    """A position gap must close the open non-variant block (a dist
+    process feeds only its OWNED strided chunks; a block spanning the gap
+    would fabricate coverage for positions the process never saw)."""
+    from clair3_tpu.gvcf import NonVariantBlockWriter
+
+    w = NonVariantBlockWriter()
+    # two spans with a 1000 bp hole, identical depth/GQ profile
+    w.feed("chr1", 100, "A" * 50, [28] * 50, [30] * 50)
+    w.feed("chr1", 1150, "A" * 50, [28] * 50, [30] * 50)
+    rows = w.finish()
+    assert len(rows) == 2
+    assert "\t100\t" in rows[0] and "END=149" in rows[0]
+    assert "\t1150\t" in rows[1] and "END=1199" in rows[1]
+
+
+def test_native_writer_gap_and_flush_match_python():
+    """Native writer: same gap closure, and flush() closes the block at a
+    chunk boundary exactly like the Python twin (byte-identical rows)."""
+    import numpy as np
+    import pytest
+
+    from clair3_tpu.gvcf import NonVariantBlockWriter
+    from clair3_tpu.native import NativeGvcfWriter, native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(5)
+    spans = [(100, 80), (181, 40), (2000, 60)]  # contiguous pair + gap
+    rows = {}
+    for cls in (NonVariantBlockWriter, NativeGvcfWriter):
+        w = cls()
+        out = []
+        for start, n in spans:
+            nt = rng.randint(20, 40, n)
+            rs = np.random.RandomState(start)  # same counts per writer
+            nt = rs.randint(20, 40, n)
+            nr = nt - rs.randint(0, 3, n)
+            w.feed("chr1", start, "C" * n, nr, nt)
+            w.flush()  # per-chunk closure (pipeline/call.py)
+            out.extend(w.drain())
+        out.extend(w.finish())
+        rows[cls.__name__] = out
+    assert rows["NonVariantBlockWriter"] == rows["NativeGvcfWriter"]
+    # flush closed a block at every chunk boundary: block 2 starts at 181
+    assert any("\t181\t" in r for r in rows["NonVariantBlockWriter"])
