@@ -673,7 +673,11 @@ def cmd_decode_probabilities(args: argparse.Namespace) -> int:
 
 def cmd_sort_vcf(args: argparse.Namespace) -> int:
     """Sort/dedup VCF body rows from input files into one indexed VCF
-    (SortVcf equivalent)."""
+    (SortVcf equivalent).  With ``--gvcf`` the inputs are gVCF shards
+    (e.g. per-process ``merge_output.gvcf.gz`` from a ``--dist_*`` run,
+    whose non-variant blocks close at chunk boundaries): rows merge in
+    contig/position order under the gVCF header, byte-identical to a
+    single-process run's merged gVCF."""
     from clair3_tpu.io.vcf import VcfWriter, get_header
     from clair3_tpu.io.bgzf import decompress, is_gzipped
     from clair3_tpu.pipeline.merge_sort import sort_rows
@@ -683,8 +687,21 @@ def cmd_sort_vcf(args: argparse.Namespace) -> int:
         text = decompress(path).decode() if is_gzipped(path) else open(path).read()
         rows.extend(l + "\n" for l in text.splitlines() if l and not l.startswith("#"))
     out_rows = sort_rows(rows)
+    header_contigs = None
+    if getattr(args, "gvcf", False) and args.ref_fn:
+        # called-contig header lines, like VariantCaller._write_gvcf:
+        # fai order + lengths, restricted to contigs present in the rows
+        from clair3_tpu.io.fasta import FastaFile
+
+        seen = {r.split("\t", 1)[0] for r in out_rows}
+        fai = FastaFile(args.ref_fn)
+        header_contigs = [(n, fai.contig_length(n)) for n in fai.references
+                          if n in seen]
+        fai.close()
     header = get_header(reference_file_path=args.ref_fn,
-                        sample_name=args.sample_name)
+                        sample_name=args.sample_name,
+                        gvcf=getattr(args, "gvcf", False),
+                        contigs=header_contigs)
     with VcfWriter(args.output_fn, header) as w:
         for row in out_rows:
             w.write(row)
@@ -1037,6 +1054,9 @@ def main(argv=None) -> int:
     sv.add_argument("--output_fn", required=True)
     sv.add_argument("--ref_fn", default=None)
     sv.add_argument("--sample_name", default="SAMPLE")
+    sv.add_argument("--gvcf", action="store_true",
+                    help="inputs are gVCF shards: emit the gVCF header "
+                         "(non-variant blocks merge in position order)")
     sv.set_defaults(func=cmd_sort_vcf)
 
     mv = sub.add_parser("merge_vcf", help="merge pileup + full-alignment VCFs")

@@ -77,6 +77,26 @@ def own_tasks(tasks: Sequence, process_id: int, process_count: int) -> List:
     return [t for i, t in enumerate(tasks) if i % process_count == process_id]
 
 
+_BARRIER_SEQ = [0]
+
+
+def _skew_barrier(timeout_s: int = 1800) -> None:
+    """Wait until EVERY process reaches this point, via the coordination
+    service (whose timeout is ours to choose).  The gloo CPU collectives
+    backing ``process_allgather`` rendezvous with a fixed ~30 s deadline;
+    processes reach the cutoff gather after data-dependent amounts of
+    calling work, so on oversubscribed hosts (or skewed shards) peers can
+    arrive minutes apart and the collective dies in context init.  The
+    barrier bounds the skew the collective actually sees to microseconds."""
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        _BARRIER_SEQ[0] += 1
+        client.wait_at_barrier(f"clair3t_gather_{_BARRIER_SEQ[0]}",
+                               timeout_in_ms=timeout_s * 1000)
+
+
 def gather_rowpack(pack):
     """All-gather the per-process (ctg, pos, qual, flags) row pack across
     every process in the cluster (concatenated in process order).
@@ -89,6 +109,7 @@ def gather_rowpack(pack):
 
     if jax.process_count() == 1:
         return pack
+    _skew_barrier()
     from jax.experimental import multihost_utils as mh
 
     def gather_u32(u32: np.ndarray) -> np.ndarray:

@@ -223,12 +223,15 @@ def test_four_process_train_step_matches_single_process(tmp_path):
 
 @pytest.mark.slow
 def test_dist_cli_os_processes_merge_identically(tmp_path):
-    """End-to-end `--dist_*` equivalence at the CLI level (VERDICT r03 #7):
-    two separate `python -m clair3_tpu call` OS processes (a real
-    jax.distributed localhost cluster, one CPU device each) call their
-    owned chunks with the committed TRAINED fixture nets; `sort_vcf` over
-    the per-process outputs must be byte-identical to one single-process
-    CLI run."""
+    """End-to-end `--dist_*` equivalence at the CLI level (VERDICT r03 #7,
+    deepened per r04 #9): FOUR separate `python -m clair3_tpu call` OS
+    processes (a real jax.distributed localhost cluster, one CPU device
+    each) call their owned chunks with the committed TRAINED fixture nets,
+    gVCF on; `sort_vcf` over the per-process VCFs must be byte-identical
+    to one single-process CLI run, and `sort_vcf --gvcf` over the
+    per-process gVCFs must reproduce the single-process merged gVCF —
+    full text, header included (the global phase_qual / gVCF interaction
+    under chunk ownership is exactly what this pins)."""
     import gzip
 
     from clair3_tpu.models.params_io import save_variables
@@ -270,44 +273,66 @@ def test_dist_cli_os_processes_merge_identically(tmp_path):
     # only reliable way to force the CLI subprocesses onto CPU.
     env["CLAIR3T_JAX_PLATFORM"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # one persistent XLA cache for all five CLI invocations: the single-
+    # process run populates it, the dist processes reuse it (they compile
+    # the same static-bucket programs)
+    env["CLAIR3T_COMPILE_CACHE"] = str(tmp_path / "xla_cache")
 
-    def cli_call(out_dir, extra):
-        return subprocess.Popen(
+    N_PROCS = 4
+
+    def cli_call(out_dir, tag, extra):
+        # stdout/stderr go to files, not pipes: four concurrent processes
+        # on one oversubscribed core can fill a 64 KB pipe and deadlock
+        # against the sequential communicate() below (each process blocks
+        # in jax.distributed shutdown until ALL reach exit)
+        log = open(str(tmp_path / f"{tag}.log"), "w")
+        p = subprocess.Popen(
             [sys.executable, "-m", "clair3_tpu", "call",
              "--platform", "hifi", "--bam_fn", bam, "--ref_fn", fasta,
              "--model_path", str(model_dir), "--output_dir", out_dir,
-             "--threads", "2", "--chunk_size", "6000"] + extra,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            env=env, cwd="/root/repo")
+             "--threads", "2", "--chunk_size", "6000", "--gvcf"] + extra,
+            stdout=log, stderr=subprocess.STDOUT, env=env, cwd="/root/repo")
+        p._log_path = str(tmp_path / f"{tag}.log")
+        return p
 
-    single_p = cli_call(str(tmp_path / "single"), [])
-    out, err = single_p.communicate(timeout=900)
-    assert single_p.returncode == 0, f"single-process call failed:\n{out}\n{err}"
+    def wait_ok(p, what, timeout):
+        try:
+            p.wait(timeout=timeout)
+        finally:
+            log = open(p._log_path).read()
+        assert p.returncode == 0, f"{what} failed:\n{log}"
+
+    single_p = cli_call(str(tmp_path / "single"), "single", [])
+    wait_ok(single_p, "single-process call", 900)
 
     port = _free_port()
     dist = [
-        cli_call(str(tmp_path / "dist"),
+        cli_call(str(tmp_path / "dist"), f"dist{pid}",
                  ["--dist_coordinator", f"127.0.0.1:{port}",
-                  "--dist_num_processes", "2", "--dist_process_id", str(pid)])
-        for pid in (0, 1)
+                  "--dist_num_processes", str(N_PROCS),
+                  "--dist_process_id", str(pid)])
+        for pid in range(N_PROCS)
     ]
-    for p in dist:
-        out, err = p.communicate(timeout=900)
-        assert p.returncode == 0, f"dist call failed:\n{out}\n{err}"
+    for pid, p in enumerate(dist):
+        wait_ok(p, f"dist call {pid}", 1500)
 
     shard_outs = [str(tmp_path / "dist" / f"proc{i}" / "merge_output.vcf.gz")
-                  for i in (0, 1)]
+                  for i in range(N_PROCS)]
     for s in shard_outs:
         assert os.path.exists(s), s
     merged_fn = str(tmp_path / "merged.vcf.gz")
-    merge_p = subprocess.Popen(
-        [sys.executable, "-m", "clair3_tpu", "sort_vcf",
-         "--input_fn"] + shard_outs +
-        ["--output_fn", merged_fn, "--ref_fn", fasta],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        env=env, cwd="/root/repo")
-    out, err = merge_p.communicate(timeout=300)
-    assert merge_p.returncode == 0, f"sort_vcf failed:\n{out}\n{err}"
+
+    def run_sort(inputs, output, extra=()):
+        p = subprocess.Popen(
+            [sys.executable, "-m", "clair3_tpu", "sort_vcf",
+             "--input_fn"] + inputs +
+            ["--output_fn", output, "--ref_fn", fasta] + list(extra),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd="/root/repo")
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"sort_vcf failed:\n{out}\n{err}"
+
+    run_sort(shard_outs, merged_fn)
 
     def rows(path):
         return [l for l in gzip.open(path, "rt") if not l.startswith("#")]
@@ -316,9 +341,28 @@ def test_dist_cli_os_processes_merge_identically(tmp_path):
     want = rows(str(tmp_path / "single" / "merge_output.vcf.gz"))
     assert merged == want
     assert len(merged) > 10
-    # both shards did real work
+    # every shard did real work (4 chunks of 6 kb, one per process)
     for s in shard_outs:
         assert rows(s)
+
+    # gVCF: merge the per-process shards (blocks close at chunk
+    # boundaries, so concatenation+sort reconstructs the stream) and
+    # demand the FULL single-process gVCF back — header included
+    gvcf_shards = [str(tmp_path / "dist" / f"proc{i}" / "merge_output.gvcf.gz")
+                   for i in range(N_PROCS)]
+    for s in gvcf_shards:
+        assert os.path.exists(s), s
+    merged_gvcf = str(tmp_path / "merged.gvcf.gz")
+    run_sort(gvcf_shards, merged_gvcf, ["--gvcf"])
+    single_gvcf = str(tmp_path / "single" / "merge_output.gvcf.gz")
+
+    def full_text(path):
+        return gzip.open(path, "rt").read()
+
+    assert full_text(merged_gvcf) == full_text(single_gvcf)
+    n_gvcf_rows = sum(1 for l in full_text(merged_gvcf).splitlines()
+                      if l and not l.startswith("#"))
+    assert n_gvcf_rows > len(merged), "gVCF must carry non-variant blocks"
 
 
 @pytest.mark.slow
