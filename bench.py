@@ -38,6 +38,11 @@ Three phases:
    chunk i+1 while the device computes chunk i and the host decodes chunk
    i-1 (`predict_async` one-deep pipelining, call.py:351-375).
 
+Plus stderr-only evidence lines: serve-mode throughput (8 concurrent
+clients through `clair3_tpu serve`'s HTTP front with cross-request
+coalescing) and the ONT-geometry e2e cascade (depth 89, dwell channel,
+0.7/0.1 routing, the committed ONT-trained fixtures).
+
 Baseline: the reference's fastest published configuration, ~20 min ONT
 WGS 30x on 32 CPU threads + RTX 4090 (docs/gpu_quick_start.md:3) ~= 3 Gb
 / 1200 s with ~5M pileup candidates -> ~4,200 candidates/s end-to-end.
@@ -54,13 +59,22 @@ import numpy as np
 
 E2E_4090_BASELINE = 4_200.0   # cand/s, reference WGS 30x on 32 cores + 4090
 FWD_A100_BASELINE = 25_000.0  # cand/s, estimated torch cascade forward on A100
-VAR_PCT_FULL = 0.3            # hifi routing quantiles (run_clair3.py:304-313)
-REF_PCT_FULL = 0.3
-MATRIX_DEPTH = 55             # hifi (shared/param_f.py:11)
 
 GENOME_MB = 2.0
-COVERAGE = 25
 N_CHUNKS = 4
+
+# per-platform routing quantiles (run_clair3.py:304-313), FA geometry
+# (shared/param_f.py:11), and the fixtures' training distributions
+PLATS = {
+    "hifi": dict(var_pct=0.3, ref_pct=0.3, depth=55, channels=8,
+                 coverage=25, read_length=900, err=0.02, mv=False,
+                 fix_p="pileup_hifi.npz", fix_f="fa_hifi.npz"),
+    "ont": dict(var_pct=0.7, ref_pct=0.1, depth=89, channels=9,
+                coverage=45, read_length=1200, err=0.04, mv=True,
+                fix_p="pileup_ont.npz", fix_f="fa_ont.npz"),
+}
+VAR_PCT_FULL = PLATS["hifi"]["var_pct"]
+MATRIX_DEPTH = PLATS["hifi"]["depth"]
 
 
 def bench_forward(model, variables, stage_batch, batch: int, iters: int) -> float:
@@ -137,13 +151,13 @@ def build_production_engines():
     return pe, fe, (pileup, vp), (fa, vf), trained
 
 
-def make_workload(tmp_dir: str):
-    """Synthetic HiFi-like case (the fixture nets' training distribution);
+def make_workload(tmp_dir: str, plat=PLATS["hifi"], genome_mb=GENOME_MB):
+    """Synthetic case drawn from the fixture nets' training distribution;
     returns (bam, ref, phased_hets, chunks)."""
     from clair3_tpu.fullalign.extractor import PhasedVariant
     from clair3_tpu.testing import SimVariant, random_reference, write_test_case
 
-    L = int(GENOME_MB * 1e6)
+    L = int(genome_mb * 1e6)
     ref = random_reference(L, seed=11)
     variants = []
     hets = []
@@ -158,14 +172,15 @@ def make_workload(tmp_dir: str):
         else:
             variants.append(SimVariant(p, ref[p:p + 3], ref[p], (1, 1)))
     _, bam, _, _ = write_test_case(
-        tmp_dir, ref_length=L, variants=variants, coverage=COVERAGE,
-        read_length=900, seed=11, error_rate=0.02)
+        tmp_dir, ref_length=L, variants=variants, coverage=plat["coverage"],
+        read_length=plat["read_length"], seed=11, error_rate=plat["err"],
+        with_mv_tags=plat["mv"])
     step = L // N_CHUNKS
     chunks = [(i * step, min(L, (i + 1) * step)) for i in range(N_CHUNKS)]
     return bam, ref, hets, chunks
 
 
-def route_candidates(all_rows, chunks):
+def route_candidates(all_rows, chunks, plat=PLATS["hifi"]):
     """Production QUAL-quantile routing (pipeline/call.py:743-786 math):
     decoded pileup rows -> (var_qual, ref_qual) cutoffs -> low-qual
     positions, re-chunked for the FA stage."""
@@ -173,7 +188,8 @@ def route_candidates(all_rows, chunks):
                                             select_qual_from_stats)
 
     stats = collect_pileup_stats(all_rows)
-    var_q, ref_q = select_qual_from_stats(stats, VAR_PCT_FULL, REF_PCT_FULL)
+    var_q, ref_q = select_qual_from_stats(stats, plat["var_pct"],
+                                          plat["ref_pct"])
     routed = []
     if "chr1" in stats.qual:
         qual = stats.qual["chr1"]
@@ -185,7 +201,8 @@ def route_candidates(all_rows, chunks):
     return spans, (var_q, ref_q)
 
 
-def run_cascade(bam, ref, hets, chunks, pe, fe, *, overlapped: bool):
+def run_cascade(bam, ref, hets, chunks, pe, fe, *, overlapped: bool,
+                plat=PLATS["hifi"]):
     """One full cascade pass over the chunks; returns (wall_s, details).
 
     ``overlapped=False``: extract -> sync predict -> decode, chunk by
@@ -210,7 +227,8 @@ def run_cascade(bam, ref, hets, chunks, pe, fe, *, overlapped: bool):
     def extract_fa(span_cands):
         mat, pos, alts = fa_region_native(
             bam, ref, 0, "chr1", span_cands, variants=hets,
-            matrix_depth=MATRIX_DEPTH, need_haplotagging=True)
+            matrix_depth=plat["depth"], need_haplotagging=True,
+            enable_dwell=plat["channels"] == 9)
         pis = [f"chr1:{p + 1}:{ref[max(0, p - 16):p + 17]}" for p in pos]
         return mat, pis, alts
 
@@ -235,7 +253,7 @@ def run_cascade(bam, ref, hets, chunks, pe, fe, *, overlapped: bool):
             all_rows.extend(rows)
             n_cand += len(pis)
             n_rows += len(rows)
-        fa_spans, _ = route_candidates(all_rows, chunks)
+        fa_spans, _ = route_candidates(all_rows, chunks, plat)
         for cands in fa_spans:
             if not cands:
                 continue
@@ -268,7 +286,7 @@ def run_cascade(bam, ref, hets, chunks, pe, fe, *, overlapped: bool):
                                        p_probs.astype(np.float64), cfg_p)
             all_rows.extend(rows)
             n_rows += len(rows)
-        fa_spans, _ = route_candidates(all_rows, chunks)
+        fa_spans, _ = route_candidates(all_rows, chunks, plat)
         fa_spans = [c for c in fa_spans if c]
         with ThreadPoolExecutor(max_workers=2) as pool:
             futs = [pool.submit(extract_fa, c) for c in fa_spans[:2]]
@@ -295,6 +313,96 @@ def run_cascade(bam, ref, hets, chunks, pe, fe, *, overlapped: bool):
     if not overlapped:
         details.update({k: round(v, 3) for k, v in timings.items()})
     return wall, details
+
+
+def bench_serve(pe):
+    """Serve-mode throughput (VERDICT r03 #10): the production pileup
+    engine behind `clair3_tpu serve`'s HTTP front, hammered by 8 concurrent
+    clients.  Measures the full remote path — npy serialization, HTTP
+    loopback, cross-request coalescing, engine forward — and reports the
+    coalescing ratio from the server's own /stats counters."""
+    import threading
+
+    from clair3_tpu.serve import EngineServer, RemoteEngine
+
+    srv = EngineServer({"pileup": pe}, port=0)
+    srv.serve_background()
+    n_clients, iters, rows = 8, 4, 1024
+    x = np.random.RandomState(5).randint(-30, 30, (rows, 33, 18)).astype(np.int32)
+    clients = [RemoteEngine(srv.address, "pileup") for _ in range(n_clients)]
+    clients[0].predict(x)  # warmup (bucket compile rides the engine cache)
+    base = srv.stats()["pileup"]
+    start = threading.Barrier(n_clients + 1)
+
+    def worker(c):
+        start.wait()
+        for _ in range(iters):
+            c.predict(x)
+
+    threads = [threading.Thread(target=worker, args=(c,)) for c in clients]
+    for t in threads:
+        t.start()
+    start.wait()
+    t0 = time.perf_counter()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    s = srv.stats()["pileup"]
+    reqs = s["requests"] - base["requests"]
+    batches = s["batches"] - base["batches"]
+    srv.shutdown()
+    total = n_clients * iters * rows
+    print(f"[bench] serve mode: {n_clients} concurrent clients, "
+          f"{total / dt:,.0f} rows/s over HTTP loopback "
+          f"({reqs} requests coalesced into {batches} forwards)",
+          file=sys.stderr)
+
+
+def bench_ont_e2e():
+    """ONT-geometry e2e cascade (VERDICT r04 #3): depth-89 / 9-channel FA
+    tensors with the dwell channel parsed from simulated mv:B:c tags, ONT
+    routing quantiles (0.7/0.1), through the committed ONT-trained
+    fixtures.  One serial pass at 1 Mb, stderr-only (the headline stays
+    the hifi best-of-N; this line proves the flagship ONT shape runs the
+    same zero-stand-in path at speed)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from clair3_tpu.models import FullAlignmentNet, PileupNet
+    from clair3_tpu.pipeline.engine import InferenceEngine
+    from clair3_tpu.testing import load_trained_fixture
+
+    plat = PLATS["ont"]
+    try:
+        vp = load_trained_fixture(plat["fix_p"])
+        vf = load_trained_fixture(plat["fix_f"])
+    except FileNotFoundError:
+        print("[bench] ONT e2e skipped: ONT fixtures not committed",
+              file=sys.stderr)
+        return
+    on_tpu = jax.default_backend() == "tpu"
+    dt = jnp.bfloat16 if on_tpu else jnp.float32
+    pe = InferenceEngine(
+        PileupNet(add_indel_length=False, compute_dtype=dt,
+                  use_pallas_lstm=on_tpu), vp,
+        transfer_dtype=np.int16, pileup_compact=True)
+    fe = InferenceEngine(
+        FullAlignmentNet(add_indel_length=True, compute_dtype=dt,
+                         input_channels=plat["channels"]), vf,
+        depth_crop=True, fa_compact=True)
+    d = tempfile.mkdtemp()
+    bam, ref, hets, chunks = make_workload(d, plat, genome_mb=1.0)
+    pe.warmup((33, 18), np.int32)
+    fe.warmup((plat["depth"], 33, plat["channels"]), np.int8)
+    wall, details = run_cascade(bam, ref, hets, chunks, pe, fe,
+                                overlapped=False, plat=plat)
+    print(f"[bench] ONT e2e cascade (depth 89, dwell channel, 0.7/0.1 "
+          f"routing, serial 1 pass): {wall:.2f}s = "
+          f"{details['candidates'] / wall:,.0f} candidates/s "
+          f"({details['fa_candidates']} routed to FA) {details}",
+          file=sys.stderr)
 
 
 def bench_oracle_decode(tmp_dir: str):
@@ -365,6 +473,8 @@ def main():
         file=sys.stderr,
     )
 
+    bench_serve(pe)
+
     d = tempfile.mkdtemp()
     bench_oracle_decode(d)
     bam, ref, hets, chunks = make_workload(d)
@@ -428,6 +538,8 @@ def main():
         f"above is the chip ceiling)",
         file=sys.stderr,
     )
+
+    bench_ont_e2e()
 
     per_chip = e2e_cps / n_dev
     print(json.dumps({

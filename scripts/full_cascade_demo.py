@@ -18,10 +18,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# Per-platform simulation + geometry (reference: run_clair3.py:304-326 AF
+# defaults; shared/param_f.py:11 matrix_depth; the ONT flagship adds the
+# Dorado mv:B:c dwell channel, docs/quick_demo/ont_mv_quick_demo.md).
+PLATFORMS = {
+    "hifi": dict(coverage=25, read_length=900, error_rate=0.02,
+                 with_mv_tags=False, matrix_depth=55, channels=8,
+                 snp_min_af=0.08, indel_min_af=0.12,
+                 var_pct_full=0.3, ref_pct_full=0.3),
+    "ont": dict(coverage=45, read_length=1200, error_rate=0.04,
+                with_mv_tags=True, matrix_depth=89, channels=9,
+                snp_min_af=0.08, indel_min_af=0.15,
+                var_pct_full=0.7, ref_pct_full=0.1),
+}
 
-def simulate(out_dir, L, seed=7, step=130):
+
+def simulate(out_dir, L, seed=7, step=130, platform="hifi"):
     from clair3_tpu.testing import SimVariant, random_reference, write_test_case
 
+    P = PLATFORMS[platform]
     ref = random_reference(L, seed=seed)
     rng = random.Random(seed)
     variants = []
@@ -38,12 +53,13 @@ def simulate(out_dir, L, seed=7, step=130):
             dlen = rng.randint(1, 3)
             variants.append(SimVariant(pos, ref[pos:pos + dlen + 1], ref[pos], gt))
     fasta, bam, _, _ = write_test_case(
-        out_dir, ref_length=L, variants=variants, coverage=25,
-        read_length=900, seed=seed, error_rate=0.02)
+        out_dir, ref_length=L, variants=variants, coverage=P["coverage"],
+        read_length=P["read_length"], seed=seed, error_rate=P["error_rate"],
+        with_mv_tags=P["with_mv_tags"])
     return fasta, bam, ref, variants
 
 
-def run(out_dir):
+def run(out_dir, platform=None):
     """Train both nets + call + score; returns a dict with the metrics and
     trained-checkpoint paths (consumed by scripts/train_fixture_checkpoints.py)."""
     os.makedirs(out_dir, exist_ok=True)
@@ -62,6 +78,9 @@ def run(out_dir):
     from clair3_tpu.train.data import TruthVariant, build_labels, write_bin
     from clair3_tpu.train.trainer import train_model
 
+    platform = platform or os.environ.get("C3T_DEMO_PLATFORM", "hifi")
+    P = PLATFORMS[platform]
+    dwell = P["channels"] == 9
     # scale knobs (env): larger runs give stronger accuracy evidence
     L = int(os.environ.get("C3T_DEMO_L", 260_000))
     TRAIN_END = int(os.environ.get("C3T_DEMO_TRAIN_END", L - 40_000))
@@ -74,15 +93,17 @@ def run(out_dir):
     # training region: in-sample scoring needs far less training data to
     # reach tight gates and still trips on any train->call regression
     EVAL_START = int(os.environ.get("C3T_DEMO_EVAL_START", TRAIN_END))
-    print(f"[full] simulating {L // 1000}kb diploid genome -> {out_dir}")
-    fasta, bam, ref, variants = simulate(out_dir, L)
+    print(f"[full] simulating {L // 1000}kb diploid genome "
+          f"({platform} geometry) -> {out_dir}")
+    fasta, bam, ref, variants = simulate(out_dir, L, platform=platform)
     truths = [TruthVariant("chr1", v.pos + 1, v.ref, v.alt, *sorted(v.genotype))
               for v in variants]
 
     # ---- stage 1 training data: pileup tensors ----
     print("[full] pileup tensors + labels")
     p_tensors, p_pos, p_alt, _ = create_pileup_tensors(
-        bam, fasta, "chr1", 1, TRAIN_END, min_snp_af=0.08, min_indel_af=0.12)
+        bam, fasta, "chr1", 1, TRAIN_END, min_snp_af=P["snp_min_af"],
+        min_indel_af=P["indel_min_af"])
     labels, keep = build_labels(p_pos, truths, maximum_non_variant_ratio=5.0)
     p_bin = os.path.join(out_dir, "pileup.bin")
     write_bin(p_bin, p_tensors[keep], labels[keep],
@@ -109,7 +130,7 @@ def run(out_dir):
     cand_positions = [int(p.split(":")[-2]) for p in p_pos]
     f_tensors, f_pos, f_alt = create_fa_tensors(
         bam, fasta, "chr1", cand_positions, phased_snps=phased,
-        matrix_depth=55, no_phasing=False)
+        matrix_depth=P["matrix_depth"], no_phasing=False, enable_dwell=dwell)
     f_labels, f_keep = build_labels(
         f_pos, truths,
         maximum_non_variant_ratio=float(os.environ.get("C3T_DEMO_FA_NVR", 1.0)))
@@ -132,17 +153,18 @@ def run(out_dir):
         PileupNet(add_indel_length=False),
         load_variables(p_result["model_path"]), buckets=(256, 1024))
     f_engine = InferenceEngine(
-        FullAlignmentNet(add_indel_length=True, input_channels=8),
+        FullAlignmentNet(add_indel_length=True, input_channels=P["channels"]),
         load_variables(f_result["model_path"]), buckets=(256, 1024))
     eval_bed = os.path.join(out_dir, "eval.bed")
     with open(eval_bed, "w") as fh:
         fh.write(f"chr1\t{EVAL_START}\t{L}\n")
     call_cfg = CallConfig(
-        platform="hifi",  # matrix_depth 55 to match the trained FA net
+        platform=platform,  # sets matrix_depth to match the trained FA net
         bam_fn=bam, ref_fn=fasta, bed_fn=eval_bed,
         output_dir=os.path.join(out_dir, "out"),
-        indel_min_af=0.12, threads=4,
-        var_pct_full=0.3, ref_pct_full=0.3,
+        snp_min_af=P["snp_min_af"], indel_min_af=P["indel_min_af"], threads=4,
+        var_pct_full=P["var_pct_full"], ref_pct_full=P["ref_pct_full"],
+        enable_dwell_time=dwell,
     )
     caller = VariantCaller(call_cfg, pileup_engine=p_engine, fa_engine=f_engine,
                            phaser=ReadBackedPhaser(bam))
@@ -172,18 +194,24 @@ def run(out_dir):
     # accuracy scales with training data (observed: 260 kb -> ~0.99/0.977,
     # >=1 Mb -> >=0.995/0.99) — and env-overridable for scaled-down runs
     full_scale = L >= 1_000_000
-    gate_snp = float(os.environ.get(
-        "C3T_GATE_SNP", 0.995 if full_scale else 0.985))
-    gate_indel = float(os.environ.get(
-        "C3T_GATE_INDEL", 0.99 if full_scale else 0.97))
+    # ONT gates sit below hifi (4% simulated error vs 2%), mirroring the
+    # reference's own demo tables (ONT indel F1 0.833 vs HiFi 1.0,
+    # ont_quick_demo.md:95-99 / pacbio_hifi_quick_demo.md:94-99)
+    if platform == "ont":
+        default_snp, default_indel = ((0.995, 0.97) if full_scale
+                                      else (0.985, 0.95))
+    else:
+        default_snp, default_indel = ((0.995, 0.99) if full_scale
+                                      else (0.985, 0.97))
+    gate_snp = float(os.environ.get("C3T_GATE_SNP", default_snp))
+    gate_indel = float(os.environ.get("C3T_GATE_INDEL", default_indel))
     if "C3T_GATE_SNP" in os.environ or "C3T_GATE_INDEL" in os.environ:
         print("=" * 70)
         print(f"[full] WARNING: ACCEPTANCE GATES OVERRIDDEN BY ENV "
               f"(C3T_GATE_SNP={os.environ.get('C3T_GATE_SNP', '-')}, "
               f"C3T_GATE_INDEL={os.environ.get('C3T_GATE_INDEL', '-')}). "
               f"This run does NOT certify the default gates "
-              f"({0.995 if full_scale else 0.985}/"
-              f"{0.99 if full_scale else 0.97} at this scale).")
+              f"({default_snp}/{default_indel} at this scale).")
         print("=" * 70)
     ok = m["SNP"].f1 >= gate_snp and m["INDEL"].f1 >= gate_indel
     if not ok:
@@ -191,6 +219,7 @@ def run(out_dir):
               f"INDEL F1 {m['INDEL'].f1} (gate {gate_indel})")
     return {
         "ok": ok,
+        "platform": platform,
         "snp_f1": m["SNP"].f1,
         "indel_f1": m["INDEL"].f1,
         "gates": (gate_snp, gate_indel),
@@ -202,7 +231,8 @@ def run(out_dir):
 
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="c3t_full_")
-    return 0 if run(out_dir)["ok"] else 1
+    platform = sys.argv[2] if len(sys.argv) > 2 else None  # or C3T_DEMO_PLATFORM
+    return 0 if run(out_dir, platform=platform)["ok"] else 1
 
 
 if __name__ == "__main__":

@@ -51,34 +51,42 @@ def main():
     import scripts.full_cascade_demo as demo
 
     out_dir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="c3t_fix_")
-    result = demo.run(out_dir)
+    platform = sys.argv[2] if len(sys.argv) > 2 else "hifi"
+    P = demo.PLATFORMS[platform]
+    result = demo.run(out_dir, platform=platform)
     if not result["ok"]:
         print(f"[fixture] demo gates failed; NOT freezing fixtures: {result}")
         return 1
 
     os.makedirs(FIXTURE_DIR, exist_ok=True)
-    _freeze(result["pileup_model"], os.path.join(FIXTURE_DIR, "pileup_hifi.npz"))
-    _freeze(result["fa_model"], os.path.join(FIXTURE_DIR, "fa_hifi.npz"))
+    names = (f"pileup_{platform}.npz", f"fa_{platform}.npz")
+    _freeze(result["pileup_model"], os.path.join(FIXTURE_DIR, names[0]))
+    _freeze(result["fa_model"], os.path.join(FIXTURE_DIR, names[1]))
     manifest = {
         "scale_bp": result["scale_bp"],
         "held_out_snp_f1": result["snp_f1"],
         "held_out_indel_f1": result["indel_f1"],
         "gates": result["gates"],
-        "platform": "hifi",
-        "matrix_depth": 55,
+        "platform": platform,
+        "matrix_depth": P["matrix_depth"],
         "pileup": {"add_indel_length": False},
-        "fa": {"add_indel_length": True, "input_channels": 8},
-        "simulator": {"seed": 7, "coverage": 25, "read_length": 900,
-                      "error_rate": 0.02, "variant_step": 130},
+        "fa": {"add_indel_length": True, "input_channels": P["channels"]},
+        "simulator": {"seed": 7, "coverage": P["coverage"],
+                      "read_length": P["read_length"],
+                      "error_rate": P["error_rate"], "variant_step": 130,
+                      "with_mv_tags": P["with_mv_tags"]},
         "trainer": "scripts/full_cascade_demo.py run() at C3T_DEMO_L=1200000",
     }
-    with open(os.path.join(FIXTURE_DIR, "manifest.json"), "w") as fh:
+    # hifi keeps the historical manifest.json name; other platforms get
+    # manifest_{platform}.json alongside
+    mf = "manifest.json" if platform == "hifi" else f"manifest_{platform}.json"
+    with open(os.path.join(FIXTURE_DIR, mf), "w") as fh:
         json.dump(manifest, fh, indent=2)
         fh.write("\n")
-    for f in ("pileup_hifi.npz", "fa_hifi.npz"):
+    for f in names:
         sz = os.path.getsize(os.path.join(FIXTURE_DIR, f)) / 1e6
         print(f"[fixture] {f}: {sz:.1f} MB")
-    print(f"[fixture] frozen; held-out SNP F1 {result['snp_f1']} "
+    print(f"[fixture] frozen [{platform}]; held-out SNP F1 {result['snp_f1']} "
           f"INDEL F1 {result['indel_f1']}")
     return 0
 

@@ -41,7 +41,8 @@ def peak_rss_gb() -> float:
 
 
 def build_input(out_dir: str, mbases: float, contigs: int, coverage: int,
-                read_length: int, error_rate: float, seed: int):
+                read_length: int, error_rate: float, seed: int,
+                with_mv_tags: bool = False):
     """Multi-contig FASTA + coordinate-sorted indexed BAM + truth list,
     streamed segment by segment."""
     from clair3_tpu.io.bam import write_bam
@@ -93,7 +94,8 @@ def build_input(out_dir: str, mbases: float, contigs: int, coverage: int,
                 reads = simulate_reads(
                     seq[lo:hi], seg_vs, coverage=coverage,
                     read_length=read_length, seed=seed + ci * 1000 + lo,
-                    error_rate=error_rate, contig=name)
+                    error_rate=error_rate, contig=name,
+                    with_mv_tags=with_mv_tags)
                 for r in reads:
                     r = type(r)(r.qname + f".{ci}.{lo}", r.flag, ci,
                                 r.pos + lo, r.mapq, r.cigar, r.seq, r.qual,
@@ -105,13 +107,14 @@ def build_input(out_dir: str, mbases: float, contigs: int, coverage: int,
     return fasta, bam, names, truth
 
 
-def build_production_engines(pileup_model: str, fa_model: str):
+def build_production_engines(pileup_model: str, fa_model: str,
+                             platform: str = "hifi"):
     """The CLI's shipped engine configuration (bf16 + fused Pallas on TPU,
     compact wire forms) carrying TRAINED checkpoints."""
     from clair3_tpu.cli import _load_engine
 
-    pe = _load_engine(pileup_model, "pileup", "hifi")
-    fe = _load_engine(fa_model, "full_alignment", "hifi")
+    pe = _load_engine(pileup_model, "pileup", platform)
+    fe = _load_engine(fa_model, "full_alignment", platform)
     return pe, fe
 
 
@@ -148,22 +151,27 @@ def run_parity_slice(args, fixture_dir_ok: bool):
 
     d = os.path.join(args.output, "parity")
     os.makedirs(d, exist_ok=True)
-    print(f"[soak] parity slice: {args.parity_mbases} Mb, production "
-          f"engines vs f32 CPU twins ...", flush=True)
+    ont = args.platform == "ont"
+    print(f"[soak] parity slice: {args.parity_mbases} Mb ({args.platform}), "
+          f"production engines vs f32 CPU twins ...", flush=True)
     fasta, bam, names, truth = build_input(
         d, args.parity_mbases, 1, args.coverage, args.read_length,
-        args.error_rate, seed=23)
+        args.error_rate, seed=23, with_mv_tags=ont)
     rows = {}
     for mode in ("production", "cpu_twin"):
         if mode == "production":
-            pe, fe = build_production_engines(args.pileup_model, args.fa_model)
+            pe, fe = build_production_engines(args.pileup_model,
+                                              args.fa_model, args.platform)
         else:
             pe, fe = build_cpu_twin_engines(args.pileup_model, args.fa_model)
         cfg = CallConfig(
-            platform="hifi", bam_fn=bam, ref_fn=fasta,
+            platform=args.platform, bam_fn=bam, ref_fn=fasta,
             output_dir=os.path.join(d, mode), gvcf=True,
             no_phasing_for_fa=True, threads=args.threads,
-            indel_min_af=0.12, var_pct_full=0.3, ref_pct_full=0.3)
+            enable_dwell_time=ont,
+            **(dict(indel_min_af=0.15, var_pct_full=0.7, ref_pct_full=0.1)
+               if ont else
+               dict(indel_min_af=0.12, var_pct_full=0.3, ref_pct_full=0.3)))
         outputs = VariantCaller(cfg, pileup_engine=pe, fa_engine=fe).run()
         rows[mode] = _vcf_body(outputs["merge_output"])
     a, b = rows["production"], rows["cpu_twin"]
@@ -201,40 +209,58 @@ def main():
                     help="oracle: numpy stand-in engines (CI, no device); "
                          "production: real InferenceEngines with the "
                          "committed trained checkpoints (TPU)")
-    ap.add_argument("--pileup_model",
-                    default="tests/data/fixtures/pileup_model.npz")
-    ap.add_argument("--fa_model",
-                    default="tests/data/fixtures/fa_model.npz")
+    ap.add_argument("--platform", choices=["hifi", "ont"], default="hifi",
+                    help="production-engine geometry: hifi (depth 55, 8ch) "
+                         "or ont (depth 89, 9ch dwell from simulated mv "
+                         "tags); pair with --coverage/--error_rate matching "
+                         "the fixtures' training distribution")
+    ap.add_argument("--pileup_model", default=None,
+                    help="default: the committed trained fixture for "
+                         "--platform")
+    ap.add_argument("--fa_model", default=None)
     ap.add_argument("--parity_mbases", type=float, default=0.0,
                     help="also run this many Mb through BOTH the production "
                          "engines and their f32 CPU twins and assert "
                          "byte-identical merged rows")
     args = ap.parse_args()
 
+    from clair3_tpu.testing import trained_fixture_path
+
+    if args.pileup_model is None:
+        args.pileup_model = trained_fixture_path(f"pileup_{args.platform}.npz")
+    if args.fa_model is None:
+        args.fa_model = trained_fixture_path(f"fa_{args.platform}.npz")
+    ont = args.platform == "ont"
+
     os.makedirs(args.output, exist_ok=True)
     if args.parity_mbases > 0:
         run_parity_slice(args, True)
     t0 = time.time()
     print(f"[soak] simulating {args.mbases} Mb x {args.coverage}x over "
-          f"{args.contigs} contigs ...", flush=True)
+          f"{args.contigs} contigs ({args.platform} geometry) ...", flush=True)
     fasta, bam, names, truth = build_input(
         args.output, args.mbases, args.contigs, args.coverage,
-        args.read_length, args.error_rate, seed=7)
+        args.read_length, args.error_rate, seed=7,
+        with_mv_tags=ont and args.engines == "production")
     t_sim = time.time() - t0
     print(f"[soak] simulation: {t_sim:.0f}s, BAM "
           f"{os.path.getsize(bam) / 1e6:.0f} MB, RSS {peak_rss_gb():.2f} GB",
           flush=True)
 
     if args.engines == "production":
-        # shipped CLI configuration + trained checkpoints; platform hifi
-        # matches the fixtures' matrix_depth=55 training
+        # shipped CLI configuration + trained checkpoints; the platform
+        # sets the FA geometry (hifi: depth 55 / 8ch; ont: depth 89 / 9ch
+        # dwell) to match the fixtures' training
         p_engine, f_engine = build_production_engines(
-            args.pileup_model, args.fa_model)
+            args.pileup_model, args.fa_model, args.platform)
         cfg = CallConfig(
-            platform="hifi", bam_fn=bam, ref_fn=fasta,
+            platform=args.platform, bam_fn=bam, ref_fn=fasta,
             output_dir=os.path.join(args.output, "call"),
             gvcf=True, no_phasing_for_fa=True, threads=args.threads,
-            indel_min_af=0.12, var_pct_full=0.3, ref_pct_full=0.3,
+            enable_dwell_time=ont,
+            **(dict(indel_min_af=0.15, var_pct_full=0.7, ref_pct_full=0.1)
+               if ont else
+               dict(indel_min_af=0.12, var_pct_full=0.3, ref_pct_full=0.3)),
         )
     else:
         p_engine, f_engine = PileupOracleEngine(), FullAlignmentOracleEngine()

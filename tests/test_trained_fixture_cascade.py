@@ -18,6 +18,7 @@ Reference analogue: the pinned hap.py acceptance table in
 /root/reference/docs/quick_demo/ont_quick_demo.md:95-99.
 """
 
+import numpy as np
 import pytest
 
 from clair3_tpu.config import CallConfig
@@ -85,3 +86,76 @@ def test_trained_fixture_cascade_clears_hard_gates(tmp_path):
           f"(P {m['INDEL'].precision} R {m['INDEL'].recall})")
     assert m["SNP"].f1 >= GATE_SNP_F1, m["SNP"]
     assert m["INDEL"].f1 >= GATE_INDEL_F1, m["INDEL"]
+
+
+# ONT gates: pinned just under the measured cross-genome values on this
+# exact eval region (see the module docstring's rationale; measured after
+# training the ONT fixtures — manifest_ont.json records the held-out run).
+# ONT sims carry 4% read error (vs hifi's 2%), so the gates sit lower,
+# mirroring the reference's own demo tables (ONT indel F1 0.833 vs HiFi
+# 1.0, ont_quick_demo.md:95-99 / pacbio_hifi_quick_demo.md:94-99).
+GATE_ONT_SNP_F1 = 0.97
+GATE_ONT_INDEL_F1 = 0.93
+ONT_EVAL_BP = 80_000  # depth-89 x 45x extraction is ~3x hifi's per-bp cost
+
+
+@pytest.mark.slow
+def test_trained_ont_fixture_cascade_clears_hard_gates(tmp_path):
+    """The ONT flagship geometry end-to-end in CI: depth-89 / 9-channel
+    tensors with the dwell channel parsed from simulated Dorado mv:B:c
+    tags, ONT routing quantiles (var_pct_full 0.7), and the committed
+    ONT-trained fixture checkpoints (VERDICT r04 #3).
+
+    Reference analogue: docs/quick_demo/ont_mv_quick_demo.md:190-208."""
+    import scripts.full_cascade_demo as demo
+
+    try:
+        vp = load_trained_fixture("pileup_ont.npz")
+        vf = load_trained_fixture("fa_ont.npz")
+    except FileNotFoundError as e:  # pragma: no cover - fixtures are committed
+        pytest.fail(str(e))
+
+    fasta, bam, _, variants = demo.simulate(str(tmp_path), ONT_EVAL_BP,
+                                            seed=EVAL_SEED, platform="ont")
+
+    p_engine = InferenceEngine(PileupNet(add_indel_length=False), vp,
+                               buckets=(256, 1024))
+    f_engine = InferenceEngine(
+        FullAlignmentNet(add_indel_length=True, input_channels=9), vf,
+        buckets=(256, 1024))
+    call_cfg = CallConfig(
+        platform="ont",  # matrix_depth 89, matching the fixtures' training
+        bam_fn=bam, ref_fn=fasta,
+        output_dir=str(tmp_path / "out"),
+        snp_min_af=0.08, indel_min_af=0.15, threads=2,
+        var_pct_full=0.7, ref_pct_full=0.1,
+        enable_dwell_time=True,
+    )
+    caller = VariantCaller(call_cfg, pileup_engine=p_engine,
+                           fa_engine=f_engine,
+                           phaser=ReadBackedPhaser(bam))
+    outputs = caller.run()
+    fa_rows = sum(1 for _ in VcfReader(outputs["full_alignment"]))
+    assert fa_rows > 10, "FA stage never engaged; routing broken"
+    # the dwell channel must actually be populated in this configuration:
+    # a 9th-channel regression (silent zeros) would defeat the ONT gate
+    from clair3_tpu.fullalign.extractor import create_fa_tensors
+    mat, _, _ = create_fa_tensors(
+        bam, fasta, "chr1", [1000], matrix_depth=89, no_phasing=True,
+        enable_dwell=True)
+    assert mat.shape[-1] == 9 and np.abs(mat[..., 8]).sum() > 0, \
+        "dwell channel empty"
+
+    truth_recs = [
+        VcfRecord("chr1", v.pos + 1, v.ref, v.alt, 60, "PASS", ".", "GT",
+                  "1/1" if v.genotype == (1, 1) else "0/1")
+        for v in variants
+    ]
+    query_recs = [r for r in VcfReader(outputs["merge_output"])
+                  if r.filter in ("PASS", ".")]
+    m = variant_metrics(truth_recs, query_recs)
+    print(f"[fixture-gate/ont] SNP F1 {m['SNP'].f1} (P {m['SNP'].precision} "
+          f"R {m['SNP'].recall}); INDEL F1 {m['INDEL'].f1} "
+          f"(P {m['INDEL'].precision} R {m['INDEL'].recall})")
+    assert m["SNP"].f1 >= GATE_ONT_SNP_F1, m["SNP"]
+    assert m["INDEL"].f1 >= GATE_ONT_INDEL_F1, m["INDEL"]
