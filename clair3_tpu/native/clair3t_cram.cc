@@ -3,15 +3,17 @@
 // Production fast path for CRAM input (the Python reader in io/cram.py is
 // the behavioral oracle; differential tests assert identical records).  The
 // reference reads CRAM through htslib (reference: README.md:127); this is a
-// self-contained reimplementation: container/slice parsing, block codecs
-// (raw/gzip via the fast inflate, rANS 4x8 via clair3t_rans.cc), record
+// self-contained reimplementation: container/slice parsing, the FULL block
+// codec matrix (raw / gzip via the fast inflate / bzip2 / lzma / rANS 4x8 /
+// rANS Nx16 / adaptive arithmetic incl. the EXT=embedded-bzip2 transform /
+// fqzcomp / tok3 — clair3t_{rans,rans_nx16,arith,bzip2,xz}.cc), record
 // codecs (EXTERNAL / HUFFMAN / BETA / BYTE_ARRAY_LEN / BYTE_ARRAY_STOP),
 // read-feature reconstruction against the reference FASTA, and streaming
 // BGZF BAM output with an on-the-fly BAI index.
 //
-// Anything unsupported (CRAM 3.1 codecs, bzip2/lzma blocks, exotic record
-// codecs, unsorted records) returns a nonzero error and the Python wrapper
-// falls back to the pure-Python converter, so capability is never lost.
+// Anything unsupported (exotic record codecs, unsorted records, corrupt
+// streams) returns a nonzero error and the Python wrapper falls back to
+// the pure-Python converter, so capability is never lost.
 
 #include "common.h"
 
@@ -189,7 +191,7 @@ int read_block(Cur& c, Block* b) {
       return clair3t_rans_nx16_decode(comp, comp_sz, b->data.data(), raw_sz)
                      == 0
                  ? OK : E_UNSUPPORTED;
-    case 6:  // adaptive arithmetic (CRAM 3.1; EXT/bzip2 -> fallback)
+    case 6:  // adaptive arithmetic (CRAM 3.1; incl. EXT = embedded bzip2)
       return clair3t_arith_decode(comp, comp_sz, b->data.data(), raw_sz) == 0
                  ? OK : E_UNSUPPORTED;
     case 7:  // fqzcomp quality codec (CRAM 3.1)
@@ -199,7 +201,7 @@ int read_block(Cur& c, Block* b) {
       return clair3t_tok3_decode(comp, comp_sz, b->data.data(), raw_sz) == 0
                  ? OK : E_UNSUPPORTED;
     default:
-      return E_UNSUPPORTED;  // bzip2/lzma/fqzcomp -> Python path
+      return E_UNSUPPORTED;  // unknown method id -> Python path
   }
 }
 
