@@ -81,10 +81,17 @@ class _Coalescer:
 
     def _take_group(self) -> List:
         """Pop all pending requests whose row shape matches the oldest
-        one's, up to max_rows total (others stay for the next batch)."""
-        group, keep, rows = [], [], 0
-        shape = self._pending[0][0].shape[1:]
-        for item in self._pending:
+        one's, up to max_rows total (others stay for the next batch).
+
+        The oldest request is ALWAYS taken, even when it alone exceeds
+        max_rows — otherwise an oversized single request (the pipeline
+        ships whole-chunk tensors, which can pass 8192 rows) would never
+        form a group and the dispatcher would spin forever."""
+        oldest = self._pending[0]
+        group, keep = [oldest], []
+        rows = oldest[0].shape[0]
+        shape = oldest[0].shape[1:]
+        for item in self._pending[1:]:
             n = item[0].shape[0]
             if item[0].shape[1:] == shape and rows + n <= self.max_rows:
                 group.append(item)

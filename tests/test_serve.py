@@ -195,6 +195,28 @@ def test_coalescer_groups_mismatched_shapes(real_engines):
         server.shutdown()
 
 
+def test_coalescer_oversized_single_request(real_engines):
+    """One request larger than the coalescer's max_rows must still form a
+    group of its own (regression: it previously matched nothing, leaving
+    the dispatcher spinning and the client hung forever — the pipeline
+    ships whole-chunk tensors, which can exceed any row cap)."""
+    pe, _ = real_engines
+    server = EngineServer({"pileup": pe}, coalesce_window_s=0.01)
+    server._coalescers["pileup"].max_rows = 8
+    server.serve_background()
+    rng = np.random.default_rng(9)
+    big = rng.integers(-30, 30, (20, 33, 18)).astype(np.int32)
+    small = rng.integers(-30, 30, (3, 33, 18)).astype(np.int32)
+    try:
+        client = RemoteEngine(server.address, "pileup")
+        np.testing.assert_array_equal(client.predict(big), pe.predict(big))
+        # queue behind the oversized one still drains
+        np.testing.assert_array_equal(client.predict(small),
+                                      pe.predict(small))
+    finally:
+        server.shutdown()
+
+
 def test_build_server_from_model_dir(tmp_path):
     """`clair3_tpu serve --model_path DIR` loads the same engines `call`
     builds, resolves .npz checkpoints, and serves them."""
