@@ -218,7 +218,12 @@ struct BamView {
 
   // multi-range indexed load: inflate each [vb, ve] chunk, trim to the
   // exact virtual offsets, and concatenate (chunks are record-aligned by
-  // construction, so the result is a contiguous record stream)
+  // construction, so the result is a contiguous record stream).  Two-pass:
+  // scan every window's BGZF headers first, size `data` once, then decode
+  // interior blocks straight into their final position — the per-window
+  // bounce buffer + concat copy of the naive scheme doubles memory traffic
+  // on a 200+ MB chunk and showed up as ~half of load wall time on the
+  // chromosome-scale soak.
   bool load_ranges(const char* path, const uint64_t* voffs, int n_win) {
     data.clear();
     records_off = 0;
@@ -226,19 +231,30 @@ struct BamView {
     if (!fp) return false;
     fseek(fp, 0, SEEK_END);
     uint64_t fsize = (uint64_t)ftell(fp);
+    struct Win {
+      Buf comp;
+      std::vector<BlockJob> jobs;  // out_off relative to window decode start
+      size_t head = 0;             // logical keep-range within the window
+      size_t end_off = 0;
+      size_t out_base = 0;         // where the kept bytes land in `data`
+    };
+    std::vector<Win> wins((size_t)n_win);
+    size_t total_kept = 0;
     for (int w = 0; w < n_win; w++) {
+      Win& win = wins[w];
       uint64_t vb = voffs[2 * w], ve = voffs[2 * w + 1];
       uint64_t cb = vb >> 16, ce = ve >> 16;
       size_t head = vb & 0xFFFF, tail = ve & 0xFFFF;
       // read the compressed window (+64KiB so the last block is complete)
       uint64_t read_end = ce + 65536 < fsize ? ce + 65536 : fsize;
       if (fseek(fp, (long)cb, SEEK_SET) != 0) { fclose(fp); return false; }
-      Buf comp(read_end - cb);
-      if (!comp.empty() && fread(comp.data(), 1, comp.size(), fp) != comp.size()) {
+      win.comp.resize(read_end - cb);
+      if (!win.comp.empty() &&
+          fread(win.comp.data(), 1, win.comp.size(), fp) != win.comp.size()) {
         fclose(fp);
         return false;
       }
-      std::vector<BlockJob> jobs;
+      const Buf& comp = win.comp;
       size_t total = 0;
       size_t off = 0;
       size_t last_block_out = 0;  // uncompressed offset of ce's block
@@ -271,39 +287,53 @@ struct BamView {
           saw_last = true;
           if (tail == 0) break;  // range ends at this block's start
         }
-        jobs.push_back({off + 12 + xlen, (size_t)(bsize - 12 - xlen - 8), total, isize});
+        win.jobs.push_back({off + 12 + xlen, (size_t)(bsize - 12 - xlen - 8), total, isize});
         total += isize;
         off += bsize;
       }
-      if (n_win == 1) {
-        // single window (the common case): decode straight into `data` and
-        // trim logically — no second 10s-of-MB copy
-        data.resize(total);
-        if (!inflate_blocks_parallel(comp.data(), jobs, data.data(),
-                                     default_inflate_threads())) {
-          fclose(fp);
-          return false;
-        }
-        size_t end_off = saw_last ? last_block_out + tail : total;
-        if (end_off > data.size()) end_off = data.size();
-        data.resize(end_off);
-        records_off = head <= data.size() ? head : data.size();
-        fclose(fp);
-        return true;
-      }
-      Buf chunk(total);
-      if (!inflate_blocks_parallel(comp.data(), jobs, chunk.data(),
-                                   default_inflate_threads())) {
-        fclose(fp);
-        return false;
-      }
       size_t end_off = saw_last ? last_block_out + tail : total;
-      if (head > chunk.size()) head = chunk.size();
-      if (end_off > chunk.size()) end_off = chunk.size();
-      if (end_off > head)
-        data.insert(data.end(), chunk.begin() + head, chunk.begin() + end_off);
+      if (end_off > total) end_off = total;
+      if (head > end_off) head = end_off;
+      win.head = head;
+      win.end_off = end_off;
+      win.out_base = total_kept;
+      total_kept += end_off - head;
     }
     fclose(fp);
+    if (n_win == 1) {
+      // single window: head bytes stay in place, trimmed logically via
+      // records_off, so every block is "interior" and decodes in place
+      records_off = wins[0].head;
+      wins[0].head = 0;
+      total_kept = wins[0].end_off;
+    }
+    data.resize(total_kept);
+    Buf scratch;
+    for (auto& win : wins) {
+      std::vector<BlockJob> direct;
+      direct.reserve(win.jobs.size());
+      for (const BlockJob& j : win.jobs) {
+        if (j.isize == 0) continue;
+        size_t b0 = j.out_off, b1 = b0 + j.isize;
+        if (b1 <= win.head || b0 >= win.end_off) continue;  // fully trimmed
+        if (b0 >= win.head && b1 <= win.end_off) {
+          direct.push_back(
+              {j.comp_off, j.comp_len, win.out_base + (b0 - win.head), j.isize});
+          continue;
+        }
+        // boundary block: decode to scratch, copy the kept intersection
+        scratch.resize(j.isize);
+        std::vector<BlockJob> one{{j.comp_off, j.comp_len, 0, j.isize}};
+        if (!inflate_blocks_parallel(win.comp.data(), one, scratch.data(), 1))
+          return false;
+        size_t s0 = std::max(b0, win.head), s1 = std::min(b1, win.end_off);
+        memcpy(data.data() + win.out_base + (s0 - win.head),
+               scratch.data() + (s0 - b0), s1 - s0);
+      }
+      if (!inflate_blocks_parallel(win.comp.data(), direct, data.data(),
+                                   default_inflate_threads()))
+        return false;
+    }
     return true;
   }
 
