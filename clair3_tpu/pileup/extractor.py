@@ -290,10 +290,12 @@ def candidate_tensors(
                 [], [])
 
     # vectorized window gather (the per-candidate Python loop dominated
-    # tensor creation at WGS candidate counts); single-pass any() instead
-    # of all(==0) (no [L,18] bool intermediate).  NOTE: depth==0 would be
-    # cheaper but differs on all-N columns (nonzero depth, zero matrix row).
-    col_empty = ~result.counts.any(axis=1)
+    # tensor creation at WGS candidate counts).  Column emptiness is derived
+    # from the gathered windows themselves: sweeping the full [L,18] counts
+    # for a col_empty mask costs more than the entire gather at WGS chunk
+    # sizes (L ~ 1e6 rows vs N*33 ~ 1e4-1e5 gathered rows).  NOTE: depth==0
+    # would be cheaper still but differs on all-N columns (nonzero depth,
+    # zero matrix row).
     centers = np.fromiter((c.pos - result.start for c in cands), np.int64,
                           count=len(cands))
     los = centers - FLANKING_BASE_NUM
@@ -301,18 +303,19 @@ def candidate_tensors(
     valid = (idx >= 0) & (idx < L)
     idx_clip = np.clip(idx, 0, L - 1)
     in_range = valid.all(axis=1)
+    wins = result.counts[idx_clip]  # fancy-index gather (fresh array)
+    if wins.dtype != np.int32:
+        wins = wins.astype(np.int32)
     if head_tail:
         keep = np.ones(len(cands), bool)
     else:
-        empty_within = col_empty[idx_clip].any(axis=1)
-        keep = in_range & ~empty_within
+        empty_within = ~wins.any(axis=2)
+        keep = in_range & ~empty_within.any(axis=1)
     if not keep.any():
         return (np.zeros((0, NO_OF_POSITIONS, PILEUP_CHANNEL_SIZE), np.int32),
                 [], [])
     kidx = np.nonzero(keep)[0]
-    wins = result.counts[idx_clip[kidx]]  # fancy-index gather (fresh array)
-    if wins.dtype != np.int32:
-        wins = wins.astype(np.int32)
+    wins = wins[kidx]
     if head_tail and not valid[kidx].all():
         wins *= valid[kidx][:, :, None]  # zero-pad out-of-range rows
     pos_infos = [f"{ctg_name}:{cands[i].pos + 1}:{cands[i].ref_base}" for i in kidx]
