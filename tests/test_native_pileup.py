@@ -127,3 +127,53 @@ def test_threaded_counting_identical_to_single_thread(tmp_path):
         bam, ref_seq, 0, "chr1", 0, L, gvcf=True, threads=4)
     _assert_identical(one, four)
     assert len(one.candidates) > 100
+
+
+def test_native_matches_python_multiwindow_bai_load(tmp_path):
+    """Multi-window indexed load (BamView.load_ranges with n_win > 1): a long
+    read parked in a coarse BAI bin plus a >64 KiB compressed gap of
+    non-overlapping reads forces query_chunks to return two windows, so the
+    two-pass decode must place each window's kept bytes (including partially
+    trimmed boundary blocks) at the right output offset.  Differential vs the
+    numpy oracle over the query region."""
+    import numpy as np
+    from clair3_tpu.io.bam import BamRead, write_bam
+    from clair3_tpu.io.fasta import write_fasta
+
+    L = 1_200_000
+    ref = random_reference(L, seed=77)
+    fasta = str(tmp_path / "ref.fa")
+    write_fasta(fasta, {"chr1": ref})
+
+    reads = []
+    qual1k = np.full(1000, 30, np.uint8)
+
+    def add(pos, length, qual=None):
+        reads.append(BamRead(
+            qname=f"r{len(reads)}", flag=0, tid=0, pos=pos, mapq=60,
+            cigar=[(0, length)], seq=ref[pos:pos + length],
+            qual=qual if qual is not None else np.full(length, 30, np.uint8)))
+
+    # one long read crossing the 1 MiB linear boundary -> coarse (8 Mb) bin,
+    # early in file order
+    add(880_000, 250_000)
+    # dense cluster that ends before the query region: >64 KiB compressed
+    # between the coarse-bin chunk and the query's fine-bin chunks
+    for layer in range(30):
+        for p in range(880_000 + layer * 33, 1_039_000, 1000):
+            add(p, 1000, qual1k)
+    # reads overlapping the query region
+    for layer in range(20):
+        for p in range(1_060_000 + layer * 50, 1_129_000, 1000):
+            add(p, 1000, qual1k)
+    reads.sort(key=lambda r: r.pos)
+    bam = str(tmp_path / "reads.bam")
+    write_bam(bam, ["chr1"], [L], reads)
+
+    qs, qe = 1_070_000, 1_120_000
+    _tid, _voffs, n_win = native._bai_windows(bam, "chr1", qs, qe)
+    assert n_win >= 2, f"fixture no longer forces a multi-window load ({n_win})"
+
+    py, nat = _both(bam, fasta, "chr1", qs, qe, gvcf=True)
+    _assert_identical(py, nat)
+    assert int(nat.depth.max()) >= 20  # the window actually saw the reads
