@@ -302,8 +302,11 @@ def test_dist_cli_os_processes_merge_identically(tmp_path):
             log = open(p._log_path).read()
         assert p.returncode == 0, f"{what} failed:\n{log}"
 
+    # generous timeouts: the whole test runs ~14 min on this image's one
+    # idle shared vCPU, but a loaded machine (another suite/soak running)
+    # has been seen to push a single CLI call past 25 min
     single_p = cli_call(str(tmp_path / "single"), "single", [])
-    wait_ok(single_p, "single-process call", 900)
+    wait_ok(single_p, "single-process call", 2400)
 
     port = _free_port()
     dist = [
@@ -314,7 +317,7 @@ def test_dist_cli_os_processes_merge_identically(tmp_path):
         for pid in range(N_PROCS)
     ]
     for pid, p in enumerate(dist):
-        wait_ok(p, f"dist call {pid}", 1500)
+        wait_ok(p, f"dist call {pid}", 3000)
 
     shard_outs = [str(tmp_path / "dist" / f"proc{i}" / "merge_output.vcf.gz")
                   for i in range(N_PROCS)]
