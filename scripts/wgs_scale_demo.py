@@ -42,24 +42,32 @@ def peak_rss_gb() -> float:
 
 def build_input(out_dir: str, mbases: float, contigs: int, coverage: int,
                 read_length: int, error_rate: float, seed: int,
-                with_mv_tags: bool = False):
+                with_mv_tags: bool = False, reuse: bool = False):
     """Multi-contig FASTA + coordinate-sorted indexed BAM + truth list,
-    streamed segment by segment."""
+    streamed segment by segment.  With ``reuse``, an existing ref.fa +
+    reads.bam pair in out_dir is kept as-is (everything is deterministic
+    in the seed, so the truth list is reconstructed without re-simulating
+    the reads — re-timing the calling phase only)."""
     from clair3_tpu.io.bam import write_bam
 
     per_ctg = int(mbases * 1e6 / contigs)
     names = [f"chr{i + 1}" for i in range(contigs)]
     lengths = [per_ctg] * contigs
     fasta = os.path.join(out_dir, "ref.fa")
+    bam = os.path.join(out_dir, "reads.bam")
+    reuse = (reuse and os.path.exists(fasta) and os.path.exists(bam)
+             and os.path.exists(bam + ".bai"))
     truth = []
     refs = {}
-    with open(fasta, "w") as f:
-        for ci, name in enumerate(names):
-            seq = random_reference(per_ctg, seed=seed + ci)
-            refs[name] = seq
-            f.write(f">{name}\n")
-            for off in range(0, per_ctg, 80):
-                f.write(seq[off: off + 80] + "\n")
+    for ci, name in enumerate(names):
+        refs[name] = random_reference(per_ctg, seed=seed + ci)
+    if not reuse:
+        with open(fasta, "w") as f:
+            for ci, name in enumerate(names):
+                f.write(f">{name}\n")
+                seq = refs[name]
+                for off in range(0, per_ctg, 80):
+                    f.write(seq[off: off + 80] + "\n")
 
     def variants_for(name, seq, ci):
         out = []
@@ -102,8 +110,19 @@ def build_input(out_dir: str, mbases: float, contigs: int, coverage: int,
                                 r.tags)
                     yield r
 
-    bam = os.path.join(out_dir, "reads.bam")
-    write_bam(bam, names, lengths, read_stream())
+    if reuse:
+        from clair3_tpu.io.fasta import FastaFile
+
+        fa = FastaFile(fasta)
+        assert (list(fa.references) == names
+                and [fa.contig_length(n) for n in names] == lengths), (
+            "existing fixture geometry does not match --mbases/--contigs; "
+            "remove the output dir or drop --reuse_input")
+        fa.close()
+        print("[soak] reusing existing ref.fa + reads.bam (truth "
+              "reconstructed from the seed)", flush=True)
+    else:
+        write_bam(bam, names, lengths, read_stream())
     return fasta, bam, names, truth
 
 
@@ -218,6 +237,9 @@ def main():
                     help="default: the committed trained fixture for "
                          "--platform")
     ap.add_argument("--fa_model", default=None)
+    ap.add_argument("--reuse_input", action="store_true",
+                    help="keep an existing ref.fa/reads.bam in --output "
+                         "(same seed => same truth) and re-time calling only")
     ap.add_argument("--parity_mbases", type=float, default=0.0,
                     help="also run this many Mb through BOTH the production "
                          "engines and their f32 CPU twins and assert "
@@ -241,7 +263,8 @@ def main():
     fasta, bam, names, truth = build_input(
         args.output, args.mbases, args.contigs, args.coverage,
         args.read_length, args.error_rate, seed=7,
-        with_mv_tags=ont and args.engines == "production")
+        with_mv_tags=ont and args.engines == "production",
+        reuse=args.reuse_input)
     t_sim = time.time() - t0
     print(f"[soak] simulation: {t_sim:.0f}s, BAM "
           f"{os.path.getsize(bam) / 1e6:.0f} MB, RSS {peak_rss_gb():.2f} GB",
